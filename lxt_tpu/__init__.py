@@ -1,0 +1,25 @@
+"""lxt_tpu — TPU-native Layer-wise Relevance Propagation for transformers.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+rachtibat/LRP-eXplains-Transformers (LXT): AttnLRP / CP-LRP attributions for
+LLaMA-family, Gemma 3, Qwen 2/3, BERT, GPT-2, Mixtral and ViT models — per-token
+input heatmaps and per-neuron latent relevance in a single backward pass.
+
+Where the reference monkey-patches PyTorch modules and registers autograd
+hooks, this framework expresses every LRP rule as a ``jax.custom_vjp`` inside
+functional model definitions, so ``relevance = x * grad(f)(x)`` is one jitted
+XLA program: fused, shardable over device meshes, and rematerializable with
+``jax.checkpoint`` for O(sqrt(N)) memory.
+"""
+
+__version__ = "0.1.0"
+
+from lxt_tpu import ops
+from lxt_tpu.composites import (
+    Composite,
+    attnlrp,
+    cp_lrp,
+    vanilla_gradient,
+)
+
+__all__ = ["ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient", "__version__"]

@@ -1,0 +1,159 @@
+"""Composites: declarative rule assignments for model forward passes.
+
+The reference configures LRP by monkey-patching torch classes with per-model
+patch maps (``lxt/efficient/models/*.py``) or by registering a ``Composite``
+of rules onto module trees (``lxt/explicit/core.py``). JAX models are pure
+functions, so here a :class:`Composite` is a frozen config object passed into
+the model forward; model code calls its methods (``act``, ``qkv``,
+``gated_mul``, ``rms_norm``, ``layer_norm``, ``linear``, ``conv2d``) at each
+rule site. Because the composite is static at trace time, each composite
+compiles to its own fused XLA program — zero runtime dispatch cost.
+
+Predefined composites mirror the reference's exports:
+
+- :data:`attnlrp` — AttnLRP rules (ICML 2024): identity on nonlinearities and
+  norms, uniform on bilinear ops (matmul/gating), Deep-Taylor softmax
+  (implicit via Gradient*Input through standard softmax).
+- :data:`cp_lrp`  — CP-LRP: relevance blocked through softmax (stop-grad q,k)
+  and through the MLP gate branch. Recommended by the reference for GPT-2
+  (negative logits, models/gpt2.py:24-26) and ViTs.
+- :data:`vanilla_gradient` — plain Gradient*Input (no LRP rules), a baseline.
+
+Gamma variants for ViT denoising replace the reference's zennit dependency
+(``lxt/efficient/zennit_patches.py``): ``attnlrp.with_gamma(conv_gamma=...,
+linear_gamma=...)`` applies the native gamma rule to convs/linears.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from lxt_tpu.ops.rules import (
+    divide_gradient,
+    gamma_conv2d,
+    gamma_linear,
+    identity_rule,
+    stop_gradient,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Composite:
+    """Static assignment of LRP rules to model rule-sites.
+
+    Fields select the rule at each site; model code consults the composite via
+    the methods below. All fields are hashable, so a Composite can be a static
+    argument to ``jax.jit``.
+    """
+
+    name: str = "attnlrp"
+    #: 'identity' -> identity rule on elementwise nonlinearities (Eq. 9);
+    #: 'vanilla' -> ordinary autodiff.
+    activation: str = "identity"
+    #: 'uniform' -> gate*up gets the uniform rule (divide by 2);
+    #: 'cp' -> stop-grad through the gate branch; 'vanilla' -> autodiff.
+    gate: str = "uniform"
+    #: 'attnlrp' -> q,k grads /4 and v grads /2 around any attention kernel
+    #: (reference patches.py:196-206); 'cp' -> stop-grad q,k; 'vanilla'.
+    attention: str = "attnlrp"
+    #: 'identity' -> stop-grad through std/rsqrt in norms (Prop. 3.4);
+    #: 'vanilla' -> ordinary autodiff.
+    norm: str = "identity"
+    #: gamma-rule strength for conv layers (ViT), None = plain autodiff.
+    conv_gamma: Optional[float] = None
+    #: gamma-rule strength for linear layers (ViT), None = plain autodiff.
+    linear_gamma: Optional[float] = None
+
+    # -- rule sites ---------------------------------------------------------
+
+    def act(self, fn, x):
+        """Elementwise nonlinearity (SiLU/GELU/tanh...)."""
+        if self.activation == "identity":
+            return identity_rule(fn, x)
+        return fn(x)
+
+    def qkv(self, q, k, v):
+        """Correct relevance flow at the attention inputs; wraps ANY attention
+        implementation (einsum or Pallas flash) — reference patches.py:171-206."""
+        if self.attention == "attnlrp":
+            return divide_gradient(q, 4), divide_gradient(k, 4), divide_gradient(v, 2)
+        if self.attention == "cp":
+            return stop_gradient(q), stop_gradient(k), v
+        return q, k, v
+
+    def gated_mul(self, act_fn, gate_out, up_out):
+        """Gated-MLP joint: act(gate) * up — reference patches.py:145-157 and
+        cp variant patches.py:275-283."""
+        if self.gate == "uniform":
+            g = self.act(act_fn, gate_out)
+            return divide_gradient(g * up_out, 2)
+        if self.gate == "cp":
+            return act_fn(stop_gradient(gate_out)) * up_out
+        return act_fn(gate_out) * up_out
+
+    def mul_uniform(self, a, b):
+        """Generic bilinear elementwise product (e.g. MoE routing weights)."""
+        if self.gate == "cp":
+            return stop_gradient(a) * b
+        if self.gate == "uniform":
+            return divide_gradient(a * b, 2)
+        return a * b
+
+    def rms_norm(self, x, weight, eps, offset=0.0):
+        """RMSNorm with the identity rule via stop-grad through rsqrt(var)
+        (reference patches.py:111-123). ``offset=1.0`` gives the Gemma (1+w)
+        convention. Computed in float32, cast back (torch parity)."""
+        dt = x.dtype
+        x32 = x.astype(jnp.float32)
+        var = (x32 * x32).mean(axis=-1, keepdims=True)
+        rs = jax.lax.rsqrt(var + eps)
+        if self.norm == "identity":
+            rs = stop_gradient(rs)
+        y = (x32 * rs).astype(dt)
+        return (offset + weight) * y
+
+    def layer_norm(self, x, weight, bias, eps):
+        """LayerNorm with stop-grad through std (reference patches.py:126-142)."""
+        mu = x.mean(axis=-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        std = jnp.sqrt(var + eps)
+        if self.norm == "identity":
+            std = stop_gradient(std)
+        y = (x - mu) / std
+        if weight is not None:
+            y = y * weight
+        if bias is not None:
+            y = y + bias
+        return y
+
+    def linear(self, x, w, b=None):
+        """Dense layer, ``w: [in, out]``. Under Gradient*Input, a plain linear
+        already implements the epsilon rule; gamma composites redistribute."""
+        if self.linear_gamma is not None:
+            return gamma_linear(x, w, b, self.linear_gamma)
+        y = jnp.matmul(x, w)
+        return y if b is None else y + b
+
+    def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID"):
+        """NHWC conv; gamma rule if configured (ViT patch embedding)."""
+        if self.conv_gamma is not None:
+            return gamma_conv2d(x, w, b, strides, padding, self.conv_gamma)
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out if b is None else out + b
+
+    def with_gamma(self, conv_gamma=None, linear_gamma=None):
+        """Derive a gamma-rule variant (ViT denoising, replaces zennit)."""
+        return dataclasses.replace(
+            self, conv_gamma=conv_gamma, linear_gamma=linear_gamma,
+            name=f"{self.name}+gamma")
+
+
+attnlrp = Composite(name="attnlrp")
+cp_lrp = Composite(name="cp_lrp", attention="cp", gate="cp")
+vanilla_gradient = Composite(
+    name="vanilla_gradient", activation="vanilla", gate="vanilla",
+    attention="vanilla", norm="vanilla")

@@ -1,0 +1,70 @@
+"""Conservation sanity check for LRP rules.
+
+TPU-native counterpart of the reference's ``CONSERVATION_CHECK_FLAG`` +
+``conservation_check_wrap`` (``lxt/explicit/functional.py:10-37`` and
+``lxt/explicit/check.py:6-15`` in rachtibat/LRP-eXplains-Transformers).
+
+Under the check, every rule backward discards its computed relevance and
+instead redistributes the *incoming* relevance uniformly over the input
+elements. If the conservation property holds for every op in a model, the
+total relevance arriving at the input equals the seeded output relevance;
+any leak (a non-LRP-compatible op, a bias sink, a NaN) shows up as a
+mismatch in :func:`conservation_error`.
+
+JAX nuance: the flag is read at *trace time*, so flipping it invalidates jit
+caches — that is intended; the check is a debugging mode, exactly as in the
+reference where it also changes the executed backward.
+"""
+
+import contextlib
+
+import jax.numpy as jnp
+
+CONSERVATION_CHECK_FLAG = [False]
+
+
+@contextlib.contextmanager
+def conservation_check():
+    """Context manager enabling uniform-redistribution mode for all rules.
+
+    Mirrors ``lxt.explicit.check.conservation_check`` (check.py:6-15).
+    Note: functions jitted *inside* the context trace with the check enabled;
+    pre-existing jit caches are not affected. Prefer calling un-jitted or
+    freshly-wrapped functions under this context.
+    """
+    CONSERVATION_CHECK_FLAG[0] = True
+    try:
+        yield
+    finally:
+        CONSERVATION_CHECK_FLAG[0] = False
+
+
+def maybe_redistribute(in_relevances, out_relevances):
+    """If the conservation check is active (at trace time), replace each input
+    relevance with the uniform mean of the total output relevance.
+
+    ``in_relevances``/``out_relevances`` are tuples of arrays (or None).
+    Returns a tuple matching ``in_relevances``.
+    """
+    if not CONSERVATION_CHECK_FLAG[0]:
+        return in_relevances
+
+    out_sum = sum(r.astype(jnp.float32).sum() for r in out_relevances if r is not None)
+    n_elements = sum(r.size for r in in_relevances if r is not None)
+    mean = out_sum / n_elements
+    return tuple(
+        None if r is None else jnp.full(r.shape, mean, dtype=r.dtype)
+        for r in in_relevances
+    )
+
+
+def conservation_error(input_relevance, seeded_value):
+    """Relative conservation error |sum(R_in) - seed| / (|seed| + 1e-9).
+
+    Run an attribution under :func:`conservation_check` and pass the resulting
+    input relevance plus the seeded output relevance (e.g. the explained
+    logit value); values near 0 mean every op in the model conserved.
+    """
+    total = jnp.asarray(input_relevance, jnp.float32).sum()
+    seed = jnp.asarray(seeded_value, jnp.float32).sum()
+    return jnp.abs(total - seed) / (jnp.abs(seed) + 1e-9)
