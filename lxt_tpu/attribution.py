@@ -1,0 +1,91 @@
+"""High-level attribution API: one jitted vjp = one heatmap.
+
+The reference's usage pattern (examples/quantized_llama.py:35-47) is
+
+    logits = model(inputs_embeds=x.requires_grad_()).logits
+    logits[0, -1, :].max().backward()
+    relevance = (x * x.grad).float().sum(-1)
+
+Here that whole flow is ONE pure function — forward, backward and the
+Gradient*Input contraction fuse into a single XLA program, jittable,
+batchable, and shardable over a device mesh (see ``lxt_tpu.parallel``).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def select_logit(logits, position=-1, token=None):
+    """Scalar explanation target from ``[B, T, V]`` logits.
+
+    ``token=None`` explains the argmax logit at ``position`` (the reference's
+    default); an int array ``[B]`` explains those token ids; summing over the
+    batch is safe because per-example targets have disjoint gradients.
+    """
+    row = logits[:, position, :]
+    if token is None:
+        return row.max(axis=-1).sum()
+    token = jnp.asarray(token).reshape(-1, 1)
+    return jnp.take_along_axis(row, token, axis=-1).sum()
+
+
+def input_relevance(target_fn: Callable, inputs_embeds, *, sum_features: bool = True):
+    """Per-token input relevance via Gradient*Input.
+
+    ``target_fn(embeds) -> scalar``. Returns ``(target_value, relevance)``
+    with relevance ``[B, T]`` (f32 accumulation, reference
+    examples/quantized_llama.py:47) or ``[B, T, D]`` if ``sum_features=False``.
+    """
+    value, grad = jax.value_and_grad(target_fn)(inputs_embeds)
+    rel = inputs_embeds.astype(jnp.float32) * grad.astype(jnp.float32)
+    if sum_features:
+        rel = rel.sum(-1)
+    return value, rel
+
+
+def latent_relevance(forward_fn: Callable, inputs_embeds, probe_shape,
+                     *, sum_features: bool = False):
+    """Per-neuron relevance at every layer plus input relevance, one backward.
+
+    ``forward_fn(embeds, probes) -> (scalar_target, hidden_states)`` where
+    ``probes`` (zeros, shape ``probe_shape = [L, B, T, D]``) are added to each
+    layer's output inside the model and ``hidden_states`` is ``[L+1, B, T, D]``.
+    The gradient w.r.t. the probes is the gradient *at* each layer output, so
+    ``hidden * grad`` is the latent relevance — the functional replacement for
+    the reference's torch ``register_hook`` recipe
+    (docs/source/latent-feature-attribution-efficient.rst).
+
+    Returns ``(value, input_rel [B,T], latent_rel [L,B,T(,D)])``.
+    """
+    probes = jnp.zeros(probe_shape, inputs_embeds.dtype)
+
+    def wrapped(embeds, probes):
+        value, hiddens = forward_fn(embeds, probes)
+        return value, hiddens
+
+    (value, hiddens), vjp_fn = jax.vjp(wrapped, inputs_embeds, probes,
+                                       has_aux=False)
+    g_embeds, g_probes = vjp_fn((jnp.ones_like(value), jnp.zeros_like(hiddens)))
+    in_rel = (inputs_embeds.astype(jnp.float32) * g_embeds.astype(jnp.float32)).sum(-1)
+    latent = hiddens[1:].astype(jnp.float32) * g_probes.astype(jnp.float32)
+    if sum_features:
+        latent = latent.sum(-1)
+    return value, in_rel, latent
+
+
+def contrastive_target(logits, token_a, token_b, position=-1):
+    """Contrastive explanation target: logit(a) - logit(b) at ``position``
+    (reference docs/source/quickstart.rst GPT-2 contrastive example)."""
+    row = logits[:, position, :]
+    a = jnp.take_along_axis(row, jnp.asarray(token_a).reshape(-1, 1), -1)
+    b = jnp.take_along_axis(row, jnp.asarray(token_b).reshape(-1, 1), -1)
+    return (a - b).sum()
+
+
+def normalize_relevance(rel, axis=None):
+    """Scale relevance to [-1, 1] by the max |R| (the reference normalizes
+    before pdf_heatmap, examples/quantized_llama.py:50)."""
+    denom = jnp.abs(rel).max(axis=axis, keepdims=axis is not None)
+    return rel / (denom + 1e-12)

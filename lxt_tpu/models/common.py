@@ -1,0 +1,87 @@
+"""Shared building blocks for the model zoo.
+
+Functional, pytree-parameterized modules. Design rules (TPU-first):
+
+- layers are stacked on a leading axis and iterated with ``jax.lax.scan`` so
+  XLA compiles ONE layer body regardless of depth (fast compiles, and the
+  natural unit for ``jax.checkpoint`` rematerialization — the TPU-native
+  equivalent of the reference's HF gradient checkpointing, README.md:54).
+- all linear weights are stored ``[in, out]`` so the forward is a plain
+  ``x @ w`` on the MXU (HF torch stores ``[out, in]``; the loaders transpose).
+- rotary tables are computed in float32 from integer positions (no gradient
+  path), matching HF semantics and the reference's detached cos/sin
+  (explicit/models/llama.py:258-259).
+"""
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+ACTIVATIONS: Dict[str, Callable] = {
+    "silu": jax.nn.silu,
+    "gelu": jax.nn.gelu,  # tanh approximation (HF 'gelu_pytorch_tanh')
+    "gelu_exact": lambda x: jax.nn.gelu(x, approximate=False),
+    "gelu_new": jax.nn.gelu,  # GPT-2 'new' gelu == tanh approximation
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+}
+
+
+def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0):
+    """cos/sin tables ``[T, head_dim]`` (half-frequencies duplicated, HF
+    convention). ``positions``: int32 [T].
+
+    ``inv_freq`` is computed in float64 on the host and baked in as an f32
+    constant — HF torch does the double-precision pow too, and the 1e-5 table
+    error from an f32 pow measurably degrades relevance parity after a few
+    layers."""
+    import numpy as np
+    inv_freq = jnp.asarray(
+        (1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+         / scaling).astype(np.float32))
+    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin):
+    """q,k: [B, H, T, D]; cos/sin: [T, D]. Float32 rotation, cast back."""
+    dt = q.dtype
+    c = cos[None, None].astype(jnp.float32)
+    s = sin[None, None].astype(jnp.float32)
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    q_out = q32 * c + rotate_half(q32) * s
+    k_out = k32 * c + rotate_half(k32) * s
+    return q_out.astype(dt), k_out.astype(dt)
+
+
+def split_heads(x, n_heads, head_dim):
+    """[B, T, n*d] -> [B, n, T, d]"""
+    b, t, _ = x.shape
+    return x.reshape(b, t, n_heads, head_dim).transpose(0, 2, 1, 3)
+
+
+def merge_heads(x):
+    """[B, n, T, d] -> [B, T, n*d]"""
+    b, n, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, n * d)
+
+
+def uniform_init(key, shape, scale=0.02, dtype=jnp.float32):
+    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+
+
+@dataclasses.dataclass
+class ModelOutputs:
+    """Forward outputs. ``hidden_states`` is ``[L+1, B, T, D]`` when
+    requested (embeddings + each layer output) — the substrate for latent
+    feature attribution (reference docs/latent-feature-attribution)."""
+    logits: Any
+    hidden_states: Optional[Any] = None

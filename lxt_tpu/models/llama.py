@@ -1,0 +1,223 @@
+"""Llama-family decoder with LRP-aware forward (Llama 2/3, Qwen 2/3, TinyLlama).
+
+One generic implementation covers the family — the reference's per-model patch
+maps for these models are near-identical (lxt/efficient/models/llama.py:9-21,
+qwen2.py:9-21, qwen3.py:9-21): gated-SiLU MLP (identity+uniform rules),
+RMSNorm (identity rule via stop-grad rsqrt), uniform rule at attention q/k/v.
+Config switches handle the differences: Qwen2 adds qkv biases, Qwen3 adds
+per-head q/k RMSNorm and an explicit head_dim.
+
+TPU-first structure: layers are stacked on axis 0 and executed with
+``jax.lax.scan`` over a rematerialized body (``jax.checkpoint``), giving one
+compiled layer and the reference's checkpointed memory profile (2x fwd + 1x
+bwd, README.md:54) in a single ``jax.vjp``.
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lxt_tpu import composites
+from lxt_tpu.models import common
+from lxt_tpu.models.common import ACTIVATIONS, ModelOutputs, apply_rope
+from lxt_tpu.ops.attention import attention, causal_mask_bias
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_layers: int = 22
+    num_heads: int = 32
+    num_kv_heads: int = 4
+    head_dim: Optional[int] = None
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    act: str = "silu"
+    qkv_bias: bool = False      # Qwen2
+    qk_norm: bool = False       # Qwen3
+    tie_embeddings: bool = False
+    dtype: str = "float32"
+
+    @property
+    def hd(self):
+        return self.head_dim or self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf(cls, hf_config):
+        """Build from a transformers Llama/Qwen2/Qwen3 config object."""
+        mt = getattr(hf_config, "model_type", "llama")
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=getattr(hf_config, "num_key_value_heads",
+                                 hf_config.num_attention_heads),
+            head_dim=getattr(hf_config, "head_dim", None),
+            rope_theta=getattr(hf_config, "rope_theta", 10000.0),
+            rms_eps=hf_config.rms_norm_eps,
+            qkv_bias=(mt == "qwen2"),
+            qk_norm=(mt == "qwen3"),
+            tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        )
+
+
+def init_params(cfg: LlamaConfig, key, dtype=None):
+    """Random parameters (bench / smoke tests), stacked over layers."""
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    L, D, I, hd = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.hd
+    H, Hkv = cfg.num_heads, cfg.num_kv_heads
+    ks = jax.random.split(key, 12)
+    u = lambda k, shape: common.uniform_init(k, shape, dtype=dtype)  # noqa: E731
+    layers = {
+        "ln1": jnp.ones((L, D), dtype),
+        "ln2": jnp.ones((L, D), dtype),
+        "wq": u(ks[0], (L, D, H * hd)),
+        "wk": u(ks[1], (L, D, Hkv * hd)),
+        "wv": u(ks[2], (L, D, Hkv * hd)),
+        "wo": u(ks[3], (L, H * hd, D)),
+        "wg": u(ks[4], (L, D, I)),
+        "wu": u(ks[5], (L, D, I)),
+        "wd": u(ks[6], (L, I, D)),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((L, H * hd), dtype)
+        layers["bk"] = jnp.zeros((L, Hkv * hd), dtype)
+        layers["bv"] = jnp.zeros((L, Hkv * hd), dtype)
+    if cfg.qk_norm:
+        layers["q_norm"] = jnp.ones((L, hd), dtype)
+        layers["k_norm"] = jnp.ones((L, hd), dtype)
+    params = {
+        "embed": u(ks[7], (cfg.vocab_size, D)),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = u(ks[8], (D, cfg.vocab_size))
+    return params
+
+
+def embed(params, input_ids):
+    return params["embed"][input_ids]
+
+
+def forward(
+    params,
+    cfg: LlamaConfig,
+    inputs_embeds,
+    composite: composites.Composite = composites.attnlrp,
+    *,
+    probes=None,
+    output_hidden_states: bool = False,
+    remat: bool = True,
+    positions=None,
+    attn_impl: str = "auto",
+):
+    """Causal-LM forward. Returns :class:`ModelOutputs`.
+
+    ``probes`` (optional ``[L, B, T, D]`` zeros) are added to each layer
+    output; their gradients are the per-layer relevance hooks for latent
+    feature attribution (functional replacement for torch hooks).
+    """
+    B, T, D = inputs_embeds.shape
+    act_fn = ACTIVATIONS[cfg.act]
+    if positions is None:
+        positions = jnp.arange(T, dtype=jnp.int32)
+    cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
+    bias = causal_mask_bias(T, T)
+    scale = cfg.hd ** -0.5
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    def layer_fn(h, xs):
+        lp, probe = xs
+        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = composite.linear(x, lp["wq"], lp.get("bq"))
+        k = composite.linear(x, lp["wk"], lp.get("bk"))
+        v = composite.linear(x, lp["wv"], lp.get("bv"))
+        q = common.split_heads(q, H, hd)
+        k = common.split_heads(k, Hkv, hd)
+        v = common.split_heads(v, Hkv, hd)
+        if cfg.qk_norm:
+            q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = attention(q, k, v, bias=bias, composite=composite,
+                         scale=scale, impl=attn_impl)
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
+                                composite.linear(x, lp["wu"]))
+        h = h + composite.linear(g, lp["wd"])
+        if probe is not None:
+            h = h + probe
+        return h, (h if output_hidden_states else None)
+
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    h, hiddens = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
+
+    h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = composite.linear(h, head)
+
+    if output_hidden_states:
+        hiddens = jnp.concatenate([inputs_embeds[None], hiddens], axis=0)
+    return ModelOutputs(logits=logits, hidden_states=hiddens)
+
+
+# ---------------------------------------------------------------------------
+# HF checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def params_from_hf(state_dict, cfg: LlamaConfig, dtype=np.float32):
+    """Convert an HF Llama/Qwen2/Qwen3 torch ``state_dict`` to our stacked
+    pytree. Linear weights are transposed to ``[in, out]``."""
+
+    def t(name):
+        w = state_dict[name]
+        if hasattr(w, "detach"):
+            w = w.detach().to("cpu").float().numpy()
+        return np.asarray(w, dtype=dtype)
+
+    L = cfg.num_layers
+    pre = "model.layers."
+
+    def stack(fmt, transpose=False):
+        ws = [t(fmt.format(i)) for i in range(L)]
+        ws = [w.T if transpose else w for w in ws]
+        return jnp.asarray(np.stack(ws))
+
+    layers = {
+        "ln1": stack(pre + "{}.input_layernorm.weight"),
+        "ln2": stack(pre + "{}.post_attention_layernorm.weight"),
+        "wq": stack(pre + "{}.self_attn.q_proj.weight", transpose=True),
+        "wk": stack(pre + "{}.self_attn.k_proj.weight", transpose=True),
+        "wv": stack(pre + "{}.self_attn.v_proj.weight", transpose=True),
+        "wo": stack(pre + "{}.self_attn.o_proj.weight", transpose=True),
+        "wg": stack(pre + "{}.mlp.gate_proj.weight", transpose=True),
+        "wu": stack(pre + "{}.mlp.up_proj.weight", transpose=True),
+        "wd": stack(pre + "{}.mlp.down_proj.weight", transpose=True),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = stack(pre + "{}.self_attn.q_proj.bias")
+        layers["bk"] = stack(pre + "{}.self_attn.k_proj.bias")
+        layers["bv"] = stack(pre + "{}.self_attn.v_proj.bias")
+    if cfg.qk_norm:
+        layers["q_norm"] = stack(pre + "{}.self_attn.q_norm.weight")
+        layers["k_norm"] = stack(pre + "{}.self_attn.k_norm.weight")
+
+    params = {
+        "embed": jnp.asarray(t("model.embed_tokens.weight")),
+        "final_norm": jnp.asarray(t("model.norm.weight")),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(t("lm_head.weight").T)
+    return params

@@ -1,0 +1,18 @@
+"""Scale-out: device meshes, parameter sharding, batched attribution.
+
+The reference is single-process/single-GPU (SURVEY.md §2.4: no DP/TP/PP/SP
+anywhere; multi-GPU is only HF ``device_map`` placement). Here parallelism is
+first-class: a ``jax.sharding.Mesh`` with ``data`` and ``model`` axes, GSPMD
+sharding annotations on params and batch, and XLA-inserted collectives over
+ICI. The relevance backward inherits the forward's shardings automatically —
+no communication code at all.
+"""
+
+from lxt_tpu.parallel.mesh import (
+    attribute_sharded,
+    llama_param_shardings,
+    make_mesh,
+    shard_params,
+)
+
+__all__ = ["make_mesh", "llama_param_shardings", "shard_params", "attribute_sharded"]

@@ -1,0 +1,98 @@
+"""Mesh construction and sharding rules for attribution at scale.
+
+Design (the scaling-book recipe): pick a mesh, annotate shardings on the
+arguments, let XLA insert the collectives.
+
+- ``data`` axis: independent prompts/images — batch-parallel heatmaps, the
+  BASELINE.json north-star workload. Zero communication in the whole
+  attribution step except the final per-example relevance (kept sharded).
+- ``model`` axis: tensor parallelism for models larger than one chip's HBM
+  (Llama-3-8B bf16 on v5e needs >16 GB): attention heads and MLP hidden are
+  split column-wise on the up-projections and row-wise on the
+  down-projections, so each layer needs one all-reduce (psum) per block in
+  forward — and, because ``jax.vjp`` transposes the program, one in the
+  relevance backward. All of that is emitted by GSPMD from the annotations
+  below; there is no hand-written collective here.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
+    """Create a ``(data, model)`` mesh. Defaults to all devices on data."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"{data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def llama_param_shardings(mesh: Mesh):
+    """PartitionSpecs for the Llama-family pytree (models/llama.py layout).
+
+    Column-parallel: wq/wk/wv/wg/wu (split the output features = heads or
+    MLP hidden); row-parallel: wo/wd (split the input features); norms and
+    biases replicated; embedding and lm_head split on the vocab axis.
+    Layer-stacked leaves keep axis 0 (layers) unsharded.
+    """
+    m = "model"
+    specs = {
+        "embed": P(m, None),
+        "final_norm": P(None),
+        "lm_head": P(None, m),
+        "layers": {
+            "ln1": P(None, None), "ln2": P(None, None),
+            "wq": P(None, None, m), "wk": P(None, None, m), "wv": P(None, None, m),
+            "wo": P(None, m, None),
+            "wg": P(None, None, m), "wu": P(None, None, m),
+            "wd": P(None, m, None),
+            "bq": P(None, m), "bk": P(None, m), "bv": P(None, m),
+            "q_norm": P(None, None), "k_norm": P(None, None),
+        },
+    }
+
+    def to_sharding(tree, params=None):
+        return jax.tree.map(lambda s: NamedSharding(mesh, s), tree,
+                            is_leaf=lambda x: isinstance(x, P))
+
+    return to_sharding(specs)
+
+
+def _prune_to(params, shardings):
+    """Keep only sharding entries whose key exists in params (configs differ
+    in optional leaves like biases/q_norm/lm_head)."""
+    if isinstance(params, dict):
+        return {k: _prune_to(params[k], shardings[k]) for k in params}
+    return shardings
+
+
+def shard_params(params, shardings):
+    """device_put the param pytree onto the mesh with the given shardings."""
+    shardings = _prune_to(params, shardings)
+    return jax.device_put(params, shardings), shardings
+
+
+def attribute_sharded(target_fn, mesh: Mesh, *, donate: bool = False):
+    """Build a jitted batched-attribution step with the batch split over the
+    ``data`` axis. ``target_fn(embeds) -> scalar`` must consume embeds
+    ``[B, T, D]``; per-example relevance comes back sharded over data.
+
+    Note the scalar target sums per-example logits; per-example gradients are
+    disjoint so the sum changes nothing (attribution.py:select_logit).
+    """
+    from lxt_tpu.attribution import input_relevance
+
+    in_shard = NamedSharding(mesh, P("data", None, None))
+    out_shard = (NamedSharding(mesh, P()), NamedSharding(mesh, P("data", None)))
+
+    def step(embeds):
+        return input_relevance(target_fn, embeds)
+
+    return jax.jit(step, in_shardings=(in_shard,), out_shardings=out_shard,
+                   donate_argnums=(0,) if donate else ())

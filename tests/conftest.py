@@ -9,13 +9,26 @@ hence this file manipulates the environment at import time.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment points JAX at the real TPU (JAX_PLATFORMS=axon) and
+# this venv PRE-IMPORTS jax, so the platform must be hard-overridden here (the
+# env var is read lazily at backend init) and the matmul precision set through
+# jax.config (its env var was already consumed at jax import). Without both,
+# tests silently run over the TPU tunnel with bf16 MXU matmuls — slow, flaky,
+# and too imprecise for parity against torch f32.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# jax was already imported by sitecustomize, so JAX_PLATFORMS was consumed
+# into jax.config before this file ran — override through the config API.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,78 @@
+"""Golden end-to-end parity: lxt_tpu vs the torch reference (Llama family).
+
+Reference relevances are computed by ``tests/_reference_golden.py`` in fresh
+subprocesses (the reference's monkey-patching is global and irreversible, so
+attnLRP and cp_LRP each need their own interpreter). We rebuild the same tiny
+random HF models here (same torch seed => identical weights), convert the
+weights, and compare per-token relevance. This is the model-level test class
+the reference itself lacks (its validation is visual-only, SURVEY.md §4).
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lxt_tpu
+from lxt_tpu.attribution import input_relevance, select_logit
+from lxt_tpu.models import llama as jllama
+
+FAMILIES = ["llama", "qwen2", "qwen3"]
+_GOLDEN_CACHE = {}
+
+
+@pytest.fixture(scope="session")
+def golden(reference_lxt, tmp_path_factory):
+    def get(composite):
+        if composite not in _GOLDEN_CACHE:
+            out = tmp_path_factory.mktemp("golden") / f"{composite}.npz"
+            script = os.path.join(os.path.dirname(__file__), "_reference_golden.py")
+            subprocess.run(
+                [sys.executable, script, composite, str(out)] + FAMILIES,
+                check=True, capture_output=True, text=True)
+            _GOLDEN_CACHE[composite] = dict(np.load(out))
+        return _GOLDEN_CACHE[composite]
+    return get
+
+
+def _build_ours(family):
+    """Rebuild the tiny HF model (same seed as the golden subprocess) and
+    convert its weights to our pytree."""
+    from tests._reference_golden import build_tiny
+    _, _, hf_model = build_tiny(family)
+    cfg = jllama.LlamaConfig.from_hf(hf_model.config)
+    params = jllama.params_from_hf(hf_model.state_dict(), cfg)
+    return cfg, params
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+@pytest.mark.parametrize("composite_name", ["attnlrp", "cp_lrp"])
+def test_llama_family_parity(golden, family, composite_name):
+    data = golden(composite_name)
+    ids = data[f"{family}.ids"]
+    ref_logits = data[f"{family}.logits"]
+    ref_rel = data[f"{family}.rel"]
+
+    cfg, params = _build_ours(family)
+    composite = {"attnlrp": lxt_tpu.attnlrp, "cp_lrp": lxt_tpu.cp_lrp}[composite_name]
+
+    embeds = jllama.embed(params, jnp.asarray(ids))
+
+    logits = jllama.forward(params, cfg, embeds, composite).logits
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=0, atol=2e-4)
+
+    def target(e):
+        return select_logit(jllama.forward(params, cfg, e, composite).logits)
+
+    _, rel = jax.jit(lambda e: input_relevance(target, e))(embeds)
+    scale = np.abs(ref_rel).max()
+    np.testing.assert_allclose(np.asarray(rel), ref_rel, rtol=0, atol=5e-4 * max(scale, 1.0))
+
+    # relevance heatmaps must correlate essentially perfectly
+    a, b = np.asarray(rel).ravel(), ref_rel.ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.9999
