@@ -1,0 +1,86 @@
+"""Attribution throughput benchmark (runs on the real TPU chip).
+
+Measures end-to-end AttnLRP heatmaps/sec — forward + relevance backward +
+Gradient*Input contraction in one fused jitted program — on the flagship
+Llama-family model (TinyLlama-1.1B geometry, bf16, gradient-checkpointed),
+batch 8 x 1024 tokens. Fresh embedding inputs are used each iteration so no
+caching can short-circuit the computation.
+
+Baseline: the torch reference (monkey-patched AttnLRP + grad checkpointing)
+measured once on this host's CPU by scripts/measure_torch_baseline.py — the
+only hardware both frameworks share here; the reference publishes no GPU
+numbers (BASELINE.md). vs_baseline = ours / reference.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = int(os.environ.get("LXT_BENCH_BATCH", 8))
+SEQ = int(os.environ.get("LXT_BENCH_SEQ", 1024))
+ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
+
+
+def main():
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+        num_layers=22, num_heads=32, num_kv_heads=4, rms_eps=1e-5,
+        dtype="bfloat16")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+
+    def step(params, embeds):
+        def target(e):
+            return select_logit(
+                jllama.forward(params, cfg, e, lxt_tpu.attnlrp).logits)
+        return input_relevance(target, embeds)
+
+    jstep = jax.jit(step)
+
+    # pre-generate distinct inputs on device (not timed)
+    keys = jax.random.split(jax.random.PRNGKey(1), ITERS + 2)
+    batches = [
+        jllama.embed(params, jax.random.randint(k, (BATCH, SEQ), 0, cfg.vocab_size))
+        for k in keys
+    ]
+    jax.block_until_ready(batches)
+
+    # warmup / compile
+    jax.block_until_ready(jstep(params, batches[-1]))
+    jax.block_until_ready(jstep(params, batches[-2]))
+
+    t0 = time.time()
+    outs = []
+    for i in range(ITERS):
+        outs.append(jstep(params, batches[i]))
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+
+    hps = BATCH * ITERS / dt
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        vs = hps / base["heatmaps_per_sec"]
+
+    print(json.dumps({
+        "metric": f"attnlrp_heatmaps_per_sec(llama1.1b,bf16,b{BATCH},s{SEQ})",
+        "value": round(hps, 3),
+        "unit": "heatmaps/s",
+        "vs_baseline": (round(vs, 1) if vs is not None else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

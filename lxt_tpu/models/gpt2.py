@@ -19,7 +19,7 @@ import numpy as np
 from lxt_tpu import composites
 from lxt_tpu.models import common
 from lxt_tpu.models.common import ModelOutputs
-from lxt_tpu.ops.attention import attention, causal_mask_bias
+from lxt_tpu.ops.attention import attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -104,7 +104,6 @@ def forward(
     inputs_sum = h
 
     act_fn = common.ACTIVATIONS[cfg.act]
-    bias = causal_mask_bias(T, T)
     H, hd = cfg.num_heads, cfg.hd
     layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.float32)
 
@@ -119,7 +118,7 @@ def forward(
         scale = hd ** -0.5
         if cfg.scale_attn_by_inverse_layer_idx:
             scale = scale / (idx + 1.0)
-        attn = attention(q, k, v, bias=bias, composite=composite,
+        attn = attention(q, k, v, causal=True, composite=composite,
                          scale=scale, impl=attn_impl)
         h = h + composite.linear(common.merge_heads(attn), lp["w_proj"], lp["b_proj"])
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)

@@ -23,7 +23,7 @@ import numpy as np
 from lxt_tpu import composites
 from lxt_tpu.models import common
 from lxt_tpu.models.common import ACTIVATIONS, ModelOutputs, apply_rope
-from lxt_tpu.ops.attention import attention, causal_mask_bias
+from lxt_tpu.ops.attention import attention
 
 
 @dataclasses.dataclass(frozen=True)
@@ -130,7 +130,6 @@ def forward(
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
-    bias = causal_mask_bias(T, T)
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
 
@@ -147,7 +146,7 @@ def forward(
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, bias=bias, composite=composite,
+        attn = attention(q, k, v, causal=True, composite=composite,
                          scale=scale, impl=attn_impl)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)

@@ -1,0 +1,222 @@
+"""Mixtral (sparse MoE) with LRP-aware forward.
+
+The reference supports Mixtral only on its explicit path via a vendored
+modeling file (``lxt/explicit/models/mixtral.py``): router softmax gets the
+Deep-Taylor rule (lf.softmax at :453-504), the routing-weight x expert-output
+product gets uniform/epsilon rules (composites at :1221-1249), and experts
+run in a data-dependent Python loop — untraceable on TPU.
+
+TPU-first redesign: the expert loop becomes a dense one-hot combine — every
+expert runs on every token and the top-k routing weights (zero for unselected
+experts) weight the outputs. That is O(E/k) extra FLOPs but fully static,
+MXU-shaped, shardable over an ``expert`` mesh axis, and — crucially for LRP —
+exactly differentiable, so the Gradient*Input relevance flows through the
+router softmax (Deep-Taylor via G*I) and the uniform rule at the
+weight x expert product. A ragged-dot dispatch is a later optimization.
+
+Under Gradient*Input the top-k hard selection is a piecewise-constant mask —
+its zero derivative is mathematically correct (the reference's explicit path
+likewise sends no relevance through the topk indices, only through the
+selected weights).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lxt_tpu import composites
+from lxt_tpu.models import common
+from lxt_tpu.models.common import ACTIVATIONS, ModelOutputs, apply_rope
+from lxt_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class MixtralConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    num_experts: int = 8
+    experts_per_token: int = 2
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-5
+    act: str = "silu"
+    tie_embeddings: bool = False
+
+    @property
+    def hd(self):
+        return self.hidden_size // self.num_heads
+
+    @classmethod
+    def from_hf(cls, hf_config):
+        return cls(
+            vocab_size=hf_config.vocab_size,
+            hidden_size=hf_config.hidden_size,
+            intermediate_size=hf_config.intermediate_size,
+            num_layers=hf_config.num_hidden_layers,
+            num_heads=hf_config.num_attention_heads,
+            num_kv_heads=hf_config.num_key_value_heads,
+            num_experts=hf_config.num_local_experts,
+            experts_per_token=hf_config.num_experts_per_tok,
+            rope_theta=hf_config.rope_theta,
+            rms_eps=hf_config.rms_norm_eps,
+            tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+        )
+
+
+def init_params(cfg: MixtralConfig, key, dtype=jnp.float32):
+    L, D, I, hd = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.hd
+    H, Hkv, E = cfg.num_heads, cfg.num_kv_heads, cfg.num_experts
+    ks = jax.random.split(key, 12)
+    u = lambda k, s: common.uniform_init(k, s, dtype=dtype)  # noqa: E731
+    layers = {
+        "ln1": jnp.ones((L, D), dtype), "ln2": jnp.ones((L, D), dtype),
+        "wq": u(ks[0], (L, D, H * hd)), "wk": u(ks[1], (L, D, Hkv * hd)),
+        "wv": u(ks[2], (L, D, Hkv * hd)), "wo": u(ks[3], (L, H * hd, D)),
+        "w_router": u(ks[4], (L, D, E)),
+        "wg": u(ks[5], (L, E, D, I)),   # expert gate (HF w1)
+        "wd": u(ks[6], (L, E, I, D)),   # expert down (HF w2)
+        "wu": u(ks[7], (L, E, D, I)),   # expert up   (HF w3)
+    }
+    params = {
+        "embed": u(ks[8], (cfg.vocab_size, D)),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings:
+        params["lm_head"] = u(ks[9], (D, cfg.vocab_size))
+    return params
+
+
+def embed(params, input_ids):
+    return params["embed"][input_ids]
+
+
+def moe_block(x, lp, cfg: MixtralConfig, composite, act_fn):
+    """Sparse-MoE MLP as a dense one-hot combine (see module docstring).
+
+    HF semantics: router logits -> f32 softmax over ALL experts -> top-k ->
+    renormalize the k selected weights -> weighted sum of expert outputs.
+    """
+    B, T, D = x.shape
+    E, K = cfg.num_experts, cfg.experts_per_token
+
+    router_logits = composite.linear(x, lp["w_router"])              # [B,T,E]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_w, top_idx = jax.lax.top_k(probs, K)                         # [B,T,K]
+    top_w = top_w / top_w.sum(-1, keepdims=True)
+    # scatter the renormalized weights back to a dense [B,T,E] map; the
+    # one-hot mask is piecewise-constant (no gradient), the weights carry it
+    onehot = jax.nn.one_hot(top_idx, E, dtype=top_w.dtype)           # [B,T,K,E]
+    dense_w = (top_w[..., None] * onehot).sum(-2).astype(x.dtype)    # [B,T,E]
+
+    # all experts on all tokens: [B,T,E,I] gated MLP, MXU-batched over E
+    gate = jnp.einsum("btd,edi->btei", x, lp["wg"])
+    up = jnp.einsum("btd,edi->btei", x, lp["wu"])
+    hidden = composite.gated_mul(act_fn, gate, up)
+    expert_out = jnp.einsum("btei,eid->bted", hidden, lp["wd"])      # [B,T,E,D]
+
+    # routing weight x expert output — uniform rule (reference
+    # GateWeightMultiplication -> UniformRule, mixtral.py:1221-1249)
+    weighted = composite.mul_uniform(dense_w[..., None], expert_out)
+    return weighted.sum(-2)
+
+
+def forward(
+    params,
+    cfg: MixtralConfig,
+    inputs_embeds,
+    composite: composites.Composite = composites.attnlrp,
+    *,
+    probes=None,
+    output_hidden_states: bool = False,
+    remat: bool = True,
+    positions=None,
+    attn_impl: str = "auto",
+):
+    B, T, D = inputs_embeds.shape
+    act_fn = ACTIVATIONS[cfg.act]
+    if positions is None:
+        positions = jnp.arange(T, dtype=jnp.int32)
+    cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
+    scale = cfg.hd ** -0.5
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    def layer_fn(h, xs):
+        lp, probe = xs
+        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = attention(q, k, v, causal=True, composite=composite,
+                         scale=scale, impl=attn_impl)
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + moe_block(x, lp, cfg, composite, act_fn)
+        if probe is not None:
+            h = h + probe
+        return h, (h if output_hidden_states else None)
+
+    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    h, hiddens = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
+
+    h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = composite.linear(h, head)
+
+    if output_hidden_states:
+        hiddens = jnp.concatenate([inputs_embeds[None], hiddens], axis=0)
+    return ModelOutputs(logits=logits, hidden_states=hiddens)
+
+
+def params_from_hf(state_dict, cfg: MixtralConfig, dtype=np.float32):
+    """Convert HF MixtralForCausalLM weights (experts stacked on axis 1)."""
+
+    def t(name):
+        w = state_dict[name]
+        if hasattr(w, "detach"):
+            w = w.detach().to("cpu").float().numpy()
+        return np.asarray(w, dtype=dtype)
+
+    L, E = cfg.num_layers, cfg.num_experts
+    pre = "model.layers."
+
+    def stack(fmt, transpose=False):
+        ws = [t(pre + fmt.format(i)) for i in range(L)]
+        return jnp.asarray(np.stack([w.T if transpose else w for w in ws]))
+
+    def stack_experts(fmt):
+        ws = [
+            np.stack([t(pre + fmt.format(i, e)).T for e in range(E)])
+            for i in range(L)
+        ]
+        return jnp.asarray(np.stack(ws))
+
+    layers = {
+        "ln1": stack("{}.input_layernorm.weight"),
+        "ln2": stack("{}.post_attention_layernorm.weight"),
+        "wq": stack("{}.self_attn.q_proj.weight", True),
+        "wk": stack("{}.self_attn.k_proj.weight", True),
+        "wv": stack("{}.self_attn.v_proj.weight", True),
+        "wo": stack("{}.self_attn.o_proj.weight", True),
+        "w_router": stack("{}.block_sparse_moe.gate.weight", True),
+        "wg": stack_experts("{}.block_sparse_moe.experts.{}.w1.weight"),
+        "wd": stack_experts("{}.block_sparse_moe.experts.{}.w2.weight"),
+        "wu": stack_experts("{}.block_sparse_moe.experts.{}.w3.weight"),
+    }
+    params = {
+        "embed": jnp.asarray(t("model.embed_tokens.weight")),
+        "final_norm": jnp.asarray(t("model.norm.weight")),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(t("lm_head.weight").T)
+    return params

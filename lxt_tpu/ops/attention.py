@@ -9,8 +9,13 @@ here either a fused-by-XLA einsum path or the Pallas flash-attention kernel
 vjp composed with x*grad reproduces the Deep-Taylor softmax rule (Prop 3.1)
 exactly; see tests/test_rules.py::test_gi_softmax_equals_deep_taylor.
 
-Shapes follow the TPU-friendly convention ``[batch, heads, seq, head_dim]``;
-GQA/MQA key/value heads are broadcast without materialization where possible.
+Masking is structural where possible (``causal`` flag + runtime ``window``
+scalar) so the flash path never materializes a [T, T] bias; arbitrary
+additive ``bias`` arrays (e.g. BERT padding masks) take the einsum path.
+
+Shapes follow the TPU convention ``[batch, heads, seq, head_dim]``; GQA/MQA
+key/value heads are repeated to match (kernel-level broadcast is a later
+optimization).
 """
 
 import math
@@ -32,16 +37,16 @@ def repeat_kv(x, n_rep: int):
 
 
 def causal_mask_bias(q_len: int, kv_len: int, dtype=jnp.float32):
-    """Additive causal bias: 0 on/below the diagonal, -inf above (aligned to
-    the end of the kv sequence, i.e. standard decoder convention)."""
+    """Additive causal bias (0 / -inf), decoder-aligned. For explicit-bias
+    consumers; the structural path below never materializes this."""
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
     allowed = k_idx <= q_idx + (kv_len - q_len)
     return jnp.where(allowed, 0.0, -jnp.inf).astype(dtype)
 
 
-def sliding_window_mask_bias(q_len: int, kv_len: int, window: int, dtype=jnp.float32):
-    """Causal + sliding-window additive bias (Gemma-3 local layers)."""
+def sliding_window_mask_bias(q_len: int, kv_len: int, window, dtype=jnp.float32):
+    """Causal + sliding-window additive bias. ``window`` may be traced."""
     q_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 0)
     k_idx = jax.lax.broadcasted_iota(jnp.int32, (q_len, kv_len), 1)
     pos = q_idx + (kv_len - q_len)
@@ -49,13 +54,17 @@ def sliding_window_mask_bias(q_len: int, kv_len: int, window: int, dtype=jnp.flo
     return jnp.where(allowed, 0.0, -jnp.inf).astype(dtype)
 
 
-def _einsum_attention(q, k, v, bias, scale, softcap=None):
+def _einsum_attention(q, k, v, bias, causal, window, scale, softcap=None):
     """Reference attention: fp32 softmax, MXU-shaped einsums."""
     dtype = q.dtype
+    Tq, Tk = q.shape[2], k.shape[2]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if softcap is not None:
         scores = jnp.tanh(scores / softcap) * softcap
+    if causal:
+        w = window if window is not None else Tk
+        scores = scores + sliding_window_mask_bias(Tq, Tk, w)
     if bias is not None:
         scores = scores + bias.astype(jnp.float32)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -66,7 +75,10 @@ def _einsum_attention(q, k, v, bias, scale, softcap=None):
 
 def attention(
     q, k, v,
+    *,
     bias=None,
+    causal: bool = False,
+    window=None,
     composite: composites.Composite = composites.attnlrp,
     scale: Optional[float] = None,
     impl: str = "auto",
@@ -77,14 +89,16 @@ def attention(
     Parameters
     ----------
     q, k, v : [B, H, Tq, D] / [B, Hkv, Tk, D]
-        Query/key/value after projections and RoPE. ``Hkv`` may divide ``H``.
-    bias : optional additive mask bias, broadcastable to [B, H, Tq, Tk].
+        After projections and RoPE; ``Hkv`` may divide ``H``.
+    bias : optional additive array broadcastable to [B, H, Tq, Tk]
+        (padding masks etc.) — forces the einsum path.
+    causal : static causal flag (structural mask, flash-compatible).
+    window : optional sliding-window size; may be a TRACED scalar (Gemma's
+        per-layer local/global alternation inside one scan).
     composite : rule assignment; ``composite.qkv`` fixes the relevance flow
         (reference patches.py:196-206) regardless of kernel choice.
-    scale : default 1/sqrt(D).
-    impl : 'einsum' | 'flash' | 'auto'. 'auto' uses flash on TPU for long
-        sequences, einsum otherwise.
-    softcap : optional logit soft-capping (Gemma-style tanh cap).
+    impl : 'einsum' | 'flash' | 'auto' ('auto': flash on TPU when eligible).
+    softcap : optional tanh logit soft-capping.
     """
     n_rep = q.shape[1] // k.shape[1]
     k = repeat_kv(k, n_rep)
@@ -95,12 +109,22 @@ def attention(
 
     q, k, v = composite.qkv(q, k, v)
 
+    Tq, Tk = q.shape[2], k.shape[2]
+    flash_ok = (causal and bias is None and softcap is None and Tq == Tk
+                and Tq % 128 == 0)
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        long_seq = q.shape[2] >= 512 and q.shape[2] == k.shape[2]
-        impl = "flash" if (on_tpu and long_seq and softcap is None) else "einsum"
+        impl = "flash" if (jax.default_backend() == "tpu" and flash_ok) else "einsum"
+    if impl == "flash" and not flash_ok:
+        impl = "einsum"
 
     if impl == "flash":
         from lxt_tpu.ops.flash_attention import flash_attention
-        return flash_attention(q, k, v, bias=bias, scale=scale)
-    return _einsum_attention(q, k, v, bias, scale, softcap=softcap)
+        D = q.shape[-1]
+        Dp = -(-D // 128) * 128  # lane-align head_dim (zero-pad is exact:
+        # padded q/k columns add 0 to scores, padded v columns are sliced off)
+        if Dp != D:
+            pad = [(0, 0)] * 3 + [(0, Dp - D)]
+            q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        out = flash_attention(q, k, v, window, scale, causal)
+        return out[..., :D] if Dp != D else out
+    return _einsum_attention(q, k, v, bias, causal, window, scale, softcap=softcap)
