@@ -45,26 +45,30 @@ def main():
 
     jstep = jax.jit(step)
 
-    # pre-generate distinct inputs on device (not timed)
-    keys = jax.random.split(jax.random.PRNGKey(1), ITERS + 2)
-    batches = [
-        jllama.embed(params, jax.random.randint(k, (BATCH, SEQ), 0, cfg.vocab_size))
-        for k in keys
-    ]
-    jax.block_until_ready(batches)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (BATCH, SEQ), 0, cfg.vocab_size)
+    embeds = jllama.embed(params, ids)
 
-    # warmup / compile
-    jax.block_until_ready(jstep(params, batches[-1]))
-    jax.block_until_ready(jstep(params, batches[-2]))
+    # NOTE: block_until_ready is unreliable over remote-attached TPUs (it can
+    # return before execution), so timing uses CHAINED iterations — each
+    # step's input depends on the previous relevance — and a final scalar
+    # host fetch that forces the whole pipeline to drain.
+    def chain(e, n):
+        val = None
+        for _ in range(n):
+            val, rel = jstep(params, e)
+            e = e + (rel[..., None] * 1e-6).astype(e.dtype)
+        return float(val)
 
+    chain(embeds, 1)  # compile + warm
     t0 = time.time()
-    outs = []
-    for i in range(ITERS):
-        outs.append(jstep(params, batches[i]))
-    jax.block_until_ready(outs)
-    dt = time.time() - t0
+    chain(embeds, 1)
+    t_one = time.time() - t0  # 1 step + fetch overhead
+    t0 = time.time()
+    chain(embeds, 1 + ITERS)
+    t_many = time.time() - t0
 
-    hps = BATCH * ITERS / dt
+    dt = max((t_many - t_one) / ITERS, 1e-9)  # fetch overhead cancels
+    hps = BATCH / dt
 
     vs = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

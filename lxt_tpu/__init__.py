@@ -22,4 +22,15 @@ from lxt_tpu.composites import (
     vanilla_gradient,
 )
 
-__all__ = ["ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient", "__version__"]
+
+def from_hf(hf_model, composite=None, dtype=None):
+    """Convert a loaded HF torch model into an :class:`AttributionModel`
+    (the one-call equivalent of the reference's ``monkey_patch``)."""
+    from lxt_tpu.models.registry import from_hf as _from_hf
+    return _from_hf(hf_model, composite=composite, dtype=dtype)
+
+
+__all__ = [
+    "ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient",
+    "from_hf", "__version__",
+]

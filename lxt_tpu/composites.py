@@ -130,7 +130,12 @@ class Composite:
 
     def linear(self, x, w, b=None):
         """Dense layer, ``w: [in, out]``. Under Gradient*Input, a plain linear
-        already implements the epsilon rule; gamma composites redistribute."""
+        already implements the epsilon rule; gamma composites redistribute.
+        Accepts int8/int4 :class:`~lxt_tpu.ops.quant.QuantizedTensor` weights
+        (dequant fuses into the matmul; weights carry no relevance anyway)."""
+        from lxt_tpu.ops.quant import QuantizedTensor, dequantize
+        if isinstance(w, QuantizedTensor):
+            w = dequantize(w, x.dtype)
         if self.linear_gamma is not None:
             return gamma_linear(x, w, b, self.linear_gamma)
         y = jnp.matmul(x, w)

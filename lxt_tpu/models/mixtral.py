@@ -116,10 +116,15 @@ def moe_block(x, lp, cfg: MixtralConfig, composite, act_fn):
     dense_w = (top_w[..., None] * onehot).sum(-2).astype(x.dtype)    # [B,T,E]
 
     # all experts on all tokens: [B,T,E,I] gated MLP, MXU-batched over E
-    gate = jnp.einsum("btd,edi->btei", x, lp["wg"])
-    up = jnp.einsum("btd,edi->btei", x, lp["wu"])
+    from lxt_tpu.ops.quant import QuantizedTensor, dequantize
+
+    def dq(w):
+        return dequantize(w, x.dtype) if isinstance(w, QuantizedTensor) else w
+
+    gate = jnp.einsum("btd,edi->btei", x, dq(lp["wg"]))
+    up = jnp.einsum("btd,edi->btei", x, dq(lp["wu"]))
     hidden = composite.gated_mul(act_fn, gate, up)
-    expert_out = jnp.einsum("btei,eid->bted", hidden, lp["wd"])      # [B,T,E,D]
+    expert_out = jnp.einsum("btei,eid->bted", hidden, dq(lp["wd"]))  # [B,T,E,D]
 
     # routing weight x expert output — uniform rule (reference
     # GateWeightMultiplication -> UniformRule, mixtral.py:1221-1249)

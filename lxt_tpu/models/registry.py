@@ -1,0 +1,186 @@
+"""One-call user surface: HF model -> TPU attribution model.
+
+Parity with the reference's ``lxt.efficient.monkey_patch(modeling_module)``
+(``lxt/efficient/core.py:20-43`` + the DEFAULT_MAP registry at
+``lxt/efficient/models/__init__.py:10-26``): one call makes a supported
+model attribution-ready, and an unsupported model raises a ValueError that
+lists the supported families. Instead of mutating torch classes, this
+converts the weights once into a JAX pytree and returns an
+:class:`AttributionModel` whose methods are jitted pure functions.
+
+    import lxt_tpu
+    model = lxt_tpu.from_hf(hf_model)               # any supported family
+    value, relevance = model.attribute(input_ids)   # one fused TPU program
+"""
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lxt_tpu import composites
+from lxt_tpu.attribution import input_relevance, latent_relevance, select_logit
+
+
+def _llama_like(mod):
+    return {
+        "config": mod.LlamaConfig,
+        "from_hf": mod.params_from_hf,
+        "forward": mod.forward,
+        "embed": lambda params, ids, cfg: mod.embed(params, ids),
+    }
+
+
+def _family_table():
+    from lxt_tpu.models import bert, gemma3, gpt2, llama, mixtral
+
+    return {
+        "llama": _llama_like(llama),
+        "qwen2": _llama_like(llama),
+        "qwen3": _llama_like(llama),
+        "mistral": _llama_like(llama),
+        "gemma3": {
+            "config": gemma3.Gemma3Config,
+            "from_hf": gemma3.params_from_hf,
+            "forward": gemma3.forward,
+            "embed": gemma3.embed,
+        },
+        "gemma3_text": {
+            "config": gemma3.Gemma3Config,
+            "from_hf": gemma3.params_from_hf,
+            "forward": gemma3.forward,
+            "embed": gemma3.embed,
+        },
+        "gpt2": {
+            "config": gpt2.GPT2Config,
+            "from_hf": gpt2.params_from_hf,
+            "forward": gpt2.forward,
+            "embed": lambda params, ids, cfg: gpt2.embed(params, ids)[0],
+        },
+        "bert": {
+            "config": bert.BertConfig,
+            "from_hf": bert.params_from_hf,
+            "forward": bert.forward,
+            "embed": lambda params, ids, cfg: bert.embed(params, ids),
+        },
+        "mixtral": {
+            "config": mixtral.MixtralConfig,
+            "from_hf": mixtral.params_from_hf,
+            "forward": mixtral.forward,
+            "embed": lambda params, ids, cfg: mixtral.embed(params, ids),
+        },
+    }
+
+
+SUPPORTED_FAMILIES = (
+    "llama", "qwen2", "qwen3", "mistral", "gemma3", "gemma3_text",
+    "gpt2", "bert", "mixtral",
+)
+
+
+@dataclasses.dataclass
+class AttributionModel:
+    """A converted model plus its attribution entry points."""
+
+    family: str
+    cfg: Any
+    params: Any
+    composite: composites.Composite
+    _fns: dict
+
+    def embed(self, input_ids):
+        return self._fns["embed"](self.params, jnp.asarray(input_ids), self.cfg)
+
+    def logits(self, input_ids, composite=None):
+        embeds = self.embed(input_ids)
+        out = self._fns["forward"](self.params, self.cfg, embeds,
+                                   composite or self.composite)
+        return out.logits
+
+    def attribute(self, input_ids, *, target: Optional[Callable] = None,
+                  position: int = -1, token=None, composite=None, jit=True):
+        """Per-token input relevance, one fused forward+backward.
+
+        Default target: the argmax logit at ``position`` (the reference's
+        canonical flow, examples/quantized_llama.py:39-47). Returns
+        ``(target_value, relevance [B, T])``.
+        """
+        composite = composite or self.composite
+        fwd, cfg, params = self._fns["forward"], self.cfg, self.params
+        embeds = self.embed(input_ids)
+
+        def tgt(e):
+            logits = fwd(params, cfg, e, composite).logits
+            if target is not None:
+                return target(logits)
+            if logits.ndim == 2:  # classification head (BERT)
+                return logits.max(axis=-1).sum()
+            return select_logit(logits, position=position, token=token)
+
+        fn = (lambda e: input_relevance(tgt, e))
+        if jit:
+            fn = jax.jit(fn)
+        return fn(embeds)
+
+    def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
+                         position: int = -1, composite=None):
+        """Input relevance + per-layer latent relevance in ONE backward
+        (reference docs/latent-feature-attribution-efficient.rst)."""
+        composite = composite or self.composite
+        fwd, cfg, params = self._fns["forward"], self.cfg, self.params
+        embeds = self.embed(input_ids)
+        L = cfg.num_layers
+        B, T, D = embeds.shape
+
+        def forward_with_probes(e, probes):
+            out = fwd(params, cfg, e, composite, probes=probes,
+                      output_hidden_states=True)
+            logits = out.logits
+            if target is not None:
+                val = target(logits)
+            elif logits.ndim == 2:
+                val = logits.max(axis=-1).sum()
+            else:
+                val = select_logit(logits, position=position)
+            return val, out.hidden_states
+
+        return latent_relevance(forward_with_probes, embeds, (L, B, T, D))
+
+
+def detect_family(hf_config) -> str:
+    mt = getattr(hf_config, "model_type", None)
+    if mt not in SUPPORTED_FAMILIES:
+        supported = ", ".join(SUPPORTED_FAMILIES)
+        raise ValueError(
+            f"{mt!r} not yet supported. Supported models are: {supported}. "
+            f"Contributions welcome — add a family module under "
+            f"lxt_tpu/models/ and register it here.")
+    return mt
+
+
+def from_hf(hf_model, composite: composites.Composite = None,
+            dtype=None) -> AttributionModel:
+    """Convert a loaded HF torch model into an AttributionModel.
+
+    ``composite`` defaults to AttnLRP except GPT-2, where the reference
+    recommends CP-LRP (models/gpt2.py:24-26).
+    """
+    import numpy as np
+
+    hf_config = hf_model.config
+    # multimodal wrappers (e.g. Gemma3ForConditionalGeneration) expose the
+    # text config underneath
+    if hasattr(hf_config, "text_config") and hf_config.model_type in (
+            "gemma3",):
+        hf_config = hf_config.text_config
+    family = detect_family(hf_config)
+    table = _family_table()[family]
+
+    cfg = table["config"].from_hf(hf_config)
+    params = table["from_hf"](hf_model.state_dict(), cfg,
+                              dtype=dtype or np.float32)
+    if composite is None:
+        composite = composites.cp_lrp if family == "gpt2" else composites.attnlrp
+    return AttributionModel(family=family, cfg=cfg, params=params,
+                            composite=composite, _fns=table)

@@ -30,8 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+DEFAULT_BLOCK_Q = 512  # measured on v5e: 512/512 is ~3x faster than 128/128
+DEFAULT_BLOCK_K = 512  # at T=4096 (see tuning sweep in the commit message)
 LSE_LANES = 8  # trailing lane dim for [B,H,T]-shaped stats (TPU tiling rule)
 NEG_INF = -1e30
 
@@ -307,6 +307,15 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
 # public op
 # ---------------------------------------------------------------------------
 
+def _pick_block(T, want):
+    """Largest block size <= want that divides T (T is a multiple of 128,
+    guaranteed by the dispatcher), so no padded tail blocks exist."""
+    b = min(want, T)
+    while T % b:
+        b //= 2
+    return b
+
+
 def _canon(q, window, scale, block_q, block_k):
     T = q.shape[2]
     if scale is None:
@@ -315,7 +324,7 @@ def _canon(q, window, scale, block_q, block_k):
         window = jnp.full((1,), T, jnp.int32)
     else:
         window = jnp.asarray(window, jnp.int32).reshape(1)
-    return window, scale, min(block_q, T), min(block_k, T)
+    return window, scale, _pick_block(T, block_q), _pick_block(T, block_k)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))

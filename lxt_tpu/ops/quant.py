@@ -1,0 +1,108 @@
+"""Weight-only quantization (int8 / int4) for attribution of large models.
+
+Replaces the reference's bitsandbytes dependency (4-bit/8-bit quantized
+attribution, ``examples/quantized_llama.py:13-19``, composites mapping
+``Linear4bit/Linear8bitLt -> EpsilonRule`` at ``lxt/explicit/models/
+llama.py:91-105``). The LRP story is identical: weights carry no relevance,
+so quantization only changes the forward values — the rules are untouched.
+
+TPU-first design: symmetric per-output-channel scales; int4 packs two
+nibbles per uint8 along the input axis. Dequantization is a convert+scale
+that XLA fuses into the consuming matmul; HBM traffic (the true cost of big
+weights on one chip) drops 2x/4x, which is what makes Mixtral-scale
+attribution fit (reference quotes ~30 GB for Mixtral 4-bit,
+docs/explicit_quickstart.rst:182-183).
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class QuantizedTensor:
+    """Symmetric weight-only quantized tensor.
+
+    ``q``: int8 values, or uint8 with two int4 nibbles packed along axis -2.
+    ``scale``: f32 per-output-channel scale, broadcastable to the dequantized
+    shape. ``bits`` is static metadata (4 or 8).
+    """
+
+    q: Any
+    scale: Any
+    bits: int = 8
+
+    def tree_flatten(self):
+        return (self.q, self.scale), self.bits
+
+    @classmethod
+    def tree_unflatten(cls, bits, leaves):
+        return cls(leaves[0], leaves[1], bits)
+
+    @property
+    def shape(self):
+        if self.bits == 4:
+            s = list(self.q.shape)
+            s[-2] *= 2
+            return tuple(s)
+        return self.q.shape
+
+
+def quantize(w, bits: int = 8) -> QuantizedTensor:
+    """Quantize ``[..., in, out]`` weights per output channel (axis -1)."""
+    w32 = jnp.asarray(w, jnp.float32)
+    absmax = jnp.abs(w32).max(axis=-2, keepdims=True)
+    if bits == 8:
+        scale = absmax / 127.0
+        q = jnp.clip(jnp.round(w32 / jnp.maximum(scale, 1e-12)), -127, 127)
+        return QuantizedTensor(q.astype(jnp.int8), scale, 8)
+    if bits == 4:
+        scale = absmax / 7.0
+        q = jnp.clip(jnp.round(w32 / jnp.maximum(scale, 1e-12)), -7, 7) + 8
+        q = q.astype(jnp.uint8)
+        if w32.shape[-2] % 2:
+            raise ValueError("int4 packing needs an even input dimension")
+        lo = q[..., 0::2, :]
+        hi = q[..., 1::2, :]
+        return QuantizedTensor((lo | (hi << 4)).astype(jnp.uint8), scale, 4)
+    raise ValueError(f"unsupported bits: {bits}")
+
+
+def dequantize(qt: QuantizedTensor, dtype=jnp.float32):
+    if qt.bits == 8:
+        w = qt.q.astype(jnp.float32) * qt.scale
+        return w.astype(dtype)
+    lo = (qt.q & 0xF).astype(jnp.int32) - 8
+    hi = (qt.q >> 4).astype(jnp.int32) - 8
+    # un-interleave back to the original input axis
+    stacked = jnp.stack([lo, hi], axis=-2)            # [..., in/2, 2, out]
+    shape = list(qt.q.shape)
+    shape[-2] *= 2
+    w = stacked.reshape(shape).astype(jnp.float32) * qt.scale
+    return w.astype(dtype)
+
+
+def quantize_params(params, bits: int = 8, min_ndim: int = 2,
+                    skip=("embed", "wte", "wpe", "word_emb", "pos_emb",
+                          "type_emb", "lm_head")):
+    """Quantize every weight matrix in a model pytree (norms, biases and
+    embeddings stay full precision, like bitsandbytes' Linear-only scope)."""
+
+    def walk(tree, path=""):
+        if isinstance(tree, dict):
+            return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
+        leaf = tree
+        name = path.rsplit("/", 1)[-1]
+        is_norm = "ln" in name or "norm" in name
+        # bias vectors stack to 2D under the layer axis — never quantize
+        is_bias = name.startswith("b") or name.endswith("_b") or "bias" in name
+        if (hasattr(leaf, "ndim") and leaf.ndim >= min_ndim
+                and name not in skip and not is_norm and not is_bias
+                and min(leaf.shape[-2:]) >= 16 and leaf.shape[-2] % 2 == 0):
+            return quantize(leaf, bits)
+        return leaf
+
+    return walk(params)

@@ -94,5 +94,13 @@ def attribute_sharded(target_fn, mesh: Mesh, *, donate: bool = False):
     def step(embeds):
         return input_relevance(target_fn, embeds)
 
-    return jax.jit(step, in_shardings=(in_shard,), out_shardings=out_shard,
-                   donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step, in_shardings=(in_shard,), out_shardings=out_shard,
+                     donate_argnums=(0,) if donate else ())
+
+    def wrapped(embeds):
+        # reshard if the caller's embeds carry a different layout (e.g. they
+        # came out of an embedding lookup on replicated params)
+        embeds = jax.device_put(embeds, in_shard)
+        return jitted(embeds)
+
+    return wrapped

@@ -1,0 +1,60 @@
+"""One-call API: from_hf over every supported family + error path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lxt_tpu
+from lxt_tpu.models.registry import detect_family
+
+
+def test_from_hf_llama_end_to_end():
+    import torch
+    from transformers.models.llama.modeling_llama import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+
+    model = lxt_tpu.from_hf(hf)
+    assert model.family == "llama"
+    assert model.composite.name == "attnlrp"
+
+    ids = np.random.RandomState(0).randint(0, 256, (1, 8))
+    value, rel = model.attribute(ids)
+    assert rel.shape == (1, 8)
+    assert bool(jnp.isfinite(rel).all())
+
+    # latent relevance: one backward. Under AttnLRP the softmax Deep-Taylor
+    # rule absorbs bias relevance, so per-layer sums only approximate the
+    # target; under CP-LRP every op in the Llama block conserves exactly.
+    val, in_rel, latent = model.attribute_latent(ids)
+    assert latent.shape[:3] == (2, 1, 8)
+    assert bool(jnp.isfinite(latent).all())
+
+    val, in_rel, latent = model.attribute_latent(ids, composite=lxt_tpu.cp_lrp)
+    sums = np.asarray(latent.sum(axis=(1, 2, 3)))
+    np.testing.assert_allclose(sums, float(val), rtol=1e-3)
+
+
+def test_from_hf_gpt2_defaults_to_cp():
+    import torch
+    from transformers.models.gpt2.modeling_gpt2 import GPT2Config, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(GPT2Config(
+        n_embd=64, n_layer=2, n_head=4, vocab_size=256, n_positions=64)).eval()
+    model = lxt_tpu.from_hf(hf)
+    assert model.composite.name == "cp_lrp"
+    value, rel = model.attribute(np.arange(6)[None])
+    assert rel.shape == (1, 6)
+
+
+def test_unsupported_model_lists_families():
+    class FakeConfig:
+        model_type = "t5"
+
+    with pytest.raises(ValueError, match="not yet supported.*llama"):
+        detect_family(FakeConfig())
