@@ -26,12 +26,16 @@ ACTIVATIONS: Dict[str, Callable] = {
     "gelu_new": jax.nn.gelu,  # GPT-2 'new' gelu == tanh approximation
     "relu": jax.nn.relu,
     "tanh": jnp.tanh,
+    # OpenCLIP QuickGELU: x * sigmoid(1.702 x)
+    "quick_gelu": lambda x: x * jax.nn.sigmoid(1.702 * x),
 }
 
 
 def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0):
-    """cos/sin tables ``[T, head_dim]`` (half-frequencies duplicated, HF
-    convention). ``positions``: int32 [T].
+    """cos/sin tables (half-frequencies duplicated, HF convention).
+
+    ``positions``: int32 ``[T]`` -> tables ``[T, head_dim]``, or ``[B, T]``
+    (per-example positions for left-padded batches) -> ``[B, T, head_dim]``.
 
     ``inv_freq`` is computed in float64 on the host and baked in as an f32
     constant — HF torch does the double-precision pow too, and the 1e-5 table
@@ -41,7 +45,7 @@ def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0):
     inv_freq = jnp.asarray(
         (1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
          / scaling).astype(np.float32))
-    freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
 
@@ -52,10 +56,15 @@ def rotate_half(x):
 
 
 def apply_rope(q, k, cos, sin):
-    """q,k: [B, H, T, D]; cos/sin: [T, D]. Float32 rotation, cast back."""
+    """q,k: [B, H, T, D]; cos/sin: [T, D] or [B, T, D] (padded batches).
+    Float32 rotation, cast back."""
     dt = q.dtype
-    c = cos[None, None].astype(jnp.float32)
-    s = sin[None, None].astype(jnp.float32)
+    if cos.ndim == 3:
+        c = cos[:, None].astype(jnp.float32)
+        s = sin[:, None].astype(jnp.float32)
+    else:
+        c = cos[None, None].astype(jnp.float32)
+        s = sin[None, None].astype(jnp.float32)
     q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
     q_out = q32 * c + rotate_half(q32) * s
     k_out = k32 * c + rotate_half(k32) * s

@@ -117,6 +117,7 @@ def forward(
     output_hidden_states: bool = False,
     remat: bool = True,
     positions=None,
+    attention_mask=None,
     attn_impl: str = "auto",
 ):
     """Causal-LM forward. Returns :class:`ModelOutputs`.
@@ -124,9 +125,23 @@ def forward(
     ``probes`` (optional ``[L, B, T, D]`` zeros) are added to each layer
     output; their gradients are the per-layer relevance hooks for latent
     feature attribution (functional replacement for torch hooks).
+
+    ``attention_mask`` (optional ``[B, T]`` of 1/0) supports left-padded
+    batches of variable-length prompts: positions are derived per example
+    (HF convention) and padded keys are masked out.
     """
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
+    bias = None
+    if attention_mask is not None:
+        mask = jnp.asarray(attention_mask)
+        if positions is None:
+            positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0, None)
+        # large-but-finite so fully-padded QUERY rows (pad attending pads)
+        # softmax to uniform instead of NaN; their outputs never reach real
+        # positions (HF uses finfo.min for the same reason)
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30
+                         ).astype(jnp.float32)
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
@@ -146,7 +161,7 @@ def forward(
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, composite=composite,
+        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
                          scale=scale, impl=attn_impl)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
@@ -193,6 +208,9 @@ def params_from_hf(state_dict, cfg: LlamaConfig, dtype=np.float32):
         ws = [w.T if transpose else w for w in ws]
         return jnp.asarray(np.stack(ws))
 
+    if "model.layers.0.self_attn.qkv_proj.weight" in state_dict:
+        return _params_from_hf_phi3(state_dict, cfg, t, stack)
+
     layers = {
         "ln1": stack(pre + "{}.input_layernorm.weight"),
         "ln2": stack(pre + "{}.post_attention_layernorm.weight"),
@@ -212,6 +230,47 @@ def params_from_hf(state_dict, cfg: LlamaConfig, dtype=np.float32):
         layers["q_norm"] = stack(pre + "{}.self_attn.q_norm.weight")
         layers["k_norm"] = stack(pre + "{}.self_attn.k_norm.weight")
 
+    params = {
+        "embed": jnp.asarray(t("model.embed_tokens.weight")),
+        "final_norm": jnp.asarray(t("model.norm.weight")),
+        "layers": layers,
+    }
+    if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
+        params["lm_head"] = jnp.asarray(t("lm_head.weight").T)
+    return params
+
+
+def _params_from_hf_phi3(state_dict, cfg: LlamaConfig, t, stack):
+    """Phi-3 stores fused projections (qkv_proj: [q;k;v], gate_up_proj:
+    [gate;up], HF modeling_phi3); split them into the Llama layout so the
+    shared forward — and all its LRP rules — applies unchanged. Covers the
+    reference's Phi-3 support (lxt/explicit/models/phi3.py)."""
+    L, hd = cfg.num_layers, cfg.hd
+    q_dim = cfg.num_heads * hd
+    kv_dim = cfg.num_kv_heads * hd
+    pre = "model.layers."
+
+    wq, wk, wv, wg, wu = [], [], [], [], []
+    for i in range(L):
+        qkv = t(pre + f"{i}.self_attn.qkv_proj.weight").T  # [D, q+k+v]
+        wq.append(qkv[:, :q_dim])
+        wk.append(qkv[:, q_dim:q_dim + kv_dim])
+        wv.append(qkv[:, q_dim + kv_dim:])
+        gu = t(pre + f"{i}.mlp.gate_up_proj.weight").T     # [D, 2I]
+        wg.append(gu[:, :cfg.intermediate_size])
+        wu.append(gu[:, cfg.intermediate_size:])
+
+    layers = {
+        "ln1": stack(pre + "{}.input_layernorm.weight"),
+        "ln2": stack(pre + "{}.post_attention_layernorm.weight"),
+        "wq": jnp.asarray(np.stack(wq)),
+        "wk": jnp.asarray(np.stack(wk)),
+        "wv": jnp.asarray(np.stack(wv)),
+        "wo": stack(pre + "{}.self_attn.o_proj.weight", transpose=True),
+        "wg": jnp.asarray(np.stack(wg)),
+        "wu": jnp.asarray(np.stack(wu)),
+        "wd": stack(pre + "{}.mlp.down_proj.weight", transpose=True),
+    }
     params = {
         "embed": jnp.asarray(t("model.embed_tokens.weight")),
         "final_norm": jnp.asarray(t("model.norm.weight")),

@@ -40,6 +40,7 @@ def _family_table():
         "qwen2": _llama_like(llama),
         "qwen3": _llama_like(llama),
         "mistral": _llama_like(llama),
+        "phi3": _llama_like(llama),
         "gemma3": {
             "config": gemma3.Gemma3Config,
             "from_hf": gemma3.params_from_hf,
@@ -74,7 +75,7 @@ def _family_table():
 
 
 SUPPORTED_FAMILIES = (
-    "llama", "qwen2", "qwen3", "mistral", "gemma3", "gemma3_text",
+    "llama", "qwen2", "qwen3", "mistral", "phi3", "gemma3", "gemma3_text",
     "gpt2", "bert", "mixtral",
 )
 

@@ -14,6 +14,7 @@ classification from the class token after the final norm.
 """
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,11 @@ class ViTConfig:
     num_classes: int = 1000
     ln_eps: float = 1e-6
     act: str = "gelu_exact"
+    #: OpenCLIP visual-tower variant: LayerNorm before the encoder, no conv
+    #: bias, QuickGELU, L2-normalized projected output instead of a
+    #: classification head (reference lxt/explicit/models/openclip.py).
+    openclip: bool = False
+    proj_dim: Optional[int] = None
 
     @property
     def hd(self):
@@ -89,12 +95,15 @@ def forward(
     D = cfg.hidden_size
     act_fn = common.ACTIVATIONS[cfg.act]
 
-    x = composite.conv2d(images, params["conv_w"], params["conv_b"],
+    x = composite.conv2d(images, params["conv_w"], params.get("conv_b"),
                          strides=(cfg.patch_size, cfg.patch_size),
                          padding="VALID")
     x = x.reshape(B, -1, D)
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, D))
     h = jnp.concatenate([cls, x], axis=1) + params["pos_emb"]
+    if cfg.openclip:
+        h = composite.layer_norm(h, params["ln_pre_w"], params["ln_pre_b"],
+                                 cfg.ln_eps)
     inputs_post = h
     H, hd = cfg.num_heads, cfg.hd
 
@@ -119,7 +128,15 @@ def forward(
     h, hiddens = jax.lax.scan(body, inputs_post, (params["layers"], probes))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
-    logits = composite.linear(h[:, 0], params["head_w"], params["head_b"])
+    if cfg.openclip:
+        # CLIP image embedding: project the class token, L2-normalize under
+        # the identity rule (reference rewrites F.normalize the same way,
+        # lxt/explicit/models/openclip.py:20-31)
+        from lxt_tpu.ops import functional as lf
+        emb = composite.linear(h[:, 0], params["proj"])
+        logits = lf.normalize(emb, 2.0, -1)
+    else:
+        logits = composite.linear(h[:, 0], params["head_w"], params["head_b"])
 
     if output_hidden_states:
         hiddens = jnp.concatenate([inputs_post[None], hiddens], axis=0)
@@ -172,5 +189,46 @@ def params_from_torchvision(state_dict, cfg: ViTConfig, dtype=np.float32):
         "lnf_b": jnp.asarray(t("encoder.ln.bias")),
         "head_w": jnp.asarray(t("heads.head.weight").T),
         "head_b": jnp.asarray(t("heads.head.bias")),
+        "layers": layers,
+    }
+
+
+def params_from_openclip(state_dict, cfg: ViTConfig, dtype=np.float32):
+    """Convert an OpenCLIP ``VisualTransformer`` state_dict (the ``visual.``
+    subtree of a CLIP checkpoint, keys like conv1/class_embedding/
+    positional_embedding/ln_pre/transformer.resblocks.N.*/ln_post/proj)."""
+
+    def t(name):
+        w = state_dict[name]
+        if hasattr(w, "detach"):
+            w = w.detach().to("cpu").float().numpy()
+        return np.asarray(w, dtype=dtype)
+
+    L = cfg.num_layers
+
+    def stack(fmt, transpose=False):
+        ws = [t(f"transformer.resblocks.{i}.{fmt}") for i in range(L)]
+        return jnp.asarray(np.stack([w.T if transpose else w for w in ws]))
+
+    layers = {
+        "ln1_w": stack("ln_1.weight"), "ln1_b": stack("ln_1.bias"),
+        "ln2_w": stack("ln_2.weight"), "ln2_b": stack("ln_2.bias"),
+        "w_qkv": stack("attn.in_proj_weight", True),
+        "b_qkv": stack("attn.in_proj_bias"),
+        "w_proj": stack("attn.out_proj.weight", True),
+        "b_proj": stack("attn.out_proj.bias"),
+        "w_fc": stack("mlp.c_fc.weight", True), "b_fc": stack("mlp.c_fc.bias"),
+        "w_out": stack("mlp.c_proj.weight", True), "b_out": stack("mlp.c_proj.bias"),
+    }
+    D = cfg.hidden_size
+    return {
+        "conv_w": jnp.asarray(t("conv1.weight").transpose(2, 3, 1, 0)),
+        "cls_token": jnp.asarray(t("class_embedding")).reshape(1, 1, D),
+        "pos_emb": jnp.asarray(t("positional_embedding"))[None],
+        "ln_pre_w": jnp.asarray(t("ln_pre.weight")),
+        "ln_pre_b": jnp.asarray(t("ln_pre.bias")),
+        "lnf_w": jnp.asarray(t("ln_post.weight")),
+        "lnf_b": jnp.asarray(t("ln_post.bias")),
+        "proj": jnp.asarray(t("proj")),   # [D, proj_dim], applied as-is
         "layers": layers,
     }

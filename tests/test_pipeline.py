@@ -1,0 +1,84 @@
+"""Batched variable-length attribution: padding must not change relevances.
+
+The key invariant: attributing a prompt alone equals attributing it inside a
+left-padded batch with other prompts (padded keys masked, per-example rope
+positions)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import lxt_tpu
+from lxt_tpu.attribution import input_relevance, select_logit
+from lxt_tpu.models import llama as jllama
+from lxt_tpu.pipeline import AttributionPipeline
+
+
+class ToyTokenizer:
+    """Whitespace tokenizer over a fixed vocab (tests only)."""
+
+    pad_token_id = 0
+
+    def __init__(self, vocab_size=128):
+        self.vocab_size = vocab_size
+
+    def __call__(self, text):
+        ids = [1 + (hash(w) % (self.vocab_size - 2)) for w in text.split()]
+        return {"input_ids": ids}
+
+    def convert_ids_to_tokens(self, ids):
+        return [f"▁t{i}" for i in ids]
+
+
+def _model():
+    from lxt_tpu.models.registry import AttributionModel, _family_table
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, rms_eps=1e-6)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    return AttributionModel("llama", cfg, params, lxt_tpu.attnlrp,
+                            _family_table()["llama"]), cfg, params
+
+
+def test_padding_invariance():
+    model, cfg, params = _model()
+    ids_short = np.random.RandomState(0).randint(1, 128, (1, 5))
+
+    # unpadded single-prompt relevance
+    embeds = jllama.embed(params, jnp.asarray(ids_short))
+
+    def target(e):
+        return select_logit(jllama.forward(params, cfg, e, lxt_tpu.attnlrp).logits)
+
+    _, rel_solo = input_relevance(target, embeds)
+
+    # the same prompt left-padded to length 9 inside a batch
+    T = 9
+    ids_pad = np.zeros((1, T), np.int32)
+    mask = np.zeros((1, T), np.int32)
+    ids_pad[0, T - 5:] = ids_short[0]
+    mask[0, T - 5:] = 1
+    embeds_pad = jllama.embed(params, jnp.asarray(ids_pad))
+
+    def target_pad(e):
+        logits = jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
+                                attention_mask=jnp.asarray(mask)).logits
+        return select_logit(logits, position=-1)
+
+    _, rel_pad = input_relevance(target_pad, embeds_pad)
+    np.testing.assert_allclose(np.asarray(rel_pad[0, T - 5:]),
+                               np.asarray(rel_solo[0]), rtol=0, atol=2e-5)
+
+
+def test_pipeline_batches_variable_lengths():
+    model, _, _ = _model()
+    pipe = AttributionPipeline(model, ToyTokenizer())
+    prompts = ["alpha beta gamma", "one two three four five six", "x y"]
+    heatmaps = pipe(prompts)
+    assert len(heatmaps) == 3
+    for hm, p in zip(heatmaps, prompts):
+        assert len(hm.tokens) == len(p.split())
+        assert hm.relevance.shape == (len(hm.tokens),)
+        assert np.isfinite(hm.relevance).all()
+        assert abs(hm.relevance).max() <= 1.0 + 1e-6

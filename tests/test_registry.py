@@ -58,3 +58,29 @@ def test_unsupported_model_lists_families():
 
     with pytest.raises(ValueError, match="not yet supported.*llama"):
         detect_family(FakeConfig())
+
+
+def test_from_hf_phi3_forward_parity():
+    """Phi-3's fused qkv/gate_up projections split into the Llama layout;
+    forward matches HF exactly (the reference's efficient path cannot patch
+    Phi-3 at all — its gated_mlp_forward expects split projections)."""
+    import torch
+    from transformers.models.phi3.modeling_phi3 import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(0)
+    hf = Phi3ForCausalLM(Phi3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128, pad_token_id=0)).eval()
+
+    ids = torch.randint(0, 256, (1, 10), generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        ref_logits = hf(input_ids=ids, use_cache=False).logits.numpy()
+
+    model = lxt_tpu.from_hf(hf)
+    assert model.family == "phi3"
+    logits = model.logits(ids.numpy(), composite=lxt_tpu.vanilla_gradient)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=0, atol=3e-4)
+
+    value, rel = model.attribute(ids.numpy())
+    assert bool(jnp.isfinite(rel).all()) and float(jnp.abs(rel).sum()) > 0

@@ -119,3 +119,53 @@ def test_mixtral_forward_parity_and_relevance():
     val, rel = jax.jit(lambda e: input_relevance(target, e))(embeds)
     assert bool(jnp.isfinite(rel).all())
     assert float(jnp.abs(rel).sum()) > 0
+
+
+def test_openclip_vit_variant():
+    """OpenCLIP layout: ln_pre, QuickGELU, no conv bias, projected+normalized
+    embedding output; relevance of an embedding direction is finite."""
+    import torch
+
+    cfg = jvit.ViTConfig(image_size=32, patch_size=8, hidden_size=64,
+                         intermediate_size=128, num_layers=2, num_heads=4,
+                         act="quick_gelu", openclip=True, proj_dim=32)
+    D, I, L = 64, 128, 2
+    g = torch.Generator().manual_seed(0)
+    sd = {
+        "conv1.weight": torch.randn(D, 3, 8, 8, generator=g) * 0.1,
+        "class_embedding": torch.randn(D, generator=g),
+        "positional_embedding": torch.randn(17, D, generator=g),
+        "ln_pre.weight": torch.ones(D), "ln_pre.bias": torch.zeros(D),
+        "ln_post.weight": torch.ones(D), "ln_post.bias": torch.zeros(D),
+        "proj": torch.randn(D, 32, generator=g) * 0.1,
+    }
+    for i in range(L):
+        p = f"transformer.resblocks.{i}."
+        sd |= {
+            p + "ln_1.weight": torch.ones(D), p + "ln_1.bias": torch.zeros(D),
+            p + "ln_2.weight": torch.ones(D), p + "ln_2.bias": torch.zeros(D),
+            p + "attn.in_proj_weight": torch.randn(3 * D, D, generator=g) * 0.1,
+            p + "attn.in_proj_bias": torch.zeros(3 * D),
+            p + "attn.out_proj.weight": torch.randn(D, D, generator=g) * 0.1,
+            p + "attn.out_proj.bias": torch.zeros(D),
+            p + "mlp.c_fc.weight": torch.randn(I, D, generator=g) * 0.1,
+            p + "mlp.c_fc.bias": torch.zeros(I),
+            p + "mlp.c_proj.weight": torch.randn(D, I, generator=g) * 0.1,
+            p + "mlp.c_proj.bias": torch.zeros(D),
+        }
+    params = jvit.params_from_openclip(sd, cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+
+    out = jvit.forward(params, cfg, img, lxt_tpu.cp_lrp)
+    emb = out.logits
+    assert emb.shape == (1, 32)
+    np.testing.assert_allclose(float(jnp.linalg.norm(emb)), 1.0, rtol=1e-5)
+
+    # relevance of an embedding direction (CLIP text-image similarity proxy)
+    direction = jax.random.normal(jax.random.PRNGKey(1), (32,))
+    def target(x):
+        e = jvit.forward(params, cfg, x, lxt_tpu.cp_lrp).logits
+        return (e @ direction).sum()
+    val, grad = jax.value_and_grad(target)(img)
+    heat = jvit.patch_relevance(img, grad)
+    assert bool(jnp.isfinite(heat).all()) and float(jnp.abs(heat).sum()) > 0
