@@ -222,3 +222,103 @@ def params_from_hf(state_dict, cfg: Gemma3Config, dtype=np.float32):
     if not cfg.tie_embeddings and "lm_head.weight" in state_dict:
         params["lm_head"] = jnp.asarray(t("lm_head.weight").T)
     return params
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (image + text) — Gemma3ForConditionalGeneration
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class Gemma3MultimodalConfig:
+    """Text config + SigLIP vision tower + projector geometry (HF
+    Gemma3Config / Gemma3MultiModalProjector)."""
+
+    text: "Gemma3Config"
+    vision: "object"           # lxt_tpu.models.siglip.SiglipConfig
+    mm_tokens_per_image: int = 256
+    image_token_id: int = 262144
+
+    @classmethod
+    def from_hf(cls, hf_config):
+        from lxt_tpu.models import siglip
+        return cls(
+            text=Gemma3Config.from_hf(hf_config.text_config),
+            vision=siglip.SiglipConfig.from_hf(hf_config.vision_config),
+            mm_tokens_per_image=hf_config.mm_tokens_per_image,
+            image_token_id=hf_config.image_token_index,
+        )
+
+
+def project_image_features(params, mmcfg: Gemma3MultimodalConfig,
+                           vision_out, composite):
+    """Gemma3MultiModalProjector: spatial avg-pool to mm_tokens_per_image,
+    Gemma RMSNorm, linear projection into text embedding space.
+    vision_out: [B, P, Dv] -> [B, mm_tokens, Dt]."""
+    B, P, Dv = vision_out.shape
+    pps = mmcfg.vision.image_size // mmcfg.vision.patch_size
+    side = int(mmcfg.mm_tokens_per_image ** 0.5)
+    k = pps // side
+    x = vision_out.reshape(B, pps, pps, Dv)
+    # avg pool k x k == mean over reshaped blocks; under LRP the pooling is a
+    # linear op, handled exactly by the gradient
+    x = x.reshape(B, side, k, side, k, Dv).mean(axis=(2, 4))
+    x = x.reshape(B, side * side, Dv)
+    x = gemma_rms_norm(x, params["mm_norm"], mmcfg.vision.ln_eps, composite)
+    return composite.linear(x, params["mm_proj"])
+
+
+def multimodal_forward(params, mmcfg: Gemma3MultimodalConfig,
+                       inputs_embeds, pixel_values, image_token_mask,
+                       composite=composites.attnlrp, **kw):
+    """Joint image+text forward: SigLIP encodes pixels, the projector maps
+    them into text space, and the projected tokens replace the <image>
+    placeholder positions (HF scatter semantics) before the text model runs.
+
+    ``pixel_values``: [B_img, H, W, 3] NHWC; ``image_token_mask``: [B, T]
+    bool marking placeholder positions (count == B_img * mm_tokens_per_image).
+    Relevance w.r.t. BOTH pixels and text embeds comes from one vjp.
+    """
+    from lxt_tpu.models import siglip
+
+    vision_out = siglip.forward(params["vision"], mmcfg.vision, pixel_values,
+                                composite)
+    img_embeds = project_image_features(params, mmcfg, vision_out, composite)
+    B, T, D = inputs_embeds.shape
+    flat_img = img_embeds.reshape(-1, D).astype(inputs_embeds.dtype)
+
+    # scatter: position t takes image token cumsum(mask)-1 where mask is set
+    idx = jnp.clip(jnp.cumsum(image_token_mask.reshape(-1)) - 1, 0, None)
+    merged = jnp.where(image_token_mask.reshape(-1)[:, None],
+                       flat_img[idx], inputs_embeds.reshape(-1, D))
+    merged = merged.reshape(B, T, D)
+    return forward(params["text"], mmcfg.text, merged, composite, **kw)
+
+
+def multimodal_params_from_hf(state_dict, mmcfg: Gemma3MultimodalConfig,
+                              dtype=np.float32):
+    """Convert Gemma3ForConditionalGeneration weights (model.vision_tower.*,
+    model.multi_modal_projector.*, model.language_model.*, lm_head)."""
+    from lxt_tpu.models import siglip
+
+    def t(name):
+        w = state_dict[name]
+        if hasattr(w, "detach"):
+            w = w.detach().to("cpu").float().numpy()
+        return np.asarray(w, dtype=dtype)
+
+    text_sd = {k.replace("model.language_model.", "model."): v
+               for k, v in state_dict.items()
+               if k.startswith("model.language_model.")}
+    if "lm_head.weight" in state_dict:
+        text_sd["lm_head.weight"] = state_dict["lm_head.weight"]
+
+    return {
+        "vision": siglip.params_from_hf(
+            state_dict, mmcfg.vision, dtype=dtype,
+            prefix="model.vision_tower.vision_model."),
+        "mm_proj": jnp.asarray(
+            t("model.multi_modal_projector.mm_input_projection_weight")),
+        "mm_norm": jnp.asarray(
+            t("model.multi_modal_projector.mm_soft_emb_norm.weight")),
+        "text": params_from_hf(text_sd, mmcfg.text, dtype=dtype),
+    }
