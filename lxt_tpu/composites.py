@@ -156,6 +156,46 @@ class Composite:
             self, conv_gamma=conv_gamma, linear_gamma=linear_gamma,
             name=f"{self.name}+gamma")
 
+    def summary(self, verbose: bool = True) -> str:
+        """Human-readable audit of the rule assigned at every site — parity
+        with the reference Composite's verbose table (explicit/core.py:
+        305-336 + check.py WHITELIST). Rules are static per composite, so
+        the table is exact for every model run under it."""
+        rows = [
+            ("elementwise nonlinearities", {
+                "identity": "identity rule (Eq. 9)",
+                "vanilla": "plain autodiff"}[self.activation]),
+            ("gated-MLP product", {
+                "uniform": "uniform rule, /2 (Eq. 7)",
+                "cp": "stop-gradient through gate branch (CP-LRP)",
+                "vanilla": "plain autodiff"}[self.gate]),
+            ("attention q/k/v", {
+                "attnlrp": "uniform rule: q,k /4 and v /2 (AttnLRP)",
+                "cp": "stop-gradient on q,k (CP-LRP)",
+                "vanilla": "plain autodiff"}[self.attention]),
+            ("softmax", "Deep-Taylor Prop 3.1 (implicit via G*I)"
+             if self.attention == "attnlrp" else
+             ("relevance blocked (CP)" if self.attention == "cp"
+              else "plain autodiff")),
+            ("norm denominators", {
+                "identity": "identity rule via stop-grad std (Prop 3.4)",
+                "vanilla": "plain autodiff"}[self.norm]),
+            ("linear layers", "epsilon rule (implicit via G*I)"
+             if self.linear_gamma is None else
+             f"gamma rule (gamma={self.linear_gamma})"),
+            ("conv layers", "epsilon rule (implicit via G*I)"
+             if self.conv_gamma is None else
+             f"gamma rule (gamma={self.conv_gamma})"),
+            ("biases", "relevance sink (absorbed, as in the reference)"),
+        ]
+        width = max(len(site) for site, _ in rows)
+        lines = [f"Composite '{self.name}'"]
+        lines += [f"  {site.ljust(width)}  ->  {rule}" for site, rule in rows]
+        text = "\n".join(lines)
+        if verbose:
+            print(text)
+        return text
+
 
 attnlrp = Composite(name="attnlrp")
 cp_lrp = Composite(name="cp_lrp", attention="cp", gate="cp")

@@ -170,17 +170,25 @@ def from_hf(hf_model, composite: composites.Composite = None,
     import numpy as np
 
     hf_config = hf_model.config
+    state_dict = hf_model.state_dict()
     # multimodal wrappers (e.g. Gemma3ForConditionalGeneration) expose the
-    # text config underneath
+    # text config underneath; extract the language-model weights (use
+    # lxt_tpu.models.gemma3.multimodal_* for joint image+text attribution)
     if hasattr(hf_config, "text_config") and hf_config.model_type in (
             "gemma3",):
         hf_config = hf_config.text_config
+        if any(k.startswith("model.language_model.") for k in state_dict):
+            sd = {k.replace("model.language_model.", "model."): v
+                  for k, v in state_dict.items()
+                  if k.startswith("model.language_model.")}
+            if "lm_head.weight" in state_dict:
+                sd["lm_head.weight"] = state_dict["lm_head.weight"]
+            state_dict = sd
     family = detect_family(hf_config)
     table = _family_table()[family]
 
     cfg = table["config"].from_hf(hf_config)
-    params = table["from_hf"](hf_model.state_dict(), cfg,
-                              dtype=dtype or np.float32)
+    params = table["from_hf"](state_dict, cfg, dtype=dtype or np.float32)
     if composite is None:
         composite = composites.cp_lrp if family == "gpt2" else composites.attnlrp
     return AttributionModel(family=family, cfg=cfg, params=params,
