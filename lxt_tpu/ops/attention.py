@@ -101,12 +101,12 @@ def attention(
     softcap : optional tanh logit soft-capping.
     """
     n_rep = q.shape[1] // k.shape[1]
-    k = repeat_kv(k, n_rep)
-    v = repeat_kv(v, n_rep)
 
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
 
+    # rule scaling commutes with the GQA broadcast (grad of a broadcast sums
+    # over the group), so apply it on the unrepeated kv
     q, k, v = composite.qkv(q, k, v)
 
     Tq, Tk = q.shape[2], k.shape[2]
@@ -127,4 +127,6 @@ def attention(
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         out = flash_attention(q, k, v, window, scale, causal)
         return out[..., :D] if Dp != D else out
+    k = repeat_kv(k, n_rep)
+    v = repeat_kv(v, n_rep)
     return _einsum_attention(q, k, v, bias, causal, window, scale, softcap=softcap)

@@ -120,6 +120,8 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 def _fwd(q, k, v, window, scale, causal, blk_q, blk_k):
     B, H, T, D = q.shape
+    n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
+    # materialized per-query-head
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(T, blk_k)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -127,8 +129,10 @@ def _fwd(q, k, v, window, scale, causal, blk_q, blk_k):
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, iq, ik, w: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, iq, ik, w: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
@@ -171,14 +175,14 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    @pl.when(jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal)))
-    def _compute():
+    def _step(apply_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
+        if apply_mask:
+            s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
         p = jnp.exp(s - lse_ref[0, 0][:, :1])
         dp = jax.lax.dot_general(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -188,6 +192,11 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
+    visible = jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, window, blk_q, blk_k, causal)
+    pl.when(visible & interior)(lambda: _step(False))
+    pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
+
     @pl.when(ik == nk - 1)
     def _epilogue():
         dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
@@ -196,23 +205,26 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
                 *, scale, causal, blk_q, blk_k):
-    ik, iq = pl.program_id(2), pl.program_id(3)
-    nq = pl.num_programs(3)
+    # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
+    # query blocks AND all query heads in the GQA group (r innermost keeps
+    # the dk/dv output block resident across the whole reduction)
+    ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     window = w_ref[0]
 
-    @pl.when(iq == 0)
+    @pl.when((iq == 0) & (r == 0))
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    @pl.when(jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal)))
-    def _compute():
+    def _step(apply_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
+        if apply_mask:
+            s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
         p = jnp.exp(s - lse_ref[0, 0][:, :1])           # [blk_q, blk_k]
         do = do_ref[0, 0]
         dv_acc[:] += jax.lax.dot_general(
@@ -226,7 +238,12 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
-    @pl.when(iq == nq - 1)
+    visible = jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, window, blk_q, blk_k, causal)
+    pl.when(visible & interior)(lambda: _step(False))
+    pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
+
+    @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
@@ -234,6 +251,8 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
     B, H, T, D = q.shape
+    Hkv = k.shape[1]
+    n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(T, blk_k)
 
     delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
@@ -244,8 +263,10 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, iq, ik, w: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, iq, ik, w: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, h, iq, ik, w: (b, h, iq, 0)),
@@ -267,20 +288,26 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nk, nq),
+        grid=(B, Hkv, nk, nq, n_rep),
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, ik, iq, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, ik, iq, w: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, ik, iq, w: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, ik, iq, w: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, blk_q, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_q, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, h, ik, iq, w: (b, h, iq, 0)),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, h, ik, iq, w: (b, h, iq, 0)),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, ik, iq, w: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D), lambda b, h, ik, iq, w: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk_k, D), jnp.float32),
@@ -292,11 +319,12 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
                           blk_q=blk_q, blk_k=blk_k),
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, T, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, T, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, T, D), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary", "arbitrary")),
         interpret=_interpret(),
     )(window, q, k, v, do, lse, delta)
 
@@ -338,11 +366,13 @@ def flash_attention(
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
 
-    q, k, v: ``[B, H, T, D]`` (kv heads already matched to q heads — the
-    caller handles GQA). ``window`` is a RUNTIME scalar (sliding-window size;
-    None or >= T means plain causal), so Gemma-style local/global layer
-    alternation scans one compiled kernel. T must be a multiple of the block
-    sizes (the dispatcher in ops/attention.py guarantees this or falls back).
+    q: ``[B, H, T, D]``; k, v: ``[B, Hkv, T, D]`` with ``Hkv`` dividing
+    ``H`` — GQA groups are resolved by block indexing, the kv repeat is
+    never materialized and dk/dv come back at ``Hkv`` (group-summed).
+    ``window`` is a RUNTIME scalar (sliding-window size; None or >= T means
+    plain causal), so Gemma-style local/global layer alternation scans one
+    compiled kernel. T must be a multiple of 128 (the dispatcher in
+    ops/attention.py guarantees this or falls back).
     """
     w, scale, bq, bk = _canon(q, window, scale, block_q, block_k)
     out, _ = _fwd(q, k, v, w, scale, causal, bq, bk)
