@@ -118,10 +118,17 @@ def forward(
     output_hidden_states: bool = False,
     remat: bool = True,
     positions=None,
+    attention_mask=None,
     attn_impl: str = "auto",
 ):
     B, T, D = inputs_embeds.shape
     act_fn = common.ACTIVATIONS[cfg.act]
+    bias = None
+    if attention_mask is not None:
+        m = jnp.asarray(attention_mask)
+        if positions is None:
+            positions = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
+        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     cos_g, sin_g = common.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
@@ -151,7 +158,7 @@ def forward(
         sin = jnp.where(sliding > 0, sin_l, sin_g)
         window = jnp.where(sliding > 0, cfg.sliding_window, T).astype(jnp.int32)
         q, k = common.apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, window=window,
+        attn = attention(q, k, v, causal=True, window=window, bias=bias,
                          composite=composite, scale=scale, impl=attn_impl)
         attn_out = composite.linear(common.merge_heads(attn), lp["wo"])
         attn_out = gemma_rms_norm(attn_out, lp["ln_post_attn"], cfg.rms_eps, composite)

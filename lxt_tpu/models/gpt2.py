@@ -90,6 +90,7 @@ def forward(
     probes=None,
     output_hidden_states: bool = False,
     remat: bool = True,
+    attention_mask=None,
     attn_impl: str = "auto",
 ):
     """Causal-LM forward; default composite is CP-LRP (reference gpt2.py:24-26).
@@ -98,6 +99,13 @@ def forward(
     added here (pass ``position_embeds`` to customize/attribute them).
     """
     B, T, D = inputs_embeds.shape
+    bias = None
+    if attention_mask is not None:
+        m = jnp.asarray(attention_mask)
+        if position_embeds is None:
+            pos = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
+            position_embeds = params["wpe"][pos]
+        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
     if position_embeds is None:
         position_embeds = params["wpe"][jnp.arange(T)]
     h = inputs_embeds + position_embeds
@@ -118,7 +126,7 @@ def forward(
         scale = hd ** -0.5
         if cfg.scale_attn_by_inverse_layer_idx:
             scale = scale / (idx + 1.0)
-        attn = attention(q, k, v, causal=True, composite=composite,
+        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
                          scale=scale, impl=attn_impl)
         h = h + composite.linear(common.merge_heads(attn), lp["w_proj"], lp["b_proj"])
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)

@@ -142,10 +142,17 @@ def forward(
     output_hidden_states: bool = False,
     remat: bool = True,
     positions=None,
+    attention_mask=None,
     attn_impl: str = "auto",
 ):
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
+    bias = None
+    if attention_mask is not None:
+        m = jnp.asarray(attention_mask)
+        if positions is None:
+            positions = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
+        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
@@ -159,7 +166,7 @@ def forward(
         k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
         v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
         q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, composite=composite,
+        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
                          scale=scale, impl=attn_impl)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)

@@ -82,3 +82,49 @@ def test_pipeline_batches_variable_lengths():
         assert hm.relevance.shape == (len(hm.tokens),)
         assert np.isfinite(hm.relevance).all()
         assert abs(hm.relevance).max() <= 1.0 + 1e-6
+
+
+def test_padding_invariance_gpt2_gemma3_mixtral():
+    """attention_mask support across the other causal families: left-padded
+    relevance equals the unpadded one."""
+    from lxt_tpu.models import gemma3 as jg
+    from lxt_tpu.models import gpt2 as jgpt2
+    from lxt_tpu.models import mixtral as jmix
+
+    rng = np.random.RandomState(1)
+
+    def check(forward, embed_fn, cfg, params, extra=()):
+        ids = rng.randint(1, 100, (1, 5))
+        e = embed_fn(jnp.asarray(ids))
+        def t(x):
+            return select_logit(forward(params, cfg, x, lxt_tpu.attnlrp).logits)
+        _, rel = input_relevance(t, e)
+
+        T = 8
+        ids_p = np.zeros((1, T), np.int32); ids_p[0, T-5:] = ids[0]
+        mask = np.zeros((1, T), np.int32); mask[0, T-5:] = 1
+        ep = embed_fn(jnp.asarray(ids_p))
+        def tp(x):
+            return select_logit(forward(params, cfg, x, lxt_tpu.attnlrp,
+                                        attention_mask=jnp.asarray(mask)).logits)
+        _, rel_p = input_relevance(tp, ep)
+        np.testing.assert_allclose(np.asarray(rel_p[0, T-5:]),
+                                   np.asarray(rel[0]), rtol=0, atol=3e-5)
+
+    gcfg = jg.Gemma3Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                           num_layers=2, num_heads=4, num_kv_heads=2, head_dim=12,
+                           sliding_window=4, query_pre_attn_scalar=12,
+                           layer_types=("sliding_attention", "full_attention"))
+    gp = jg.init_params(gcfg, jax.random.PRNGKey(0))
+    check(jg.forward, lambda i: jg.embed(gp, i, gcfg), gcfg, gp)
+
+    pcfg = jgpt2.GPT2Config(vocab_size=128, hidden_size=48, num_layers=2,
+                            num_heads=4, max_positions=64)
+    pp = jgpt2.init_params(pcfg, jax.random.PRNGKey(1))
+    check(jgpt2.forward, lambda i: jgpt2.embed(pp, i)[0], pcfg, pp)
+
+    mcfg = jmix.MixtralConfig(vocab_size=128, hidden_size=48, intermediate_size=64,
+                              num_layers=2, num_heads=4, num_kv_heads=2,
+                              num_experts=4, experts_per_token=2)
+    mp = jmix.init_params(mcfg, jax.random.PRNGKey(2))
+    check(jmix.forward, lambda i: jmix.embed(mp, i), mcfg, mp)
