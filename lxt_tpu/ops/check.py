@@ -58,6 +58,19 @@ def maybe_redistribute(in_relevances, out_relevances):
     )
 
 
+def assert_finite_relevance(relevance, where="relevance"):
+    """Host-side NaN/Inf check (the reference's conservation wrapper raises
+    on NaN, functional.py:29-30; in JAX the check happens after the jitted
+    program returns)."""
+    import numpy as np
+
+    arr = np.asarray(relevance)
+    if not np.isfinite(arr).all():
+        bad = int((~np.isfinite(arr)).sum())
+        raise ValueError(f"NaN/Inf in {where}: {bad}/{arr.size} elements")
+    return relevance
+
+
 def conservation_error(input_relevance, seeded_value):
     """Relative conservation error |sum(R_in) - seed| / (|seed| + 1e-9).
 

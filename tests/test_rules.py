@@ -151,3 +151,36 @@ def test_gamma_linear_conserves():
     # conservation within the gamma-modified denominator's tolerance
     ratio = rel_in.sum() / (rel_out * out).sum()
     assert 0.5 < float(ratio) < 2.0
+
+
+def test_model_level_conservation_cp():
+    """End-to-end conservation through a whole Llama block stack under
+    CP-LRP: total input relevance equals the seeded logit minus the bias
+    sink (Llama has no biases, so it is exact up to the softmax-free CP
+    attention path and f32 roundoff)."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+    from lxt_tpu.ops.check import assert_finite_relevance
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, rms_eps=1e-6)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 6), 0, 64)
+    embeds = jllama.embed(params, ids)
+
+    def target(e):
+        return select_logit(jllama.forward(params, cfg, e, __import__(
+            "lxt_tpu").cp_lrp).logits)
+
+    value, rel = input_relevance(target, embeds)
+    assert_finite_relevance(rel)
+    np.testing.assert_allclose(float(rel.sum()), float(value), rtol=2e-3)
+
+
+def test_assert_finite_relevance_raises():
+    from lxt_tpu.ops.check import assert_finite_relevance
+
+    with np.testing.assert_raises(ValueError):
+        assert_finite_relevance(jnp.array([1.0, jnp.nan]))
