@@ -24,6 +24,10 @@ import jax.numpy as jnp
 BATCH = int(os.environ.get("LXT_BENCH_BATCH", 8))
 SEQ = int(os.environ.get("LXT_BENCH_SEQ", 1024))
 ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
+# 'none' (fastest; this config's activations fit one chip's HBM), 'dots', or
+# 'full' (the reference's O(sqrt N) gradient-checkpointing profile)
+REMAT = {"none": False, "dots": "dots", "full": True}[
+    os.environ.get("LXT_BENCH_REMAT", "none")]
 
 
 def main():
@@ -40,7 +44,8 @@ def main():
     def step(params, embeds):
         def target(e):
             return select_logit(
-                jllama.forward(params, cfg, e, lxt_tpu.attnlrp).logits)
+                jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
+                               remat=REMAT).logits)
         return input_relevance(target, embeds)
 
     jstep = jax.jit(step)

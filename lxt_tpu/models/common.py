@@ -31,7 +31,36 @@ ACTIVATIONS: Dict[str, Callable] = {
 }
 
 
-def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0):
+def _inv_freq(head_dim, theta, scaling, rope_scaling):
+    """Host-side (float64) inverse frequencies, with optional HF-style rope
+    scaling. ``rope_scaling``: None, or a hashable tuple
+    ("linear", factor) or ("llama3", factor, low_freq_factor,
+    high_freq_factor, original_max_position_embeddings)."""
+    import numpy as np
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    if rope_scaling is not None:
+        kind = rope_scaling[0]
+        if kind == "linear":
+            inv = inv / rope_scaling[1]
+        elif kind == "llama3":
+            # HF _compute_llama3_parameters: scale low-frequency components
+            # by 1/factor with a smooth band in between
+            _, factor, low_ff, high_ff, old_ctx = rope_scaling
+            wavelen = 2 * np.pi / inv
+            low_wl = old_ctx / low_ff
+            high_wl = old_ctx / high_ff
+            smooth = (old_ctx / wavelen - low_ff) / (high_ff - low_ff)
+            inv_scaled = np.where(wavelen > low_wl, inv / factor, inv)
+            smoothed = (1 - smooth) * inv / factor + smooth * inv
+            is_mid = (wavelen <= low_wl) & (wavelen >= high_wl)
+            inv = np.where(is_mid, smoothed, inv_scaled)
+        else:
+            raise ValueError(f"unsupported rope scaling: {kind}")
+    return jnp.asarray((inv / scaling).astype(np.float32))
+
+
+def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0,
+                rope_scaling=None):
     """cos/sin tables (half-frequencies duplicated, HF convention).
 
     ``positions``: int32 ``[T]`` -> tables ``[T, head_dim]``, or ``[B, T]``
@@ -42,9 +71,7 @@ def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0):
     error from an f32 pow measurably degrades relevance parity after a few
     layers."""
     import numpy as np
-    inv_freq = jnp.asarray(
-        (1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
-         / scaling).astype(np.float32))
+    inv_freq = _inv_freq(head_dim, theta, scaling, rope_scaling)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -81,6 +108,23 @@ def merge_heads(x):
     """[B, n, T, d] -> [B, T, n*d]"""
     b, n, t, d = x.shape
     return x.transpose(0, 2, 1, 3).reshape(b, t, n * d)
+
+
+def remat_wrap(layer_fn, remat):
+    """Rematerialization policy for a scanned layer body.
+
+    - True  : full remat (recompute everything; O(1) activation memory per
+              layer — the reference's gradient-checkpointing profile)
+    - "dots": save matmul outputs, recompute elementwise ops — much less
+              recompute for a modest memory increase (often the sweet spot)
+    - False : save everything (fastest when activations fit HBM)
+    """
+    if remat is True:
+        return jax.checkpoint(layer_fn)
+    if remat == "dots":
+        return jax.checkpoint(
+            layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return layer_fn
 
 
 def uniform_init(key, shape, scale=0.02, dtype=jnp.float32):

@@ -41,6 +41,9 @@ class LlamaConfig:
     qkv_bias: bool = False      # Qwen2
     qk_norm: bool = False       # Qwen3
     tie_embeddings: bool = False
+    #: hashable rope-scaling spec: None, ("linear", factor) or
+    #: ("llama3", factor, low_ff, high_ff, original_max_positions)
+    rope_scaling: Optional[tuple] = None
     dtype: str = "float32"
 
     @property
@@ -65,7 +68,25 @@ class LlamaConfig:
             qkv_bias=(mt == "qwen2"),
             qk_norm=(mt == "qwen3"),
             tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
+            rope_scaling=_rope_scaling_spec(getattr(hf_config, "rope_scaling", None)),
         )
+
+
+def _rope_scaling_spec(rs):
+    """HF rope_scaling dict -> hashable tuple (config dataclasses must hash)."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type"))
+    if kind in (None, "default"):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return ("llama3", float(rs["factor"]),
+                float(rs.get("low_freq_factor", 1.0)),
+                float(rs.get("high_freq_factor", 4.0)),
+                float(rs.get("original_max_position_embeddings", 8192)))
+    raise ValueError(f"unsupported rope scaling type: {kind}")
 
 
 def init_params(cfg: LlamaConfig, key, dtype=None):
@@ -144,7 +165,8 @@ def forward(
                          ).astype(jnp.float32)
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
-    cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
+    cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta,
+                                  rope_scaling=cfg.rope_scaling)
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
 
@@ -172,7 +194,7 @@ def forward(
             h = h + probe
         return h, (h if output_hidden_states else None)
 
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    body = common.remat_wrap(layer_fn, remat)
     h, hiddens = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)

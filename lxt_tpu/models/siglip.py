@@ -101,7 +101,7 @@ def forward(params, cfg: SiglipConfig, pixels,
         h = h + composite.linear(x, lp["w_out"], lp["b_out"])
         return h, None
 
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    body = common.remat_wrap(layer_fn, remat)
     h, _ = jax.lax.scan(body, h, params["layers"])
     return composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
 

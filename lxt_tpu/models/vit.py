@@ -124,7 +124,7 @@ def forward(
             h = h + probe
         return h, (h if output_hidden_states else None)
 
-    body = jax.checkpoint(layer_fn) if remat else layer_fn
+    body = common.remat_wrap(layer_fn, remat)
     h, hiddens = jax.lax.scan(body, inputs_post, (params["layers"], probes))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)

@@ -76,3 +76,29 @@ def test_llama_family_parity(golden, family, composite_name):
     a, b = np.asarray(rel).ravel(), ref_rel.ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.9999
+
+
+def test_llama3_rope_scaling_forward_parity():
+    """Llama-3.x checkpoints use the 'llama3' rope scaling (frequency-band
+    smoothing); forward must match HF exactly."""
+    import torch
+    from transformers.models.llama.modeling_llama import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=256,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 64})).eval()
+
+    cfg = jllama.LlamaConfig.from_hf(hf.config)
+    assert cfg.rope_scaling == ("llama3", 8.0, 1.0, 4.0, 64.0)
+    params = jllama.params_from_hf(hf.state_dict(), cfg)
+    ids = torch.randint(0, 256, (1, 48), generator=torch.Generator().manual_seed(1))
+    with torch.no_grad():
+        ref = hf(input_ids=ids, use_cache=False).logits.numpy()
+    e = jllama.embed(params, jnp.asarray(ids.numpy()))
+    logits = jllama.forward(params, cfg, e, lxt_tpu.vanilla_gradient).logits
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=0, atol=2e-5)
