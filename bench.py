@@ -19,7 +19,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 
 BATCH = int(os.environ.get("LXT_BENCH_BATCH", 8))
 SEQ = int(os.environ.get("LXT_BENCH_SEQ", 1024))

@@ -11,7 +11,7 @@ Gradient*Input contraction fuse into a single XLA program, jittable,
 batchable, and shardable over a device mesh (see ``lxt_tpu.parallel``).
 """
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

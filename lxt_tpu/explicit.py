@@ -27,7 +27,6 @@ All cotangents here ARE relevance (explicit convention): seed ``jax.vjp``
 with the output relevance and the input cotangent is the input relevance.
 """
 
-import functools
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -11,7 +11,6 @@ Padding masks enter as an additive bias (einsum attention path, non-causal).
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -128,7 +128,9 @@ def remat_wrap(layer_fn, remat):
 
 
 def uniform_init(key, shape, scale=0.02, dtype=jnp.float32):
-    return (jax.random.normal(key, shape, jnp.float32) * scale).astype(dtype)
+    # generate directly in the target dtype: a f32 intermediate for a
+    # multi-GB stacked weight would not fit HBM at 8B scale
+    return jax.random.normal(key, shape, dtype) * jnp.asarray(scale, dtype)
 
 
 @dataclasses.dataclass

@@ -16,7 +16,7 @@ Gemma-3 architectural specifics faithfully reproduced (HF modeling_gemma3):
 """
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

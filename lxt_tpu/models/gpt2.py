@@ -10,7 +10,6 @@ lm_head is tied to wte, learned absolute position embeddings, gelu_new.
 """
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

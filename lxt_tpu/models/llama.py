@@ -89,13 +89,23 @@ def _rope_scaling_spec(rs):
     raise ValueError(f"unsupported rope scaling type: {kind}")
 
 
-def init_params(cfg: LlamaConfig, key, dtype=None):
-    """Random parameters (bench / smoke tests), stacked over layers."""
+def init_params(cfg: LlamaConfig, key, dtype=None, quantize_bits=None):
+    """Random parameters (bench / smoke tests), stacked over layers.
+
+    ``quantize_bits`` (4/8) quantizes each projection matrix IMMEDIATELY
+    after sampling it, so the full-precision tree never coexists with the
+    quantized one — required to stage 8B-scale models on a 16 GB chip."""
     dtype = dtype or jnp.dtype(cfg.dtype)
     L, D, I, hd = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size, cfg.hd
     H, Hkv = cfg.num_heads, cfg.num_kv_heads
     ks = jax.random.split(key, 12)
-    u = lambda k, shape: common.uniform_init(k, shape, dtype=dtype)  # noqa: E731
+
+    def u(k, shape):
+        w = common.uniform_init(k, shape, dtype=dtype)
+        if quantize_bits and len(shape) >= 3:
+            from lxt_tpu.ops.quant import quantize
+            w = jax.block_until_ready(quantize(w, quantize_bits))
+        return w
     layers = {
         "ln1": jnp.ones((L, D), dtype),
         "ln2": jnp.ones((L, D), dtype),

@@ -51,24 +51,39 @@ class QuantizedTensor:
         return self.q.shape
 
 
-def quantize(w, bits: int = 8) -> QuantizedTensor:
-    """Quantize ``[..., in, out]`` weights per output channel (axis -1)."""
-    w32 = jnp.asarray(w, jnp.float32)
+def _quantize_one(w32, bits):
     absmax = jnp.abs(w32).max(axis=-2, keepdims=True)
     if bits == 8:
         scale = absmax / 127.0
         q = jnp.clip(jnp.round(w32 / jnp.maximum(scale, 1e-12)), -127, 127)
-        return QuantizedTensor(q.astype(jnp.int8), scale, 8)
-    if bits == 4:
-        scale = absmax / 7.0
-        q = jnp.clip(jnp.round(w32 / jnp.maximum(scale, 1e-12)), -7, 7) + 8
-        q = q.astype(jnp.uint8)
-        if w32.shape[-2] % 2:
-            raise ValueError("int4 packing needs an even input dimension")
-        lo = q[..., 0::2, :]
-        hi = q[..., 1::2, :]
-        return QuantizedTensor((lo | (hi << 4)).astype(jnp.uint8), scale, 4)
-    raise ValueError(f"unsupported bits: {bits}")
+        return q.astype(jnp.int8), scale
+    scale = absmax / 7.0
+    q = jnp.clip(jnp.round(w32 / jnp.maximum(scale, 1e-12)), -7, 7) + 8
+    q = q.astype(jnp.uint8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
+def quantize(w, bits: int = 8) -> QuantizedTensor:
+    """Quantize ``[..., in, out]`` weights per output channel (axis -1).
+
+    Layer-stacked (ndim >= 3) weights are processed one leading slice at a
+    time with ``lax.map`` so the f32 intermediate never exceeds one layer's
+    matrix — required to quantize 8B-scale stacks on a 16 GB chip."""
+    if bits not in (8, 4):
+        raise ValueError(f"unsupported bits: {bits}")
+    if bits == 4 and w.shape[-2] % 2:
+        raise ValueError("int4 packing needs an even input dimension")
+    if w.ndim >= 3:
+        lead = w.shape[:-2]
+        flat = w.reshape((-1,) + w.shape[-2:])
+        q, scale = jax.lax.map(
+            lambda x: _quantize_one(x.astype(jnp.float32), bits), flat)
+        return QuantizedTensor(q.reshape(lead + q.shape[1:]),
+                               scale.reshape(lead + scale.shape[1:]), bits)
+    q, scale = _quantize_one(jnp.asarray(w, jnp.float32), bits)
+    return QuantizedTensor(q, scale, bits)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32):

@@ -9,7 +9,7 @@ are masked and per-example rope positions follow the HF convention.
 """
 
 import dataclasses
-from typing import Any, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
