@@ -97,9 +97,19 @@ def attention(
         per-layer local/global alternation inside one scan).
     composite : rule assignment; ``composite.qkv`` fixes the relevance flow
         (reference patches.py:196-206) regardless of kernel choice.
-    impl : 'einsum' | 'flash' | 'auto' ('auto': flash on TPU when eligible).
+    impl : 'einsum' | 'flash' | 'auto' ('auto': flash on TPU when eligible),
+        or 'ring:<axis>' — sequence-parallel ring attention inside a
+        ``shard_map`` over mesh axis ``<axis>`` (q/k/v hold this device's
+        sequence slice; see parallel/ring.py).
     softcap : optional tanh logit soft-capping.
     """
+    if impl.startswith("ring:"):
+        from lxt_tpu.parallel.ring import ring_flash_attention
+        assert bias is None and softcap is None, \
+            "ring attention supports structural masks only"
+        q, k, v = composite.qkv(q, k, v)
+        return ring_flash_attention(q, k, v, impl.split(":", 1)[1],
+                                    scale=scale, causal=causal, window=window)
     n_rep = q.shape[1] // k.shape[1]
 
     if scale is None:

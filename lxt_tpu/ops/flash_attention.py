@@ -18,6 +18,14 @@ window is a *runtime scalar* (scalar-prefetch) so models that alternate
 local/global attention per layer (Gemma 3) can scan one compiled kernel:
 ``window >= T`` degenerates to plain causal. Fully-masked blocks are skipped.
 
+Mask coordinates are GLOBAL: runtime ``q_start``/``k_start`` offsets (also
+scalar-prefetched) shift the causal/window comparisons, so the same kernels
+serve ring/sequence-parallel attention where each device holds a slice of
+the sequence (``parallel/ring.py``). ``flash_attention_lse`` additionally
+returns the logsumexp with a correct VJP (the dlse cotangent folds into the
+backward's delta term) — the building block for merging partial attention
+results across ring steps.
+
 On non-TPU backends the kernels run in interpreter mode (tests).
 """
 
@@ -40,31 +48,39 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _block_mask(iq, ik, window, blk_q, blk_k, causal):
-    """Additive mask [blk_q, blk_k] for the (iq, ik) block pair (f32)."""
-    q_pos = iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
-    k_pos = ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
+def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
+    """Additive mask [blk_q, blk_k] for the (iq, ik) block pair in GLOBAL
+    coordinates (sc = (window, q_start, k_start) runtime scalars)."""
+    window, q0, k0 = sc
+    q_pos = q0 + iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
+    k_pos = k0 + ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
     allowed = k_pos > q_pos - window
     if causal:
         allowed = allowed & (k_pos <= q_pos)
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _skip_block(iq, ik, window, blk_q, blk_k, causal):
+def _skip_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely masked."""
-    skip = ik * blk_k + blk_k - 1 <= iq * blk_q - window  # entirely pre-window
+    window, q0, k0 = sc
+    qlo = q0 + iq * blk_q
+    klo = k0 + ik * blk_k
+    skip = klo + blk_k - 1 <= qlo - window  # entirely pre-window
     if causal:
-        skip = skip | (ik * blk_k > iq * blk_q + blk_q - 1)  # entirely future
+        skip = skip | (klo > qlo + blk_q - 1)  # entirely future
     return skip
 
 
-def _interior_block(iq, ik, window, blk_q, blk_k, causal):
+def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely VISIBLE (no mask needed) —
     the common case away from the causal diagonal / window edge, where the
     mask add is skipped to keep the VPU off the critical path."""
-    inside = ik * blk_k > iq * blk_q - window  # whole block within window
+    window, q0, k0 = sc
+    qlo = q0 + iq * blk_q
+    klo = k0 + ik * blk_k
+    inside = klo > qlo - window  # whole block within window
     if causal:
-        inside = inside & (ik * blk_k + blk_k - 1 <= iq * blk_q)
+        inside = inside & (klo + blk_k - 1 <= qlo)
     return inside
 
 
@@ -76,7 +92,7 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc, m_scr, l_scr, *, scale, causal, blk_q, blk_k):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
-    window = w_ref[0]
+    sc = (w_ref[0], w_ref[1], w_ref[2])
 
     @pl.when(ik == 0)
     def _init():
@@ -91,7 +107,7 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if apply_mask:
-            s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
+            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
 
         m_prev = m_scr[:, :1]
         m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
@@ -103,26 +119,32 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             preferred_element_type=jnp.float32)
         m_scr[:, :1] = m_cur
 
-    visible = jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal))
-    interior = _interior_block(iq, ik, window, blk_q, blk_k, causal)
+    visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
     pl.when(visible & interior)(lambda: _step(False))
     pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
 
     @pl.when(ik == nk - 1)
     def _epilogue():
         l = l_scr[:, :1]
-        o_ref[0, 0] = (acc[:] / l).astype(o_ref.dtype)
+        # rows with NO visible keys (ring steps where this device's kv slice
+        # is entirely in the query's future) get out=0 and lse=-inf-ish, so
+        # their merge weight is exactly zero
+        empty = l <= 0.0
+        l_safe = jnp.where(empty, 1.0, l)
+        o_ref[0, 0] = jnp.where(empty, 0.0, acc[:] / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(empty, NEG_INF, m_scr[:, :1] + jnp.log(l_safe))
         # TPU block tiling needs >=2 trailing dims with sublane%8==0, so the
         # [blk_q] logsumexp is broadcast into LSE_LANES lanes
-        lse_ref[0, 0] = jnp.broadcast_to(
-            m_scr[:, :1] + jnp.log(l), (l.shape[0], LSE_LANES))
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
 
 
-def _fwd(q, k, v, window, scale, causal, blk_q, blk_k):
+def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
     B, H, T, D = q.shape
+    Tk = k.shape[2]
     n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
     # materialized per-query-head
-    nq, nk = pl.cdiv(T, blk_q), pl.cdiv(T, blk_k)
+    nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -157,7 +179,7 @@ def _fwd(q, k, v, window, scale, causal, blk_q, blk_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(window, q, k, v)
+    )(sc, q, k, v)
     return out, lse
 
 
@@ -169,7 +191,7 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
                dq_acc, *, scale, causal, blk_q, blk_k):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
-    window = w_ref[0]
+    sc = (w_ref[0], w_ref[1], w_ref[2])
 
     @pl.when(ik == 0)
     def _init():
@@ -182,7 +204,7 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if apply_mask:
-            s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
+            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
         p = jnp.exp(s - lse_ref[0, 0][:, :1])
         dp = jax.lax.dot_general(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
@@ -192,8 +214,8 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
-    visible = jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal))
-    interior = _interior_block(iq, ik, window, blk_q, blk_k, causal)
+    visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
     pl.when(visible & interior)(lambda: _step(False))
     pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
 
@@ -210,7 +232,7 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     # the dk/dv output block resident across the whole reduction)
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
-    window = w_ref[0]
+    sc = (w_ref[0], w_ref[1], w_ref[2])
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -224,7 +246,7 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         if apply_mask:
-            s = s + _block_mask(iq, ik, window, blk_q, blk_k, causal)
+            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
         p = jnp.exp(s - lse_ref[0, 0][:, :1])           # [blk_q, blk_k]
         do = do_ref[0, 0]
         dv_acc[:] += jax.lax.dot_general(
@@ -238,8 +260,8 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
-    visible = jnp.logical_not(_skip_block(iq, ik, window, blk_q, blk_k, causal))
-    interior = _interior_block(iq, ik, window, blk_q, blk_k, causal)
+    visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
     pl.when(visible & interior)(lambda: _step(False))
     pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
 
@@ -249,13 +271,19 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
+def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
+              dlse=None):
     B, H, T, D = q.shape
+    Tk = k.shape[2]
     Hkv = k.shape[1]
     n_rep = H // Hkv
-    nq, nk = pl.cdiv(T, blk_q), pl.cdiv(T, blk_k)
+    nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
     delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
+    if dlse is not None:
+        # d(lse)/d(scores) = probs, so the lse cotangent enters every ds
+        # term exactly like -delta: ds = p * (dp - (delta - dlse))
+        delta = delta - dlse.astype(jnp.float32)
     delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
@@ -284,7 +312,7 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(window, q, k, v, do, lse, delta)
+    )(sc, q, k, v, do, lse, delta)
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -319,14 +347,14 @@ def _bwd_impl(q, k, v, out, lse, do, window, scale, causal, blk_q, blk_k):
                           blk_q=blk_q, blk_k=blk_k),
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, T, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, T, D), v.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Tk, D), v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(window, q, k, v, do, lse, delta)
+    )(sc, q, k, v, do, lse, delta)
 
     return dq, dk, dv
 
@@ -344,18 +372,74 @@ def _pick_block(T, want):
     return b
 
 
-def _canon(q, window, scale, block_q, block_k):
-    T = q.shape[2]
+def _canon(q, k, window, q_start, k_start, scale, block_q, block_k):
+    Tq, Tk = q.shape[2], k.shape[2]
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if window is None:
-        window = jnp.full((1,), T, jnp.int32)
-    else:
-        window = jnp.asarray(window, jnp.int32).reshape(1)
-    return window, scale, _pick_block(T, block_q), _pick_block(T, block_k)
+        window = max(Tq, Tk) + 2**20  # effectively no window
+    sc = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
+                    jnp.asarray(q_start, jnp.int32).reshape(()),
+                    jnp.asarray(k_start, jnp.int32).reshape(())])
+    return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def flash_attention_lse(
+    q, k, v,
+    window=None,
+    q_start=0,
+    k_start=0,
+    scale: Optional[float] = None,
+    causal: bool = True,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+):
+    """Fused attention returning ``(out, lse)`` with a full VJP.
+
+    q: ``[B, H, Tq, D]``; k, v: ``[B, Hkv, Tk, D]`` with ``Hkv`` dividing
+    ``H`` — GQA groups are resolved by block indexing (the kv repeat is
+    never materialized; dk/dv come back at ``Hkv``, group-summed).
+
+    RUNTIME scalars: ``window`` (sliding-window size; None = plain causal,
+    so Gemma's local/global alternation scans one compiled kernel) and
+    ``q_start``/``k_start`` global sequence offsets shifting the causal and
+    window comparisons — the basis for ring/sequence-parallel attention
+    where each device holds a sequence slice (parallel/ring.py). Query rows
+    with no visible keys return out=0 and lse=-1e30 (zero merge weight).
+
+    The lse cotangent is exact: d(lse)/d(scores) = probs folds into the
+    backward's delta term, so merged-partial attention differentiates to
+    the same relevance as monolithic attention. Sequence lengths must be
+    multiples of 128 (the dispatcher in ops/attention.py guarantees this
+    or falls back to the einsum path).
+    """
+    sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, scale,
+                               block_q, block_k)
+    out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk)
+    return out, lse[..., 0]
+
+
+def _flash_lse_fwd(q, k, v, window, q_start, k_start, scale, causal,
+                   block_q, block_k):
+    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, scale,
+                           block_q, block_k)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk)
+    return (out, lse[..., 0]), (q, k, v, sc, out, lse)
+
+
+def _flash_lse_bwd(scale, causal, block_q, block_k, res, cts):
+    do, dlse = cts
+    q, k, v, sc, out, lse = res
+    _, s, bq, bk = _canon(q, k, sc[0], sc[1], sc[2], scale, block_q, block_k)
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, s, causal, bq, bk,
+                           dlse=dlse)
+    return dq, dk, dv, None, None, None
+
+
+flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
 def flash_attention(
     q, k, v,
     window=None,
@@ -365,31 +449,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
-
-    q: ``[B, H, T, D]``; k, v: ``[B, Hkv, T, D]`` with ``Hkv`` dividing
-    ``H`` — GQA groups are resolved by block indexing, the kv repeat is
-    never materialized and dk/dv come back at ``Hkv`` (group-summed).
-    ``window`` is a RUNTIME scalar (sliding-window size; None or >= T means
-    plain causal), so Gemma-style local/global layer alternation scans one
-    compiled kernel. T must be a multiple of 128 (the dispatcher in
-    ops/attention.py guarantees this or falls back).
-    """
-    w, scale, bq, bk = _canon(q, window, scale, block_q, block_k)
-    out, _ = _fwd(q, k, v, w, scale, causal, bq, bk)
-    return out
-
-
-def _flash_fwd(q, k, v, window, scale, causal, block_q, block_k):
-    w, s, bq, bk = _canon(q, window, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, w, s, causal, bq, bk)
-    return out, (q, k, v, w, out, lse)
-
-
-def _flash_bwd(scale, causal, block_q, block_k, res, do):
-    q, k, v, w, out, lse = res
-    _, s, bq, bk = _canon(q, w, scale, block_q, block_k)
-    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, w, s, causal, bq, bk)
-    return dq, dk, dv, None
-
-
-flash_attention.defvjp(_flash_fwd, _flash_bwd)
+    See :func:`flash_attention_lse` — this drops the lse output (its zero
+    cotangent vanishes in the backward)."""
+    return flash_attention_lse(q, k, v, window, 0, 0, scale, causal,
+                               block_q, block_k)[0]
