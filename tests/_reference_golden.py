@@ -90,8 +90,13 @@ def main():
 
     result = {}
     for family in families:
-        mod, maps, model = build_tiny(family, patch_composite=composite)
-        if maps is not None and family != "bert":
+        bf16 = family.endswith("_bf16")
+        base = family[:-5] if bf16 else family
+        mod, maps, model = build_tiny(base, patch_composite=composite)
+        if bf16:
+            import torch as _t
+            model = model.to(_t.bfloat16)
+        if maps is not None and base != "bert":
             patch_map = getattr(maps, {"attnlrp": "attnLRP", "cp_lrp": "cp_LRP"}[composite])
             with warnings.catch_warnings():
                 warnings.simplefilter("ignore")
@@ -99,7 +104,7 @@ def main():
 
         ids = torch.randint(0, 256, (1, 12), generator=torch.Generator().manual_seed(1))
         emb = model.get_input_embeddings()(ids).detach().requires_grad_()
-        if family == "bert":
+        if base == "bert":
             mask = torch.ones(1, 12, dtype=torch.long)
             logits = model(inputs_embeds=emb, attention_mask=mask).logits
             logits[0, :].max().backward()
@@ -109,8 +114,8 @@ def main():
         rel = (emb * emb.grad).float().sum(-1)
 
         result[f"{family}.ids"] = ids.numpy()
-        result[f"{family}.logits"] = logits.detach().numpy()
-        result[f"{family}.rel"] = rel.detach().numpy()
+        result[f"{family}.logits"] = logits.detach().float().numpy()
+        result[f"{family}.rel"] = rel.detach().float().numpy()
 
     np.savez(out_path, **result)
     print("golden written:", out_path)

@@ -102,3 +102,37 @@ def test_llama3_rope_scaling_forward_parity():
     e = jllama.embed(params, jnp.asarray(ids.numpy()))
     logits = jllama.forward(params, cfg, e, lxt_tpu.vanilla_gradient).logits
     np.testing.assert_allclose(np.asarray(logits), ref, rtol=0, atol=2e-5)
+
+
+def test_llama_bf16_parity(reference_lxt, tmp_path):
+    """bf16 end-to-end relevance vs the torch bf16 reference — pins the
+    mixed-precision semantics (f32 RMSNorm upcast, f32 relevance sums)."""
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path / "llama_bf16.npz"
+    script = os.path.join(os.path.dirname(__file__), "_reference_golden.py")
+    r = subprocess.run(
+        [_sys.executable, script, "attnlrp", str(out), "llama_bf16"],
+        capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stdout + r.stderr)
+    data = dict(np.load(out))
+    ids, ref_rel = data["llama_bf16.ids"], data["llama_bf16.rel"]
+
+    cfg, _ = _build_ours("llama")
+    from tests._reference_golden import build_tiny
+    _, _, hf_model = build_tiny("llama")
+    import numpy as _np
+    params = jllama.params_from_hf(hf_model.state_dict(), cfg)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
+
+    embeds = jllama.embed(params, jnp.asarray(ids))
+
+    def target(e):
+        return select_logit(jllama.forward(params, cfg, e, lxt_tpu.attnlrp).logits)
+
+    _, rel = input_relevance(target, embeds)
+    a, b = _np.asarray(rel, _np.float32).ravel(), ref_rel.ravel()
+    cos = a @ b / (_np.linalg.norm(a) * _np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
