@@ -12,7 +12,13 @@ from lxt_tpu.parallel.mesh import (
     attribute_sharded,
     llama_param_shardings,
     make_mesh,
+    mixtral_param_shardings,
     shard_params,
 )
+from lxt_tpu.parallel.ring import attribute_sequence_parallel, ring_flash_attention
 
-__all__ = ["make_mesh", "llama_param_shardings", "shard_params", "attribute_sharded"]
+__all__ = [
+    "make_mesh", "llama_param_shardings", "mixtral_param_shardings",
+    "shard_params", "attribute_sharded",
+    "ring_flash_attention", "attribute_sequence_parallel",
+]

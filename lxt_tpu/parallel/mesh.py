@@ -104,3 +104,29 @@ def attribute_sharded(target_fn, mesh: Mesh, *, donate: bool = False):
         return jitted(embeds)
 
     return wrapped
+
+
+def mixtral_param_shardings(mesh: Mesh):
+    """PartitionSpecs for the Mixtral pytree (models/mixtral.py layout):
+    EXPERT parallelism — the expert axis (axis 1 of the stacked [L, E, in,
+    out] weights) is split over ``model``, so each device holds a subset of
+    experts and the dense one-hot combine reduces over them with one psum
+    (emitted by GSPMD). Attention projections shard like Llama.
+    """
+    m = "model"
+    specs = {
+        "embed": P(m, None),
+        "final_norm": P(None),
+        "lm_head": P(None, m),
+        "layers": {
+            "ln1": P(None, None), "ln2": P(None, None),
+            "wq": P(None, None, m), "wk": P(None, None, m), "wv": P(None, None, m),
+            "wo": P(None, m, None),
+            "w_router": P(None, None, None),
+            "wg": P(None, m, None, None),   # experts split over the mesh
+            "wu": P(None, m, None, None),
+            "wd": P(None, m, None, None),
+        },
+    }
+    return jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                        is_leaf=lambda x: isinstance(x, P))

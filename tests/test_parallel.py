@@ -54,3 +54,31 @@ def test_dp_tp_attribution_matches_single_device():
                                rtol=0, atol=1e-4)
     # relevance actually came back sharded over data
     assert "data" in str(rel.sharding)
+
+
+def test_mixtral_expert_parallel():
+    """Expert-parallel Mixtral attribution matches single-device (the expert
+    axis is split over the model mesh axis; GSPMD inserts the reductions)."""
+    from lxt_tpu.models import mixtral as jmix
+    from lxt_tpu.parallel import mixtral_param_shardings
+
+    cfg = jmix.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2, num_experts=4, experts_per_token=2)
+    params = jmix.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
+    embeds = jmix.embed(params, ids)
+
+    def target(p, e):
+        return select_logit(jmix.forward(p, cfg, e, lxt_tpu.attnlrp).logits)
+
+    val_ref, rel_ref = input_relevance(lambda e: target(params, e), embeds)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded, _ = shard_params(params, mixtral_param_shardings(mesh))
+    step = attribute_sharded(lambda e: target(sharded, e), mesh)
+    val, rel = step(embeds)
+
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
+                               rtol=0, atol=1e-4)
