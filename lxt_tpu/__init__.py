@@ -30,7 +30,24 @@ def from_hf(hf_model, composite=None, dtype=None):
     return _from_hf(hf_model, composite=composite, dtype=dtype)
 
 
+def __getattr__(name):
+    # lazy top-level conveniences (keep `import lxt_tpu` light)
+    if name == "AttributionPipeline":
+        from lxt_tpu.pipeline import AttributionPipeline
+        return AttributionPipeline
+    if name in ("input_relevance", "latent_relevance", "select_logit",
+                "contrastive_target", "normalize_relevance"):
+        import lxt_tpu.attribution as _a
+        return getattr(_a, name)
+    if name == "load_checkpoint_params":
+        from lxt_tpu.io import load_checkpoint_params
+        return load_checkpoint_params
+    raise AttributeError(name)
+
+
 __all__ = [
     "ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient",
-    "from_hf", "__version__",
+    "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
+    "select_logit", "contrastive_target", "normalize_relevance",
+    "load_checkpoint_params", "__version__",
 ]
