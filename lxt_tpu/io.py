@@ -55,6 +55,8 @@ def _lib():
         lib.sl_header.argtypes = [ctypes.c_void_p]
         lib.sl_data.restype = ctypes.c_void_p
         lib.sl_data.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.sl_file_size.restype = ctypes.c_uint64
+        lib.sl_file_size.argtypes = [ctypes.c_void_p]
         lib.sl_widen.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
         lib.sl_close.argtypes = [ctypes.c_void_p]
@@ -62,32 +64,59 @@ def _lib():
     return _LIB
 
 
-def load_safetensors(path, dtype=np.float32, threads=None):
-    """Read one .safetensors file -> {name: np.ndarray}.
+def _itemsize(st_dtype):
+    return 2 if st_dtype in ("BF16", "F16") else _DTYPES[st_dtype][1]
 
-    f32/int tensors are zero-copy views onto the mmap (copied only on
-    mutation); bf16/f16 tensors are widened to ``dtype`` by the native
-    thread pool.
-    """
+
+def _validate_tensor(name, st_dtype, shape, begin, end, data_size):
+    """Bounds-check one tensor record against the container's data section
+    (a truncated/malformed file must raise, not read out of bounds)."""
+    count = int(np.prod(shape)) if shape else 1
+    if begin < 0 or end < begin or end > data_size:
+        raise ValueError(
+            f"safetensors tensor '{name}': data_offsets [{begin}, {end}) "
+            f"outside the {data_size}-byte data section")
+    if end - begin != count * _itemsize(st_dtype):
+        raise ValueError(
+            f"safetensors tensor '{name}': {end - begin} bytes for "
+            f"{count} x {st_dtype} elements")
+    return count
+
+
+def _widen_np(raw_u16, kind):
+    """bf16/f16 -> f32 in pure numpy (fallback when g++ is unavailable)."""
+    if kind == 0:  # bf16: shift into the top half of an f32
+        return (raw_u16.astype(np.uint32) << 16).view(np.float32)
+    return raw_u16.view(np.float16).astype(np.float32)
+
+
+def _parse_entries(meta):
+    meta = dict(meta)
+    meta.pop("__metadata__", None)
+    return meta
+
+
+def _load_safetensors_native(path, dtype, threads):
     lib = _lib()
     threads = threads or min(8, os.cpu_count() or 1)
     handle = lib.sl_open(str(path).encode())
     if not handle:
-        raise FileNotFoundError(path)
+        raise FileNotFoundError(f"{path}: missing or malformed safetensors")
     try:
         hlen = lib.sl_header_len(handle)
+        data_size = lib.sl_file_size(handle) - 8 - hlen
         header = ctypes.string_at(lib.sl_header(handle), hlen)
-        meta = json.loads(header)
-        meta.pop("__metadata__", None)
+        meta = _parse_entries(json.loads(header))
 
         out = {}
         for name, info in meta.items():
             st_dtype = info["dtype"]
             shape = tuple(info["shape"])
             begin, end = info["data_offsets"]
+            count = _validate_tensor(name, st_dtype, shape, begin, end,
+                                     data_size)
             ptr = lib.sl_data(handle, begin)
             nbytes = end - begin
-            count = int(np.prod(shape)) if shape else 1
 
             if st_dtype in ("BF16", "F16"):
                 dst = np.empty(count, np.float32)
@@ -104,6 +133,53 @@ def load_safetensors(path, dtype=np.float32, threads=None):
         return out
     finally:
         lib.sl_close(handle)
+
+
+def _load_safetensors_numpy(path, dtype):
+    """Pure-numpy reader (no native library): np.memmap + vectorized
+    bf16/f16 widening. Same validation and output contract as the native
+    path, ~4x slower on bf16 checkpoints."""
+    mm = np.memmap(path, np.uint8, mode="r")
+    if mm.size < 8:
+        raise ValueError(f"{path}: truncated safetensors (< 8 bytes)")
+    hlen = int(np.frombuffer(mm[:8], np.uint64)[0])
+    if hlen > mm.size - 8:
+        raise ValueError(f"{path}: header length {hlen} past end of file")
+    meta = _parse_entries(json.loads(bytes(mm[8:8 + hlen])))
+    data = mm[8 + hlen:]
+
+    out = {}
+    for name, info in meta.items():
+        st_dtype = info["dtype"]
+        shape = tuple(info["shape"])
+        begin, end = info["data_offsets"]
+        _validate_tensor(name, st_dtype, shape, begin, end, data.size)
+        raw = data[begin:end]
+        if st_dtype in ("BF16", "F16"):
+            kind = 0 if st_dtype == "BF16" else 1
+            arr = _widen_np(raw.view(np.uint16), kind).reshape(shape)
+            arr = arr.astype(dtype, copy=False)
+        else:
+            np_dtype, _ = _DTYPES[st_dtype]
+            arr = np.array(raw.view(np_dtype).reshape(shape))
+        out[name] = arr
+    return out
+
+
+def load_safetensors(path, dtype=np.float32, threads=None):
+    """Read one .safetensors file -> {name: np.ndarray}.
+
+    f32/int tensors are zero-copy views onto the mmap (copied only on
+    mutation); bf16/f16 tensors are widened to ``dtype`` by the native
+    thread pool. Falls back to the pure-numpy reader if the native library
+    cannot be built (no g++) or loaded.
+    """
+    try:
+        return _load_safetensors_native(path, dtype, threads)
+    except (OSError, subprocess.CalledProcessError) as e:
+        if isinstance(e, FileNotFoundError) and str(path) in str(e):
+            raise  # the checkpoint itself is missing/malformed
+        return _load_safetensors_numpy(path, dtype)
 
 
 def load_checkpoint_state_dict(model_dir, dtype=np.float32):

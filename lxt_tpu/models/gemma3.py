@@ -156,7 +156,11 @@ def forward(
         # select local vs global rope/mask for this layer (scanned scalar flag)
         cos = jnp.where(sliding > 0, cos_l, cos_g)
         sin = jnp.where(sliding > 0, sin_l, sin_g)
-        window = jnp.where(sliding > 0, cfg.sliding_window, T).astype(jnp.int32)
+        # full-attention layers must use an unbounded window, NOT T: under
+        # ring/sequence-parallel attention T is the LOCAL shard length and
+        # window comparisons run in global coordinates (parallel/ring.py)
+        window = jnp.where(sliding > 0, cfg.sliding_window,
+                           jnp.int32(2**30)).astype(jnp.int32)
         q, k = common.apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, causal=True, window=window, bias=bias,
                          composite=composite, scale=scale, impl=attn_impl)

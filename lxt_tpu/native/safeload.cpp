@@ -72,14 +72,23 @@ void widen_range(const uint16_t* src, float* dst, size_t begin, size_t end,
 
 extern "C" {
 
-// Map a file; returns an opaque handle (heap Mapped*), null on failure.
+// Map a file; returns an opaque handle (heap Mapped*), null on failure or
+// on a malformed container (size < 8 or header length past end-of-file) —
+// rejecting truncated files here prevents out-of-bounds reads downstream.
 void* sl_open(const char* path) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+  if (fstat(fd, &st) != 0 || st.st_size < 8) { ::close(fd); return nullptr; }
   void* base = ::mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   if (base == MAP_FAILED) { ::close(fd); return nullptr; }
+  uint64_t hlen;
+  std::memcpy(&hlen, base, 8);
+  if (hlen > static_cast<uint64_t>(st.st_size) - 8) {
+    ::munmap(base, st.st_size);
+    ::close(fd);
+    return nullptr;
+  }
   ::madvise(base, st.st_size, MADV_WILLNEED);
   auto* m = new Mapped{fd, base, static_cast<size_t>(st.st_size)};
   return m;

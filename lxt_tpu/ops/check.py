@@ -21,31 +21,83 @@ import contextlib
 import jax.numpy as jnp
 
 CONSERVATION_CHECK_FLAG = [False]
+NAN_CHECK_FLAG = [False]
 
 
 @contextlib.contextmanager
-def conservation_check():
+def conservation_check(raise_on_nan: bool = False):
     """Context manager enabling uniform-redistribution mode for all rules.
 
     Mirrors ``lxt.explicit.check.conservation_check`` (check.py:6-15).
+    With ``raise_on_nan=True`` every rule backward additionally embeds a
+    ``checkify`` NaN assertion (the reference's wrapper raises on NaN,
+    functional.py:29-30) — run the attribution through :func:`checked` so
+    the error is discharged and raised on the host.
+
     Note: functions jitted *inside* the context trace with the check enabled;
     pre-existing jit caches are not affected. Prefer calling un-jitted or
     freshly-wrapped functions under this context.
     """
     CONSERVATION_CHECK_FLAG[0] = True
+    NAN_CHECK_FLAG[0] = raise_on_nan
     try:
         yield
     finally:
         CONSERVATION_CHECK_FLAG[0] = False
+        NAN_CHECK_FLAG[0] = False
 
 
-def maybe_redistribute(in_relevances, out_relevances):
+@contextlib.contextmanager
+def nan_check():
+    """Enable only the in-program NaN assertions (no redistribution): every
+    rule backward checks its outgoing relevance for NaN/Inf. Wrap the
+    attribution with :func:`checked` to discharge the assertions."""
+    NAN_CHECK_FLAG[0] = True
+    try:
+        yield
+    finally:
+        NAN_CHECK_FLAG[0] = False
+
+
+def checked(fn):
+    """Wrap ``fn`` so in-program ``checkify`` assertions (NaN relevance under
+    :func:`nan_check` / ``conservation_check(raise_on_nan=True)``) raise a
+    ``JaxRuntimeError`` on the host after the jitted program returns —
+    the TPU-native counterpart of the reference raising inside the autograd
+    backward (``lxt/explicit/functional.py:29-30``)."""
+    from jax.experimental import checkify
+    import functools
+
+    cfn = checkify.checkify(fn, errors=checkify.user_checks)
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        err, out = cfn(*args, **kwargs)
+        checkify.check_error(err)
+        return out
+
+    return wrapped
+
+
+def _maybe_assert_finite(relevances, where):
+    if not NAN_CHECK_FLAG[0]:
+        return
+    from jax.experimental import checkify
+    for r in relevances:
+        if r is not None:
+            checkify.check(jnp.isfinite(r.astype(jnp.float32)).all(),
+                           f"NaN/Inf relevance at rule backward: {where}")
+
+
+def maybe_redistribute(in_relevances, out_relevances, where="rule"):
     """If the conservation check is active (at trace time), replace each input
-    relevance with the uniform mean of the total output relevance.
+    relevance with the uniform mean of the total output relevance; under the
+    NaN check, additionally assert the outgoing relevance is finite.
 
     ``in_relevances``/``out_relevances`` are tuples of arrays (or None).
     Returns a tuple matching ``in_relevances``.
     """
+    _maybe_assert_finite(in_relevances, where)
     if not CONSERVATION_CHECK_FLAG[0]:
         return in_relevances
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lxt_tpu.attribution import input_relevance, normalize_relevance, select_logit
+from lxt_tpu.attribution import normalize_relevance
 
 
 @dataclasses.dataclass
@@ -23,7 +23,7 @@ class Heatmap:
     tokens: List[str]
     relevance: np.ndarray       # [len(tokens)], normalized to [-1, 1]
     raw_relevance: np.ndarray   # unnormalized
-    value: float                # explained logit value
+    value: float                # this prompt's explained logit value
 
 
 class AttributionPipeline:
@@ -57,7 +57,9 @@ class AttributionPipeline:
         return ids, mask, seqs
 
     def _step(self, shape, composite):
-        key = (shape, composite.name)
+        # Composite is a frozen (hashable) dataclass; keying on the object
+        # itself distinguishes e.g. two gamma variants that share a name.
+        key = (shape, composite)
         if key not in self._jitted:
             fwd, cfg, params = (self.model._fns["forward"], self.model.cfg,
                                 self.model.params)
@@ -66,8 +68,15 @@ class AttributionPipeline:
                 def tgt(e):
                     logits = fwd(params, cfg, e, composite,
                                  attention_mask=mask).logits
-                    return select_logit(logits, position=-1)
-                return input_relevance(tgt, embeds)
+                    row = logits[:, -1, :]
+                    per_example = row.max(axis=-1)
+                    # summing is safe: per-example targets have disjoint grads
+                    return per_example.sum(), per_example
+                (_, per_example), grad = jax.value_and_grad(
+                    tgt, has_aux=True)(embeds)
+                rel = (embeds.astype(jnp.float32) * grad.astype(jnp.float32)
+                       ).sum(-1)
+                return per_example, rel
 
             self._jitted[key] = jax.jit(run)
         return self._jitted[key]
@@ -80,6 +89,7 @@ class AttributionPipeline:
             embeds, jnp.asarray(mask))
         rel = np.asarray(rel)
 
+        value = np.asarray(value)
         out = []
         for i, s in enumerate(seqs):
             r = rel[i, ids.shape[1] - len(s):]
@@ -90,5 +100,5 @@ class AttributionPipeline:
                 tokens=tokens,
                 relevance=np.asarray(normalize_relevance(jnp.asarray(r))),
                 raw_relevance=r,
-                value=float(value)))
+                value=float(value[i])))
         return out

@@ -88,3 +88,48 @@ def test_end_to_end_params_from_checkpoint(tmp_path):
     l1 = jllama.forward(params_native, cfg, e1, lxt_tpu.attnlrp).logits
     l2 = jllama.forward(params_torch, cfg, e2, lxt_tpu.attnlrp).logits
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=0, atol=1e-6)
+
+
+def test_numpy_fallback_matches_native(st_file):
+    """The pure-numpy reader (used when g++ is unavailable) returns exactly
+    the native loader's output."""
+    from lxt_tpu.io import _load_safetensors_numpy, load_safetensors
+
+    path, _ = st_file
+    native = load_safetensors(path)
+    fallback = _load_safetensors_numpy(path, np.float32)
+    assert set(native) == set(fallback)
+    for name in native:
+        np.testing.assert_array_equal(native[name], fallback[name])
+
+
+def test_malformed_safetensors_raises(tmp_path):
+    """Truncated/malformed containers must raise, not read out of bounds."""
+    import struct
+
+    from lxt_tpu.io import _load_safetensors_numpy, load_safetensors
+
+    # header length pointing past end-of-file
+    bad1 = tmp_path / "bad_header.safetensors"
+    bad1.write_bytes(struct.pack("<Q", 1 << 40) + b"{}")
+    with pytest.raises((FileNotFoundError, ValueError)):
+        load_safetensors(bad1)
+
+    # valid header, tensor data_offsets beyond the data section
+    import json
+    header = json.dumps({"w": {"dtype": "F32", "shape": [4, 4],
+                               "data_offsets": [0, 64]}}).encode()
+    bad2 = tmp_path / "truncated.safetensors"
+    bad2.write_bytes(struct.pack("<Q", len(header)) + header + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        load_safetensors(bad2)
+    with pytest.raises(ValueError):
+        _load_safetensors_numpy(bad2, np.float32)
+
+    # wrong byte count for the element count
+    header = json.dumps({"w": {"dtype": "F32", "shape": [4],
+                               "data_offsets": [0, 12]}}).encode()
+    bad3 = tmp_path / "badcount.safetensors"
+    bad3.write_bytes(struct.pack("<Q", len(header)) + header + b"\x00" * 12)
+    with pytest.raises(ValueError):
+        load_safetensors(bad3)

@@ -128,3 +128,36 @@ def test_padding_invariance_gpt2_gemma3_mixtral():
                               num_experts=4, experts_per_token=2)
     mp = jmix.init_params(mcfg, jax.random.PRNGKey(2))
     check(jmix.forward, lambda i: jmix.embed(mp, i), mcfg, mp)
+
+
+def test_pipeline_per_example_values():
+    """Each Heatmap.value is that prompt's OWN explained (max last-position)
+    logit, not a batch-summed scalar (regression)."""
+    model, cfg, params = _model()
+    tok = ToyTokenizer()
+    pipe = AttributionPipeline(model, tok)
+    prompts = ["alpha beta gamma", "one two three four five"]
+    heatmaps = pipe(prompts)
+
+    for p, hm in zip(prompts, heatmaps):
+        ids = jnp.asarray(tok(p)["input_ids"])[None]
+        logits = jllama.forward(params, cfg, jllama.embed(params, ids),
+                                lxt_tpu.attnlrp).logits
+        expect = float(logits[0, -1].max())
+        np.testing.assert_allclose(hm.value, expect, rtol=1e-5)
+    assert heatmaps[0].value != heatmaps[1].value
+
+
+def test_pipeline_gamma_composites_get_distinct_programs():
+    """Two gamma variants share the name 'attnlrp+gamma'; the jit cache must
+    key on the composite OBJECT so they compile separately (regression)."""
+    model, _, _ = _model()
+    pipe = AttributionPipeline(model, ToyTokenizer())
+    g1 = lxt_tpu.attnlrp.with_gamma(linear_gamma=0.25)
+    g2 = lxt_tpu.attnlrp.with_gamma(linear_gamma=4.0)
+    assert g1.name == g2.name
+
+    hm1 = pipe(["alpha beta gamma"], composite=g1)[0]
+    hm2 = pipe(["alpha beta gamma"], composite=g2)[0]
+    assert len(pipe._jitted) == 2
+    assert not np.allclose(hm1.raw_relevance, hm2.raw_relevance)

@@ -117,3 +117,34 @@ def test_sequence_parallel_llama_attribution():
     np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
                                rtol=0, atol=2e-4)
+
+
+def test_sequence_parallel_gemma3_attribution():
+    """Gemma-3 alternating local/global layers on the ring: the FULL-attention
+    layer's window must be unbounded in GLOBAL coordinates (regression: it was
+    set to the local shard length T_local, silently truncating attention)."""
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import gemma3 as jg
+    from lxt_tpu.parallel.ring import attribute_sequence_parallel
+
+    cfg = jg.Gemma3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, sliding_window=64,
+        query_pre_attn_scalar=16.0,
+        layer_types=("sliding_attention", "full_attention"))
+    params = jg.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 512), 0, 128)
+    embeds = jg.embed(params, ids, cfg)
+
+    def target(e):
+        return select_logit(jg.forward(params, cfg, e, lxt_tpu.attnlrp,
+                                       attn_impl="einsum").logits)
+    val_ref, rel_ref = input_relevance(target, embeds)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("sp",))
+    val, rel = attribute_sequence_parallel(
+        jg.forward, params, cfg, embeds, mesh, lxt_tpu.attnlrp)
+
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
+                               rtol=0, atol=2e-4)

@@ -184,3 +184,32 @@ def test_assert_finite_relevance_raises():
 
     with np.testing.assert_raises(ValueError):
         assert_finite_relevance(jnp.array([1.0, jnp.nan]))
+
+
+def test_nan_check_raises_in_program():
+    """Under nan_check + checked(), a NaN in any rule backward raises a host
+    error (reference: conservation_check_wrap raises on NaN,
+    lxt/explicit/functional.py:29-30); finite relevance passes."""
+    import pytest
+
+    from lxt_tpu.ops.check import checked, nan_check
+    from lxt_tpu.ops.rules import divide_gradient
+
+    def make_grad(denom_offset):
+        def f(x):
+            # grad through 1/(x - offset) is NaN/Inf where x == offset
+            y = divide_gradient(x, 2) / (x - denom_offset)
+            return y.sum()
+        return jax.grad(f)
+
+    x = jnp.array([1.0, 2.0, 3.0])
+    # the flag is read at TRACE time, so tracing (the first call) must
+    # happen inside the context
+    with nan_check():
+        with pytest.raises(Exception, match="NaN/Inf relevance"):
+            checked(make_grad(2.0))(x)  # x==2 -> division by zero
+        finite = checked(make_grad(100.0))(x)
+    # closed form: the /2 applies only on the numerator (divide_gradient) path
+    xs = np.asarray(x)
+    expect = 0.5 / (xs - 100.0) - xs / (xs - 100.0) ** 2
+    np.testing.assert_allclose(np.asarray(finite), expect, rtol=1e-5)
