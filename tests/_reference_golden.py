@@ -1,14 +1,203 @@
 """Helper: compute golden relevances with the torch reference in a fresh
 process (the reference's monkey-patching is global and irreversible, so each
-composite needs its own interpreter). Invoked by tests/test_parity_llama.py.
+composite needs its own interpreter). Invoked by tests/test_parity_llama.py,
+test_parity_gemma3.py, test_parity_bert.py, test_parity_explicit.py and
+test_parity_vit.py.
 
 Usage: python tests/_reference_golden.py <composite> <out.npz> [families...]
+
+``composite`` may be 'attnlrp'/'cp_lrp' (efficient monkey-patch path) or
+'explicit' — the reference's EXPLICIT path (vendored modeling files +
+``Composite.register``, seeded ``backward(max_logit)``), which is the only
+reference path supporting Mixtral and Phi-3.
 """
 
 import sys
 import warnings
 
 import numpy as np
+
+
+def _stub_bitsandbytes():
+    """The reference's explicit models import bitsandbytes (absent here) only
+    to map its Linear4bit/Linear8bitLt onto the EpsilonRule; distinct dummy
+    classes keep the composite dicts valid."""
+    import importlib.machinery as im
+    import types
+
+    if "bitsandbytes" in sys.modules:
+        return
+    import torch.nn as nn
+
+    class Linear4bit(nn.Linear):
+        pass
+
+    class Linear8bitLt(nn.Linear):
+        pass
+
+    def mkmod(name):
+        m = types.ModuleType(name)
+        m.__spec__ = im.ModuleSpec(name, loader=None)
+        return m
+
+    bnb = mkmod("bitsandbytes")
+    bnb_nn = mkmod("bitsandbytes.nn")
+    bnb_nn.Linear4bit = Linear4bit
+    bnb_nn.Linear8bitLt = Linear8bitLt
+    bnb.nn = bnb_nn
+    sys.modules.update({"bitsandbytes": bnb, "bitsandbytes.nn": bnb_nn})
+
+
+def build_tiny_explicit(family):
+    """Instantiate the reference's vendored explicit model (tiny, seed 0) and
+    return ``(model, attnlrp_composite)``. The vendored classes share HF's
+    state_dict naming, so the same converters work on their weights."""
+    import torch
+
+    _stub_bitsandbytes()
+    torch.manual_seed(0)
+    if family == "mixtral":
+        from transformers.models.mixtral.configuration_mixtral import MixtralConfig
+        import lxt.explicit.models.mixtral as vm
+        cfg = MixtralConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+            num_local_experts=4, num_experts_per_tok=2,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            pad_token_id=0, attn_implementation="eager")
+        return vm.MixtralForCausalLM(cfg).eval(), vm.attnlrp
+    if family == "phi3":
+        from transformers.models.phi3.configuration_phi3 import Phi3Config
+        import lxt.explicit.models.phi3 as vm
+        cfg = Phi3Config(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            pad_token_id=0, attn_implementation="eager")
+        return vm.Phi3ForCausalLM(cfg).eval(), vm.attnlrp
+    if family == "llama":
+        from transformers.models.llama.configuration_llama import LlamaConfig
+        import lxt.explicit.models.llama as vm
+        cfg = LlamaConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+            max_position_embeddings=128, tie_word_embeddings=False,
+            pad_token_id=0, attn_implementation="eager")
+        return vm.LlamaForCausalLM(cfg).eval(), vm.attnlrp
+    raise ValueError(family)
+
+
+def golden_explicit(family):
+    """Run the reference explicit path end-to-end: Composite.register, then
+    ``max_logit.backward(max_logit)`` — the input embedding's grad IS the
+    relevance (reference examples/paper/llama.py:20-46)."""
+    import torch
+
+    model, composite = build_tiny_explicit(family)
+    composite.register(model)
+    ids = torch.randint(0, 256, (1, 12),
+                        generator=torch.Generator().manual_seed(1))
+    emb = model.get_input_embeddings()(ids).detach().requires_grad_()
+    logits = model(inputs_embeds=emb, use_cache=False).logits
+    max_logit = logits[0, -1, :].max()
+    max_logit.backward(max_logit)
+    rel = emb.grad.float().sum(-1)
+    return ids, logits, rel
+
+
+class _TorchViT:
+    """Builder for a torchvision-``VisionTransformer``-shaped torch model
+    (state_dict-key compatible) without the torchvision dependency: the
+    reference's ViT patch map targets plain ``torch.nn`` classes
+    (lxt/efficient/models/vit_torch.py:7-11), so patching these is running
+    the reference's actual rule code."""
+
+    @staticmethod
+    def build(image_size=32, patch_size=8, hidden=64, mlp=128, heads=4,
+              layers=2, classes=10):
+        import collections
+
+        import torch
+        import torch.nn as nn
+
+        torch.manual_seed(0)
+        seq_len = (image_size // patch_size) ** 2 + 1
+
+        class EncoderBlock(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = nn.LayerNorm(hidden, eps=1e-6)
+                self.self_attention = nn.MultiheadAttention(
+                    hidden, heads, batch_first=True)
+                self.dropout = nn.Dropout(0.0)
+                self.ln_2 = nn.LayerNorm(hidden, eps=1e-6)
+                self.mlp = nn.Sequential(
+                    nn.Linear(hidden, mlp), nn.GELU(), nn.Dropout(0.0),
+                    nn.Linear(mlp, hidden), nn.Dropout(0.0))
+
+            def forward(self, input):
+                x = self.ln_1(input)
+                x, _ = self.self_attention(x, x, x, need_weights=False)
+                x = self.dropout(x)
+                x = x + input
+                y = self.mlp(self.ln_2(x))
+                return x + y
+
+        class Encoder(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.pos_embedding = nn.Parameter(
+                    torch.empty(1, seq_len, hidden).normal_(std=0.02))
+                self.dropout = nn.Dropout(0.0)
+                self.layers = nn.Sequential(collections.OrderedDict(
+                    (f"encoder_layer_{i}", EncoderBlock())
+                    for i in range(layers)))
+                self.ln = nn.LayerNorm(hidden, eps=1e-6)
+
+            def forward(self, x):
+                return self.ln(self.layers(self.dropout(x + self.pos_embedding)))
+
+        class ViT(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv_proj = nn.Conv2d(3, hidden, kernel_size=patch_size,
+                                           stride=patch_size)
+                self.class_token = nn.Parameter(torch.zeros(1, 1, hidden))
+                self.encoder = Encoder()
+                self.heads = nn.Sequential(collections.OrderedDict(
+                    head=nn.Linear(hidden, classes)))
+
+            def forward(self, x):
+                n = x.shape[0]
+                x = self.conv_proj(x).reshape(n, hidden, -1).permute(0, 2, 1)
+                x = torch.cat([self.class_token.expand(n, -1, -1), x], dim=1)
+                x = self.encoder(x)
+                return self.heads(x[:, 0])
+
+        return ViT().eval()
+
+
+def golden_vit():
+    """Reference efficient cp_LRP ViT flow (examples/vit_torch.py:59-97,
+    sans the zennit gamma overlay): patch, forward, backward on the top
+    logit, channel-summed Gradient*Input heatmap."""
+    import torch
+    from lxt.efficient.core import monkey_patch
+    import lxt.efficient.models.vit_torch as maps
+
+    model = _TorchViT.build()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        monkey_patch(sys.modules[__name__], maps.cp_LRP)
+
+    x = torch.randn(1, 3, 32, 32,
+                    generator=torch.Generator().manual_seed(1))
+    x = x.requires_grad_()
+    y = model(x)
+    top = y[0].argmax()
+    y[0, top].backward()
+    heatmap = (x * x.grad).sum(1)
+    return x.detach(), y, heatmap, int(top)
 
 
 def build_tiny(family, patch_composite=None):
@@ -89,6 +278,24 @@ def main():
     from lxt.efficient.core import monkey_patch
 
     result = {}
+    if composite == "explicit":
+        for family in families:
+            ids, logits, rel = golden_explicit(family)
+            result[f"{family}.ids"] = ids.numpy()
+            result[f"{family}.logits"] = logits.detach().float().numpy()
+            result[f"{family}.rel"] = rel.detach().float().numpy()
+        np.savez(out_path, **result)
+        print("golden written:", out_path)
+        return
+    if composite == "vit":
+        x, y, heatmap, top = golden_vit()
+        result["vit.x"] = x.numpy()
+        result["vit.logits"] = y.detach().float().numpy()
+        result["vit.heatmap"] = heatmap.detach().float().numpy()
+        result["vit.top"] = np.asarray(top)
+        np.savez(out_path, **result)
+        print("golden written:", out_path)
+        return
     for family in families:
         bf16 = family.endswith("_bf16")
         base = family[:-5] if bf16 else family
