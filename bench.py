@@ -27,6 +27,25 @@ ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
 # 'full' (the reference's O(sqrt N) gradient-checkpointing profile)
 REMAT = {"none": False, "dots": "dots", "full": True}[
     os.environ.get("LXT_BENCH_REMAT", "none")]
+PEAK_BF16 = 197e12  # v5e TensorCore peak
+
+
+def attribution_flops(cfg, batch, seq):
+    """Useful FLOPs of ONE attribution step (forward + relevance backward).
+
+    Linear layers: 2*tokens*weight_size forward; the backward propagates
+    only dx (params are not differentiated in attribution), another 1x.
+    Attention: 2 causal-visible matmul passes forward + 5 necessary backward
+    passes (recomputes excluded — so recompute/remat overhead depresses MFU,
+    which is the point of reporting it)."""
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    hd, H, Hkv, L = cfg.hd, cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
+    tokens = batch * seq
+    per_layer_w = D * (H * hd) + 2 * D * (Hkv * hd) + (H * hd) * D + 3 * D * I
+    linear_fwd = 2 * tokens * (L * per_layer_w + D * V)
+    pairs = seq * (seq + 1) / 2
+    attn_fwd = L * batch * H * pairs * 2 * 2 * hd
+    return (2 * linear_fwd) + (3.5 * attn_fwd)
 
 
 def main():
@@ -73,6 +92,7 @@ def main():
 
     dt = max((t_many - t_one) / ITERS, 1e-9)  # fetch overhead cancels
     hps = BATCH / dt
+    tflops = attribution_flops(cfg, BATCH, SEQ) / dt / 1e12
 
     vs = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -87,6 +107,8 @@ def main():
         "value": round(hps, 3),
         "unit": "heatmaps/s",
         "vs_baseline": (round(vs, 1) if vs is not None else None),
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops * 1e12 / PEAK_BF16, 3),
     }))
 
 

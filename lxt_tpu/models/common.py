@@ -98,6 +98,42 @@ def apply_rope(q, k, cos, sin):
     return q_out.astype(dt), k_out.astype(dt)
 
 
+def padding_setup(attention_mask, kv_begin, positions, T):
+    """Resolve ``(positions, bias, kv_begin)`` for batched prompts.
+
+    Two mutually-exclusive ways to express variable-length left-padded
+    batches:
+
+    - ``attention_mask`` ([B, T] of 1/0, arbitrary pattern): lowered to an
+      additive bias — forces the einsum attention path.
+    - ``kv_begin`` ([B] int32, index of each example's first real token):
+      structural, stays flash-eligible (the Pallas kernel takes it as a
+      scalar-prefetch input and skips fully-padded blocks).
+
+    Positions follow the HF convention (0 at the first real token).
+    """
+    bias = None
+    if attention_mask is not None:
+        assert kv_begin is None, "pass attention_mask OR kv_begin, not both"
+        mask = jnp.asarray(attention_mask)
+        if positions is None:
+            positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0, None)
+        # large-but-finite so fully-padded QUERY rows (pad attending pads)
+        # softmax to uniform instead of NaN; their outputs never reach real
+        # positions (HF uses finfo.min for the same reason)
+        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30
+                         ).astype(jnp.float32)
+    elif kv_begin is not None:
+        kv_begin = jnp.asarray(kv_begin, jnp.int32)
+        if positions is None:
+            positions = jnp.clip(
+                jnp.arange(T, dtype=jnp.int32)[None] - kv_begin[:, None],
+                0, None)
+    if positions is None:
+        positions = jnp.arange(T, dtype=jnp.int32)
+    return positions, bias, kv_begin
+
+
 def split_heads(x, n_heads, head_dim):
     """[B, T, n*d] -> [B, n, T, d]"""
     b, t, _ = x.shape

@@ -119,18 +119,13 @@ def forward(
     remat: bool = True,
     positions=None,
     attention_mask=None,
+    kv_begin=None,
     attn_impl: str = "auto",
 ):
     B, T, D = inputs_embeds.shape
     act_fn = common.ACTIVATIONS[cfg.act]
-    bias = None
-    if attention_mask is not None:
-        m = jnp.asarray(attention_mask)
-        if positions is None:
-            positions = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
-        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
-    if positions is None:
-        positions = jnp.arange(T, dtype=jnp.int32)
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, positions, T)
     cos_g, sin_g = common.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                                       scaling=cfg.rope_global_scaling)
     cos_l, sin_l = common.rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
@@ -163,7 +158,8 @@ def forward(
                            jnp.int32(2**30)).astype(jnp.int32)
         q, k = common.apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, causal=True, window=window, bias=bias,
-                         composite=composite, scale=scale, impl=attn_impl)
+                         composite=composite, scale=scale, impl=attn_impl,
+                         kv_begin=kv_begin)
         attn_out = composite.linear(common.merge_heads(attn), lp["wo"])
         attn_out = gemma_rms_norm(attn_out, lp["ln_post_attn"], cfg.rms_eps, composite)
         h = res + attn_out

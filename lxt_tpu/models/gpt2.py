@@ -90,6 +90,7 @@ def forward(
     output_hidden_states: bool = False,
     remat: bool = True,
     attention_mask=None,
+    kv_begin=None,
     attn_impl: str = "auto",
 ):
     """Causal-LM forward; default composite is CP-LRP (reference gpt2.py:24-26).
@@ -98,15 +99,10 @@ def forward(
     added here (pass ``position_embeds`` to customize/attribute them).
     """
     B, T, D = inputs_embeds.shape
-    bias = None
-    if attention_mask is not None:
-        m = jnp.asarray(attention_mask)
-        if position_embeds is None:
-            pos = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
-            position_embeds = params["wpe"][pos]
-        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, None, T)
     if position_embeds is None:
-        position_embeds = params["wpe"][jnp.arange(T)]
+        position_embeds = params["wpe"][positions]
     h = inputs_embeds + position_embeds
     inputs_sum = h
 
@@ -126,7 +122,7 @@ def forward(
         if cfg.scale_attn_by_inverse_layer_idx:
             scale = scale / (idx + 1.0)
         attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
-                         scale=scale, impl=attn_impl)
+                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["w_proj"], lp["b_proj"])
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         x = composite.act(act_fn, composite.linear(x, lp["w_fc"], lp["b_fc"]))

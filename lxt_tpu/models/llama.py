@@ -149,6 +149,7 @@ def forward(
     remat: bool = True,
     positions=None,
     attention_mask=None,
+    kv_begin=None,
     attn_impl: str = "auto",
 ):
     """Causal-LM forward. Returns :class:`ModelOutputs`.
@@ -157,24 +158,15 @@ def forward(
     output; their gradients are the per-layer relevance hooks for latent
     feature attribution (functional replacement for torch hooks).
 
-    ``attention_mask`` (optional ``[B, T]`` of 1/0) supports left-padded
-    batches of variable-length prompts: positions are derived per example
-    (HF convention) and padded keys are masked out.
+    Left-padded variable-length batches: pass ``attention_mask`` ([B, T] of
+    1/0, einsum path) or ``kv_begin`` ([B] first-valid index, flash-eligible
+    — see :func:`lxt_tpu.models.common.padding_setup`). Positions are
+    derived per example (HF convention).
     """
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
-    bias = None
-    if attention_mask is not None:
-        mask = jnp.asarray(attention_mask)
-        if positions is None:
-            positions = jnp.clip(jnp.cumsum(mask, axis=-1) - 1, 0, None)
-        # large-but-finite so fully-padded QUERY rows (pad attending pads)
-        # softmax to uniform instead of NaN; their outputs never reach real
-        # positions (HF uses finfo.min for the same reason)
-        bias = jnp.where(mask[:, None, None, :] > 0, 0.0, -1e30
-                         ).astype(jnp.float32)
-    if positions is None:
-        positions = jnp.arange(T, dtype=jnp.int32)
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, positions, T)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta,
                                   rope_scaling=cfg.rope_scaling)
     scale = cfg.hd ** -0.5
@@ -194,7 +186,7 @@ def forward(
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
-                         scale=scale, impl=attn_impl)
+                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),

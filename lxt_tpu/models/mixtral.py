@@ -46,6 +46,11 @@ class MixtralConfig:
     rms_eps: float = 1e-5
     act: str = "silu"
     tie_embeddings: bool = False
+    #: 'ragged' = sort-by-expert grouped matmul via ``lax.ragged_dot`` —
+    #: computes only the selected K experts per token (k/E of the dense
+    #: FLOPs); 'dense' = every expert on every token with a one-hot combine
+    #: (the always-correct reference path, kept for parity tests).
+    moe_impl: str = "ragged"
 
     @property
     def hd(self):
@@ -96,39 +101,88 @@ def embed(params, input_ids):
     return params["embed"][input_ids]
 
 
-def moe_block(x, lp, cfg: MixtralConfig, composite, act_fn):
-    """Sparse-MoE MLP as a dense one-hot combine (see module docstring).
-
-    HF semantics: router logits -> f32 softmax over ALL experts -> top-k ->
-    renormalize the k selected weights -> weighted sum of expert outputs.
-    """
-    B, T, D = x.shape
-    E, K = cfg.num_experts, cfg.experts_per_token
-
-    router_logits = composite.linear(x, lp["w_router"])              # [B,T,E]
+def _route(x, lp, cfg, composite):
+    """Router: f32 softmax over ALL experts -> top-k -> renormalize
+    (HF semantics; relevance flows through the softmax via G*I = Deep
+    Taylor, through top-k as a gather)."""
+    router_logits = composite.linear(x, lp["w_router"])
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
-    top_w, top_idx = jax.lax.top_k(probs, K)                         # [B,T,K]
+    top_w, top_idx = jax.lax.top_k(probs, cfg.experts_per_token)
     top_w = top_w / top_w.sum(-1, keepdims=True)
+    return top_w, top_idx
+
+
+def _dq(w, dtype):
+    from lxt_tpu.ops.quant import QuantizedTensor, dequantize
+    return dequantize(w, dtype) if isinstance(w, QuantizedTensor) else w
+
+
+def moe_block_dense(x, lp, cfg: MixtralConfig, composite, act_fn):
+    """Sparse-MoE MLP as a dense one-hot combine (see module docstring):
+    every expert runs on every token (E/k extra FLOPs), fully static."""
+    B, T, D = x.shape
+    E = cfg.num_experts
+
+    top_w, top_idx = _route(x, lp, cfg, composite)                   # [B,T,K]
     # scatter the renormalized weights back to a dense [B,T,E] map; the
     # one-hot mask is piecewise-constant (no gradient), the weights carry it
     onehot = jax.nn.one_hot(top_idx, E, dtype=top_w.dtype)           # [B,T,K,E]
     dense_w = (top_w[..., None] * onehot).sum(-2).astype(x.dtype)    # [B,T,E]
 
-    # all experts on all tokens: [B,T,E,I] gated MLP, MXU-batched over E
-    from lxt_tpu.ops.quant import QuantizedTensor, dequantize
-
-    def dq(w):
-        return dequantize(w, x.dtype) if isinstance(w, QuantizedTensor) else w
-
-    gate = jnp.einsum("btd,edi->btei", x, dq(lp["wg"]))
-    up = jnp.einsum("btd,edi->btei", x, dq(lp["wu"]))
+    gate = jnp.einsum("btd,edi->btei", x, _dq(lp["wg"], x.dtype))
+    up = jnp.einsum("btd,edi->btei", x, _dq(lp["wu"], x.dtype))
     hidden = composite.gated_mul(act_fn, gate, up)
-    expert_out = jnp.einsum("btei,eid->bted", hidden, dq(lp["wd"]))  # [B,T,E,D]
+    expert_out = jnp.einsum("btei,eid->bted", hidden, _dq(lp["wd"], x.dtype))
 
     # routing weight x expert output — uniform rule (reference
     # GateWeightMultiplication -> UniformRule, mixtral.py:1221-1249)
     weighted = composite.mul_uniform(dense_w[..., None], expert_out)
     return weighted.sum(-2)
+
+
+def moe_block_ragged(x, lp, cfg: MixtralConfig, composite, act_fn):
+    """Sparse-MoE MLP as a sort-by-expert grouped matmul: the N*K
+    (token, expert) assignments are sorted by expert (static shapes — the
+    sort is a gather under jit) and each expert multiplies only its own
+    contiguous row group via ``jax.lax.ragged_dot``. k/E of the dense
+    FLOPs, relevance-EXACT vs the dense path: gathers/scatter-adds are
+    linear, and the same rules apply at the same sites (gated_mul uniform,
+    routing-weight x expert-output uniform). Replaces the reference's
+    data-dependent Python expert loop
+    (lxt/explicit/models/mixtral.py:480-501), which is untraceable on TPU.
+    """
+    B, T, D = x.shape
+    E, K = cfg.num_experts, cfg.experts_per_token
+    N = B * T
+    xf = x.reshape(N, D)
+
+    top_w, top_idx = _route(xf, lp, cfg, composite)                  # [N,K]
+
+    expert_flat = top_idx.reshape(-1)                                # [N*K]
+    token_flat = jnp.arange(N * K, dtype=jnp.int32) // K
+    order = jnp.argsort(expert_flat)
+    tok_sorted = token_flat[order]
+    gathered = xf[tok_sorted]                                        # [N*K,D]
+    group_sizes = jnp.bincount(expert_flat, length=E).astype(jnp.int32)
+
+    def grouped(lhs, w):
+        return jax.lax.ragged_dot(lhs, _dq(w, x.dtype), group_sizes)
+
+    gate = grouped(gathered, lp["wg"])
+    up = grouped(gathered, lp["wu"])
+    hidden = composite.gated_mul(act_fn, gate, up)
+    expert_out = grouped(hidden, lp["wd"])                           # [N*K,D]
+
+    w_sorted = top_w.reshape(-1)[order].astype(x.dtype)
+    weighted = composite.mul_uniform(w_sorted[:, None], expert_out)
+    out = jnp.zeros((N, D), weighted.dtype).at[tok_sorted].add(weighted)
+    return out.reshape(B, T, D).astype(x.dtype)
+
+
+def moe_block(x, lp, cfg: MixtralConfig, composite, act_fn):
+    if cfg.moe_impl == "ragged":
+        return moe_block_ragged(x, lp, cfg, composite, act_fn)
+    return moe_block_dense(x, lp, cfg, composite, act_fn)
 
 
 def forward(
@@ -142,18 +196,13 @@ def forward(
     remat: bool = True,
     positions=None,
     attention_mask=None,
+    kv_begin=None,
     attn_impl: str = "auto",
 ):
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
-    bias = None
-    if attention_mask is not None:
-        m = jnp.asarray(attention_mask)
-        if positions is None:
-            positions = jnp.clip(jnp.cumsum(m, axis=-1) - 1, 0, None)
-        bias = jnp.where(m[:, None, None, :] > 0, 0.0, -1e30).astype(jnp.float32)
-    if positions is None:
-        positions = jnp.arange(T, dtype=jnp.int32)
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, positions, T)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
@@ -166,7 +215,7 @@ def forward(
         v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
         q, k = apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
-                         scale=scale, impl=attn_impl)
+                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         h = h + moe_block(x, lp, cfg, composite, act_fn)

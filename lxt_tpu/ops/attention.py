@@ -83,6 +83,7 @@ def attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     softcap: Optional[float] = None,
+    kv_begin=None,
 ):
     """LRP-aware scaled dot-product attention.
 
@@ -102,10 +103,15 @@ def attention(
         ``shard_map`` over mesh axis ``<axis>`` (q/k/v hold this device's
         sequence slice; see parallel/ring.py).
     softcap : optional tanh logit soft-capping.
+    kv_begin : optional int32 [B] — per-example index of the first VALID key
+        (left-padded batches). Structural like ``causal``/``window``, so it
+        stays flash-eligible (the kernel takes it as a scalar-prefetch
+        input and skips fully-padded blocks); the einsum path folds it into
+        an additive bias. Padded query rows return zeros with zero grads.
     """
     if impl.startswith("ring:"):
         from lxt_tpu.parallel.ring import ring_flash_attention
-        assert bias is None and softcap is None, \
+        assert bias is None and softcap is None and kv_begin is None, \
             "ring attention supports structural masks only"
         q, k, v = composite.qkv(q, k, v)
         return ring_flash_attention(q, k, v, impl.split(":", 1)[1],
@@ -130,13 +136,23 @@ def attention(
     if impl == "flash":
         from lxt_tpu.ops.flash_attention import flash_attention
         D = q.shape[-1]
-        Dp = -(-D // 128) * 128  # lane-align head_dim (zero-pad is exact:
-        # padded q/k columns add 0 to scores, padded v columns are sliced off)
+        # hd=64/128/256 run natively (measured faster than lane-padding on
+        # v5e: 64-wide tiles beat padded-128 by 1.2-4x, scripts/bench_flash);
+        # other head dims zero-pad to the next supported width (exact: padded
+        # q/k columns add 0 to scores, padded v columns are sliced off)
+        Dp = D if D in (64, 128, 256) else min(
+            p for p in (64, 128, 256, -(-D // 128) * 128) if p >= D)
         if Dp != D:
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        out = flash_attention(q, k, v, window, scale, causal)
+        out = flash_attention(q, k, v, window, scale, causal, kv_begin=kv_begin)
         return out[..., :D] if Dp != D else out
+    if kv_begin is not None:
+        Tk_ = k.shape[2]
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (Tk_,), 0)
+        pad_bias = jnp.where(k_idx[None] >= jnp.asarray(kv_begin)[:, None],
+                             0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+        bias = pad_bias if bias is None else bias + pad_bias
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
     return _einsum_attention(q, k, v, bias, causal, window, scale, softcap=softcap)

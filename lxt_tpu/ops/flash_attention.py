@@ -38,10 +38,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512  # measured on v5e: 512/512 is ~3x faster than 128/128
-DEFAULT_BLOCK_K = 512  # at T=4096 (see tuning sweep in the commit message)
+DEFAULT_BLOCK_Q = 1024  # v5e sweep (scripts/bench_flash.py): 1024/1024 is
+DEFAULT_BLOCK_K = 1024  # 1.6-2.1x faster than 512/512 at T=4096 (bwd 82% MFU)
 LSE_LANES = 8  # trailing lane dim for [B,H,T]-shaped stats (TPU tiling rule)
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain: the 1/ln2
+LN2 = 0.6931471805599453    # factor folds into the score scale (VPU saving)
 
 
 def _interpret():
@@ -50,11 +52,13 @@ def _interpret():
 
 def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
     """Additive mask [blk_q, blk_k] for the (iq, ik) block pair in GLOBAL
-    coordinates (sc = (window, q_start, k_start) runtime scalars)."""
-    window, q0, k0 = sc
+    coordinates (sc = (window, q_start, k_start, kv_begin) runtime scalars;
+    kv_begin masks keys before this example's first valid token —
+    left-padding support)."""
+    window, q0, k0, kv0 = sc
     q_pos = q0 + iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
     k_pos = k0 + ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-    allowed = k_pos > q_pos - window
+    allowed = (k_pos > q_pos - window) & (k_pos >= kv0)
     if causal:
         allowed = allowed & (k_pos <= q_pos)
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
@@ -62,10 +66,11 @@ def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
 
 def _skip_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely masked."""
-    window, q0, k0 = sc
+    window, q0, k0, kv0 = sc
     qlo = q0 + iq * blk_q
     klo = k0 + ik * blk_k
     skip = klo + blk_k - 1 <= qlo - window  # entirely pre-window
+    skip = skip | (klo + blk_k - 1 < kv0)   # entirely in the padding
     if causal:
         skip = skip | (klo > qlo + blk_q - 1)  # entirely future
     return skip
@@ -75,10 +80,10 @@ def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely VISIBLE (no mask needed) —
     the common case away from the causal diagonal / window edge, where the
     mask add is skipped to keep the VPU off the critical path."""
-    window, q0, k0 = sc
+    window, q0, k0, kv0 = sc
     qlo = q0 + iq * blk_q
     klo = k0 + ik * blk_k
-    inside = klo > qlo - window  # whole block within window
+    inside = (klo > qlo - window) & (klo >= kv0)  # within window, past padding
     if causal:
         inside = inside & (klo + blk_k - 1 <= qlo)
     return inside
@@ -88,11 +93,21 @@ def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
 # forward
 # ---------------------------------------------------------------------------
 
+def _scalars(w_ref):
+    """Unpack runtime scalars: (window, q_start, k_start, kv_begin[b]) —
+    kv_begin is per-example, indexed by this block's batch coordinate;
+    without padding (3-long array, static) it is the constant 0."""
+    if w_ref.shape[0] == 3:
+        return (w_ref[0], w_ref[1], w_ref[2], jnp.int32(0))
+    return (w_ref[0], w_ref[1], w_ref[2], w_ref[3 + pl.program_id(0)])
+
+
 def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc, m_scr, l_scr, *, scale, causal, blk_q, blk_k):
+                acc, m_scr, l_scr, *, scale, causal, blk_q, blk_k,
+                guard_empty):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
-    sc = (w_ref[0], w_ref[1], w_ref[2])
+    sc = _scalars(w_ref)
 
     @pl.when(ik == 0)
     def _init():
@@ -103,16 +118,23 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _step(apply_mask):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
+        # scores in the exp2 domain: log2(e) folded into the scale, so every
+        # exp below is a native exp2 with no per-element multiply
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
 
         m_prev = m_scr[:, :1]
         m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)
+        alpha = jnp.exp2(m_prev - m_cur)
+        p = jnp.exp2(s - m_cur)
+        if guard_empty:
+            # a row fully masked SO FAR has m_cur=-1e30 and would get
+            # p = exp2(0) = 1 on its masked entries; force those rows to 0
+            # (only kv_begin padding can produce such rows mid-block)
+            p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
         l_scr[:, :1] = l_scr[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
             p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
@@ -128,12 +150,14 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     def _epilogue():
         l = l_scr[:, :1]
         # rows with NO visible keys (ring steps where this device's kv slice
-        # is entirely in the query's future) get out=0 and lse=-inf-ish, so
-        # their merge weight is exactly zero
+        # is entirely in the query's future, or fully-padded kv_begin rows)
+        # get out=0 and lse=-inf-ish, so their merge weight is exactly zero
         empty = l <= 0.0
         l_safe = jnp.where(empty, 1.0, l)
         o_ref[0, 0] = jnp.where(empty, 0.0, acc[:] / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(empty, NEG_INF, m_scr[:, :1] + jnp.log(l_safe))
+        # back to natural-log lse for the external contract (ring merge)
+        lse = jnp.where(empty, NEG_INF,
+                        (m_scr[:, :1] + jnp.log2(l_safe)) * LN2)
         # TPU block tiling needs >=2 trailing dims with sublane%8==0, so the
         # [blk_q] logsumexp is broadcast into LSE_LANES lanes
         lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
@@ -170,7 +194,8 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
 
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
-                          blk_q=blk_q, blk_k=blk_k),
+                          blk_q=blk_q, blk_k=blk_k,
+                          guard_empty=sc.shape[0] > 3),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
@@ -188,10 +213,10 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, blk_q, blk_k):
+               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
-    sc = (w_ref[0], w_ref[1], w_ref[2])
+    sc = _scalars(w_ref)
 
     @pl.when(ik == 0)
     def _init():
@@ -202,10 +227,15 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        lse = lse_ref[0, 0][:, :1]  # natural-log; rescale into exp2 domain
+        p = jnp.exp2(s - lse * LOG2E)
+        if guard_empty:
+            # rows with NO visible keys (left-padding) carry lse=-1e30;
+            # exp2(s - lse) would overflow — their probabilities are 0
+            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
         dp = jax.lax.dot_general(
             do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -226,13 +256,13 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, blk_q, blk_k):
+                *, scale, causal, blk_q, blk_k, guard_empty):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
-    sc = (w_ref[0], w_ref[1], w_ref[2])
+    sc = _scalars(w_ref)
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -244,10 +274,13 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])           # [blk_q, blk_k]
+        lse = lse_ref[0, 0][:, :1]
+        p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
+        if guard_empty:
+            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
         do = do_ref[0, 0]
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -306,7 +339,8 @@ def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
     )
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
-                          blk_q=blk_q, blk_k=blk_k),
+                          blk_q=blk_q, blk_k=blk_k,
+                          guard_empty=sc.shape[0] > 3),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -344,7 +378,8 @@ def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
     )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
-                          blk_q=blk_q, blk_k=blk_k),
+                          blk_q=blk_q, blk_k=blk_k,
+                          guard_empty=sc.shape[0] > 3),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
@@ -372,8 +407,9 @@ def _pick_block(T, want):
     return b
 
 
-def _canon(q, k, window, q_start, k_start, scale, block_q, block_k):
+def _canon(q, k, window, q_start, k_start, kv_begin, scale, block_q, block_k):
     Tq, Tk = q.shape[2], k.shape[2]
+    B = q.shape[0]
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if window is None:
@@ -381,15 +417,21 @@ def _canon(q, k, window, q_start, k_start, scale, block_q, block_k):
     sc = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
                     jnp.asarray(q_start, jnp.int32).reshape(()),
                     jnp.asarray(k_start, jnp.int32).reshape(())])
+    if kv_begin is not None:
+        # kv_begin rides along as [B] extra scalars; its PRESENCE (sc length
+        # > 3, static) switches the kernels' empty-row guards on, so the
+        # unpadded path pays zero extra VPU work
+        sc = jnp.concatenate([sc, jnp.asarray(kv_begin, jnp.int32).reshape(B)])
     return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def flash_attention_lse(
     q, k, v,
     window=None,
     q_start=0,
     k_start=0,
+    kv_begin=None,
     scale: Optional[float] = None,
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
@@ -414,16 +456,16 @@ def flash_attention_lse(
     multiples of 128 (the dispatcher in ops/attention.py guarantees this
     or falls back to the einsum path).
     """
-    sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, scale,
-                               block_q, block_k)
+    sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                               scale, block_q, block_k)
     out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk)
     return out, lse[..., 0]
 
 
-def _flash_lse_fwd(q, k, v, window, q_start, k_start, scale, causal,
-                   block_q, block_k):
-    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, scale,
-                           block_q, block_k)
+def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, scale,
+                   causal, block_q, block_k):
+    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                           scale, block_q, block_k)
     out, lse = _fwd(q, k, v, sc, s, causal, bq, bk)
     return (out, lse[..., 0]), (q, k, v, sc, out, lse)
 
@@ -431,10 +473,13 @@ def _flash_lse_fwd(q, k, v, window, q_start, k_start, scale, causal,
 def _flash_lse_bwd(scale, causal, block_q, block_k, res, cts):
     do, dlse = cts
     q, k, v, sc, out, lse = res
-    _, s, bq, bk = _canon(q, k, sc[0], sc[1], sc[2], scale, block_q, block_k)
-    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, s, causal, bq, bk,
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    bq = _pick_block(q.shape[2], block_q)
+    bk = _pick_block(k.shape[2], block_k)
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
                            dlse=dlse)
-    return dq, dk, dv, None, None, None
+    return dq, dk, dv, None, None, None, None
 
 
 flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -447,9 +492,11 @@ def flash_attention(
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    kv_begin=None,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this drops the lse output (its zero
-    cotangent vanishes in the backward)."""
-    return flash_attention_lse(q, k, v, window, 0, 0, scale, causal,
-                               block_q, block_k)[0]
+    cotangent vanishes in the backward). ``kv_begin``: optional per-example
+    [B] first-valid-key index (left-padded batches)."""
+    return flash_attention_lse(q, k, v, window, 0, 0, kv_begin, scale,
+                               causal, block_q, block_k)[0]

@@ -59,7 +59,8 @@ def ring_flash_attention(q, k, v, axis_name: str,
         out_acc, lse_acc, (k_cur, v_cur) = carry
         src = (idx - s) % n          # device the current kv slice came from
         out_s, lse_s = flash_attention_lse(
-            q, k_cur, v_cur, window, q_start, src * Tl, scale, causal)
+            q, k_cur, v_cur, window, q_start, src * Tl,
+            scale=scale, causal=causal)
         out_acc, lse_acc = _merge(out_acc, lse_acc,
                                   out_s.astype(jnp.float32), lse_s)
         # rotate kv to the right neighbor (last rotation is redundant but
@@ -77,7 +78,7 @@ def ring_flash_attention(q, k, v, axis_name: str,
 
 def attribute_sequence_parallel(forward_fn, params, cfg, inputs_embeds,
                                 mesh, composite, axis: str = "sp",
-                                position: int = -1):
+                                position: int = -1, param_shardings=None):
     """End-to-end long-context attribution with the sequence sharded over
     ``axis``: every positionwise op runs on local slices, attention runs as
     a ring, and ONE vjp over the shard_mapped program returns per-token
@@ -88,6 +89,13 @@ def attribute_sequence_parallel(forward_fn, params, cfg, inputs_embeds,
     ``forward_fn(params, cfg, embeds, composite, positions=..., attn_impl=
     "ring:<axis>")`` must accept per-shard positions (all model families
     here do). Returns ``(value, relevance [B, T])`` with T global.
+
+    sp x tp composition: the shard_map is MANUAL only over ``axis``
+    (``axis_names={axis}``); every other mesh axis stays under GSPMD. Pass
+    ``param_shardings`` (e.g. ``mesh.family_param_shardings``) to shard the
+    weights over a ``model`` axis — XLA inserts the tensor-parallel psums
+    inside the ring program, in forward and in the relevance backward, so a
+    long-context 8B fits neither-weights-nor-sequence-on-one-chip meshes.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -98,11 +106,16 @@ def attribute_sequence_parallel(forward_fn, params, cfg, inputs_embeds,
     assert T % n == 0, f"sequence {T} must divide over {n} devices"
     Tl = T // n
 
+    if param_shardings is not None:
+        params = jax.device_put(params, param_shardings)
+
+    # manual only over the sequence axis; auto (GSPMD) over the rest
     pspec = jax.tree.map(lambda _: P(), params)
 
     @jax.shard_map(mesh=mesh,
                    in_specs=(pspec, P(None, axis, None)),
                    out_specs=P(),
+                   axis_names={axis},
                    check_vma=False)
     def target(params, e_local):
         idx = jax.lax.axis_index(axis)

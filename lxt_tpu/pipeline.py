@@ -2,14 +2,23 @@
 
 Beyond-reference serving surface (the reference attributes one prompt per
 script run): tokenizes a list of prompts, left-pads them into one batch,
-runs ONE fused attribution program (optionally sharded over a mesh via
-``lxt_tpu.parallel``), and returns per-prompt tokens + normalized relevance.
-Left padding keeps every prompt's target at the last position; padded keys
-are masked and per-example rope positions follow the HF convention.
+runs ONE fused attribution program, and returns per-prompt tokens +
+normalized relevance. Left padding keeps every prompt's target at the last
+position; padding is expressed as per-example ``kv_begin`` indices so the
+Pallas flash-attention kernel stays engaged (padded key blocks are skipped
+in-kernel — no O(T^2) bias materialization), and per-example rope positions
+follow the HF convention.
+
+Scale-out: pass ``mesh=`` to shard the batch over the mesh's ``data`` axis
+(the north-star batched-heatmap workload); the jitted program is compiled
+with sharded input layouts and XLA keeps the whole attribution collective-
+free except the final gather of per-prompt relevances. ``pad_multiple``
+rounds the padded length up (default 128 on TPU) so sequences stay
+flash-eligible.
 """
 
 import dataclasses
-from typing import List
+from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,13 +39,19 @@ class AttributionPipeline:
     """``pipeline(prompts)`` -> list of :class:`Heatmap`.
 
     ``model`` is an :class:`~lxt_tpu.models.registry.AttributionModel` of a
-    causal-LM family supporting ``attention_mask`` (Llama/Qwen/Mistral/Phi-3).
+    causal-LM family supporting ``kv_begin`` (Llama/Qwen/Mistral/Phi-3/
+    Gemma-3/GPT-2/Mixtral).
     """
 
-    def __init__(self, model, tokenizer, composite=None):
+    def __init__(self, model, tokenizer, composite=None, mesh=None,
+                 pad_multiple: Optional[int] = None):
         self.model = model
         self.tokenizer = tokenizer
         self.composite = composite or model.composite
+        self.mesh = mesh
+        if pad_multiple is None:
+            pad_multiple = 128 if jax.default_backend() == "tpu" else 1
+        self.pad_multiple = pad_multiple
         self._jitted = {}
 
     def _pad_id(self):
@@ -48,13 +63,19 @@ class AttributionPipeline:
     def _encode(self, prompts):
         seqs = [self.tokenizer(p)["input_ids"] for p in prompts]
         T = max(len(s) for s in seqs)
+        m = self.pad_multiple
+        T = -(-T // m) * m
         pad = self._pad_id()
-        ids = np.full((len(seqs), T), pad, np.int32)
-        mask = np.zeros((len(seqs), T), np.int32)
+        B = len(seqs)
+        if self.mesh is not None:
+            n = self.mesh.shape["data"]
+            B = -(-B // n) * n          # round the batch up to the data axis
+        ids = np.full((B, T), pad, np.int32)
+        kv_begin = np.full((B,), T, np.int32)  # dummy rows: fully padded
         for i, s in enumerate(seqs):
-            ids[i, T - len(s):] = s       # left padding
-            mask[i, T - len(s):] = 1
-        return ids, mask, seqs
+            ids[i, T - len(s):] = s            # left padding
+            kv_begin[i] = T - len(s)
+        return ids, kv_begin, seqs
 
     def _step(self, shape, composite):
         # Composite is a frozen (hashable) dataclass; keying on the object
@@ -64,10 +85,10 @@ class AttributionPipeline:
             fwd, cfg, params = (self.model._fns["forward"], self.model.cfg,
                                 self.model.params)
 
-            def run(embeds, mask):
+            def run(embeds, kv_begin):
                 def tgt(e):
                     logits = fwd(params, cfg, e, composite,
-                                 attention_mask=mask).logits
+                                 kv_begin=kv_begin).logits
                     row = logits[:, -1, :]
                     per_example = row.max(axis=-1)
                     # summing is safe: per-example targets have disjoint grads
@@ -78,15 +99,25 @@ class AttributionPipeline:
                        ).sum(-1)
                 return per_example, rel
 
-            self._jitted[key] = jax.jit(run)
+            if self.mesh is None:
+                self._jitted[key] = jax.jit(run)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                data = NamedSharding(self.mesh, P("data"))
+                self._jitted[key] = jax.jit(
+                    run,
+                    in_shardings=(NamedSharding(self.mesh, P("data", None, None)),
+                                  data),
+                    out_shardings=(data, NamedSharding(self.mesh,
+                                                       P("data", None))))
         return self._jitted[key]
 
     def __call__(self, prompts, composite=None) -> List[Heatmap]:
         composite = composite or self.composite
-        ids, mask, seqs = self._encode(prompts)
+        ids, kv_begin, seqs = self._encode(prompts)
         embeds = self.model.embed(ids)
         value, rel = self._step((ids.shape, embeds.dtype.name), composite)(
-            embeds, jnp.asarray(mask))
+            embeds, jnp.asarray(kv_begin))
         rel = np.asarray(rel)
 
         value = np.asarray(value)

@@ -1,0 +1,172 @@
+"""Flash-attention kernel microbenchmark on the real TPU.
+
+Sweeps sequence length / head_dim / block sizes and reports achieved
+TFLOP/s + MFU for forward and forward+backward, against the einsum path and
+(when available) jax's stock Pallas flash kernel as a speed-of-light
+reference. FLOPs counted are USEFUL causal FLOPs (visible q,k pairs only),
+so masked work, padding waste and recomputation all depress MFU — which is
+the point.
+
+Timing: block_until_ready is unreliable over the axon tunnel, so iterations
+are CHAINED through a data dependence and drained with one scalar fetch
+(same scheme as bench.py).
+
+Usage: python scripts/bench_flash.py [fwd|bwd|both] [--quick]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+PEAK_BF16 = 197e12  # v5e TensorCore peak, bf16
+
+
+def causal_pair_count(T, window=None):
+    if window is None or window >= T:
+        return T * (T + 1) / 2
+    w = min(window, T)
+    full = (T - w) * w          # rows past the ramp see `window` keys
+    ramp = w * (w + 1) / 2
+    return full + ramp
+
+
+def useful_flops(B, H, T, D, window=None, bwd=False):
+    """2 matmuls fwd; implemented backward does 6 matmul-passes over the
+    visible pairs (dq: recompute s + ds@k; dkv: s, p@do, do@v, ds@q)."""
+    pairs = causal_pair_count(T, window)
+    per_pair = 2 * 2 * D  # 2 matmuls x 2 FLOP/MAC
+    if bwd:
+        per_pair += 6 * 2 * D
+    return B * H * pairs * per_pair
+
+
+def timeit(fn, arg, iters=8):
+    """Chained timing: fn(arg) -> array like arg."""
+    out = fn(arg)
+    jax.block_until_ready(out)
+
+    def chain(a, n):
+        for _ in range(n):
+            a = fn(a)
+        return float(jnp.real(a).ravel()[0])
+
+    chain(arg, 1)
+    t0 = time.time(); chain(arg, 1); t1 = time.time() - t0
+    t0 = time.time(); chain(arg, 1 + iters); tn = time.time() - t0
+    return max((tn - t1) / iters, 1e-9)
+
+
+def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16):
+    from lxt_tpu.ops.flash_attention import flash_attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D), dtype)
+    k = jax.random.normal(ks[1], (B, Hkv, T, D), dtype)
+    v = jax.random.normal(ks[2], (B, Hkv, T, D), dtype)
+
+    if mode == "fwd":
+        @jax.jit
+        def step(q):
+            return flash_attention(q, k, v, None, None, True,
+                                   block_q, block_k).astype(q.dtype)
+        flops = useful_flops(B, H, T, D)
+    else:
+        @jax.jit
+        def step(q):
+            def loss(q):
+                o = flash_attention(q, k, v, None, None, True,
+                                    block_q, block_k)
+                return (o.astype(jnp.float32) ** 2).sum()
+            g = jax.grad(loss)(q)
+            return q + g.astype(q.dtype) * 1e-6
+        flops = useful_flops(B, H, T, D, bwd=True)
+
+    dt = timeit(step, q)
+    return flops / dt / 1e12, dt
+
+
+def bench_einsum(B, H, Hkv, T, D, mode, dtype=jnp.bfloat16):
+    import lxt_tpu
+    from lxt_tpu.ops.attention import attention
+
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D), dtype)
+    k = jax.random.normal(ks[1], (B, Hkv, T, D), dtype)
+    v = jax.random.normal(ks[2], (B, Hkv, T, D), dtype)
+
+    if mode == "fwd":
+        @jax.jit
+        def step(q):
+            return attention(q, k, v, causal=True, impl="einsum",
+                             composite=lxt_tpu.vanilla_gradient).astype(q.dtype)
+        flops = useful_flops(B, H, T, D)
+    else:
+        @jax.jit
+        def step(q):
+            def loss(q):
+                o = attention(q, k, v, causal=True, impl="einsum",
+                              composite=lxt_tpu.vanilla_gradient)
+                return (o.astype(jnp.float32) ** 2).sum()
+            g = jax.grad(loss)(q)
+            return q + g.astype(q.dtype) * 1e-6
+        flops = useful_flops(B, H, T, D, bwd=True)
+    try:
+        dt = timeit(step, q)
+    except Exception as e:  # OOM at long T
+        return None, str(e)[:60]
+    return flops / dt / 1e12, dt
+
+
+def main():
+    mode_arg = sys.argv[1] if len(sys.argv) > 1 else "both"
+    quick = "--quick" in sys.argv
+    modes = ["fwd", "bwd"] if mode_arg == "both" else [mode_arg]
+
+    # (B, H, Hkv, T, D) — TinyLlama-ish (hd=64, GQA 8) and 8B-ish (hd=128)
+    configs = [
+        (8, 32, 4, 1024, 64),
+        (8, 32, 4, 4096, 64),
+        (4, 32, 8, 4096, 128),
+        (2, 32, 8, 8192, 128),
+    ]
+    if quick:
+        configs = configs[1:3]
+    blocks = [(512, 512), (1024, 1024), (1024, 2048), (2048, 1024),
+              (2048, 2048)]
+    if quick:
+        blocks = [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048)]
+
+    results = []
+    for mode in modes:
+        for (B, H, Hkv, T, D) in configs:
+            tf_e, dt_e = bench_einsum(B, H, Hkv, T, D, mode)
+            base = {"mode": mode, "B": B, "H": H, "Hkv": Hkv, "T": T, "D": D}
+            if tf_e is not None:
+                r = dict(base, impl="einsum", tflops=round(tf_e, 1),
+                         mfu=round(tf_e * 1e12 / PEAK_BF16, 3),
+                         ms=round(dt_e * 1e3, 2))
+                print(json.dumps(r)); results.append(r)
+            for (bq, bk) in blocks:
+                if bq > T or bk > T:
+                    continue
+                try:
+                    tf, dt = bench_config(B, H, Hkv, T, D, bq, bk, mode)
+                except Exception as e:
+                    print(json.dumps(dict(base, impl=f"flash{bq}/{bk}",
+                                          error=str(e)[:80])))
+                    continue
+                r = dict(base, impl=f"flash{bq}/{bk}", tflops=round(tf, 1),
+                         mfu=round(tf * 1e12 / PEAK_BF16, 3),
+                         ms=round(dt * 1e3, 2))
+                print(json.dumps(r)); results.append(r)
+    return results
+
+
+if __name__ == "__main__":
+    main()

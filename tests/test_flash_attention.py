@@ -90,3 +90,89 @@ def test_flash_traced_window():
                     composite=lxt_tpu.vanilla_gradient, impl="einsum")
     np.testing.assert_allclose(np.asarray(out_win), np.asarray(ref),
                                rtol=0, atol=2e-5)
+
+
+def test_flash_kv_begin_padding():
+    """Per-example kv_begin (left-padding) in the kernel: valid rows match
+    the einsum path with an equivalent additive bias; padded query rows
+    return exactly zero with zero gradients (einsum's uniform-softmax
+    garbage in those rows never reaches real tokens, but the kernel's zeros
+    are the cleaner contract)."""
+    import lxt_tpu
+    from lxt_tpu.ops.attention import attention
+
+    B, H, T, D = 2, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    rel = jax.random.normal(ks[3], (B, H, T, D))
+    kv_begin = jnp.asarray([64, 0], jnp.int32)
+
+    def tgt_flash(q, k, v):
+        out = flash_attention(q, k, v, None, None, True, 128, 128,
+                              kv_begin=kv_begin)
+        return (out.astype(jnp.float32) * rel).sum(), out
+
+    def tgt_einsum(q, k, v):
+        out = attention(q, k, v, causal=True, impl="einsum",
+                        composite=lxt_tpu.vanilla_gradient, kv_begin=kv_begin)
+        return (out.astype(jnp.float32) * rel).sum(), out
+
+    (_, out_f), gf = jax.value_and_grad(tgt_flash, argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+    (_, out_e), ge = jax.value_and_grad(tgt_einsum, argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+
+    # example 0: rows < 64 are padding; example 1: fully valid
+    np.testing.assert_allclose(np.asarray(out_f[0, :, 64:]),
+                               np.asarray(out_e[0, :, 64:]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_f[1]), np.asarray(out_e[1]),
+                               atol=2e-5)
+    assert np.all(np.asarray(out_f[0, :, :64]) == 0.0)
+
+    for a, b, name in zip(gf, ge, "qkv"):
+        np.testing.assert_allclose(np.asarray(a[0, :, 64:]),
+                                   np.asarray(b[0, :, 64:]),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}[0]")
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}[1]")
+    # padded q rows and padded k/v positions carry exactly zero gradient
+    assert np.all(np.asarray(gf[0][0, :, :64]) == 0.0)
+    assert np.all(np.asarray(gf[1][0, :, :64]) == 0.0)
+    assert np.all(np.asarray(gf[2][0, :, :64]) == 0.0)
+
+
+def test_llama_padding_invariance_flash_path():
+    """Model-level: left-padded attribution on the FLASH path (kv_begin)
+    equals the unpadded einsum attribution on the real tokens."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    L = 200
+    ids = np.random.RandomState(0).randint(1, 64, (1, L))
+
+    e = jllama.embed(params, jnp.asarray(ids))
+    def t(x):
+        return select_logit(jllama.forward(params, cfg, x, lxt_tpu.attnlrp,
+                                           attn_impl="einsum").logits)
+    _, rel_ref = input_relevance(t, e)
+
+    T = 256
+    ids_p = np.zeros((1, T), np.int32); ids_p[0, T - L:] = ids[0]
+    kv_begin = jnp.asarray([T - L], jnp.int32)
+    ep = jllama.embed(params, jnp.asarray(ids_p))
+    def tp(x):
+        return select_logit(jllama.forward(params, cfg, x, lxt_tpu.attnlrp,
+                                           kv_begin=kv_begin,
+                                           attn_impl="flash").logits)
+    _, rel_p = input_relevance(tp, ep)
+    np.testing.assert_allclose(np.asarray(rel_p[0, T - L:]),
+                               np.asarray(rel_ref[0]), rtol=0, atol=3e-5)
+    # padded positions receive exactly zero relevance
+    assert np.all(np.asarray(rel_p[0, :T - L]) == 0.0)
