@@ -10,6 +10,8 @@ no communication code at all.
 
 from lxt_tpu.parallel.mesh import (
     attribute_sharded,
+    family_param_shardings,
+    family_param_specs,
     llama_param_shardings,
     make_mesh,
     mixtral_param_shardings,
@@ -19,6 +21,7 @@ from lxt_tpu.parallel.ring import attribute_sequence_parallel, ring_flash_attent
 
 __all__ = [
     "make_mesh", "llama_param_shardings", "mixtral_param_shardings",
+    "family_param_specs", "family_param_shardings",
     "shard_params", "attribute_sharded",
     "ring_flash_attention", "attribute_sequence_parallel",
 ]

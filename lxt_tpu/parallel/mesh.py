@@ -106,6 +106,115 @@ def attribute_sharded(target_fn, mesh: Mesh, *, donate: bool = False):
     return wrapped
 
 
+def _tp(*spec):
+    return P(*spec)
+
+
+#: Per-family tensor-parallel PartitionSpec tables (leaf name -> spec over
+#: the ``model`` axis). Column-parallel layers split output features,
+#: row-parallel layers split input features (one psum per block, emitted by
+#: GSPMD in forward AND in the transposed relevance backward). Norms, small
+#: biases and non-matmul leaves stay replicated. Missing leaves default to
+#: replicated via ``_prune_to``/``dict.get``.
+_FAMILY_TP_LAYERS = {
+    "llama": {
+        "wq": _tp(None, None, "model"), "wk": _tp(None, None, "model"),
+        "wv": _tp(None, None, "model"), "wo": _tp(None, "model", None),
+        "wg": _tp(None, None, "model"), "wu": _tp(None, None, "model"),
+        "wd": _tp(None, "model", None),
+        "bq": _tp(None, "model"), "bk": _tp(None, "model"),
+        "bv": _tp(None, "model"),
+    },
+    "gemma3": {
+        "wq": _tp(None, None, "model"), "wk": _tp(None, None, "model"),
+        "wv": _tp(None, None, "model"), "wo": _tp(None, "model", None),
+        "wg": _tp(None, None, "model"), "wu": _tp(None, None, "model"),
+        "wd": _tp(None, "model", None),
+    },
+    "gpt2": {
+        "w_attn": _tp(None, None, "model"), "b_attn": _tp(None, "model"),
+        "w_proj": _tp(None, "model", None),
+        "w_fc": _tp(None, None, "model"), "b_fc": _tp(None, "model"),
+        "w_out": _tp(None, "model", None),
+    },
+    "bert": {
+        "wq": _tp(None, None, "model"), "bq": _tp(None, "model"),
+        "wk": _tp(None, None, "model"), "bk": _tp(None, "model"),
+        "wv": _tp(None, None, "model"), "bv": _tp(None, "model"),
+        "wo": _tp(None, "model", None),
+        "wi": _tp(None, None, "model"), "bi": _tp(None, "model"),
+        "wout": _tp(None, "model", None),
+    },
+    "siglip": {
+        "wq": _tp(None, None, "model"), "bq": _tp(None, "model"),
+        "wk": _tp(None, None, "model"), "bk": _tp(None, "model"),
+        "wv": _tp(None, None, "model"), "bv": _tp(None, "model"),
+        "wo": _tp(None, "model", None),
+        "w_fc": _tp(None, None, "model"), "b_fc": _tp(None, "model"),
+        "w_out": _tp(None, "model", None),
+    },
+    "vit": {
+        "w_qkv": _tp(None, None, "model"), "b_qkv": _tp(None, "model"),
+        "w_proj": _tp(None, "model", None),
+        "w_fc": _tp(None, None, "model"), "b_fc": _tp(None, "model"),
+        "w_out": _tp(None, "model", None),
+    },
+}
+
+_FAMILY_TP_TOP = {
+    "llama": {"embed": _tp("model", None), "lm_head": _tp(None, "model")},
+    "gemma3": {"embed": _tp("model", None), "lm_head": _tp(None, "model")},
+    "gpt2": {"wte": _tp("model", None)},
+    "bert": {},
+    "siglip": {},
+    "vit": {"head_w": _tp(None, "model")},
+}
+
+
+def family_param_specs(family: str, params):
+    """PartitionSpec pytree (tensor parallelism over ``model``) for any
+    registered family's param layout — leaves not in the family table are
+    replicated. Use with ``shard_params``/``NamedSharding``."""
+    layer_tbl = _FAMILY_TP_LAYERS[family]
+    top_tbl = _FAMILY_TP_TOP.get(family, {})
+
+    def map_tree(tree, tbl):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = map_tree(v, layer_tbl if k == "layers" else tbl)
+            else:
+                out[k] = tbl.get(k, P())
+        return out
+
+    return map_tree(params, top_tbl)
+
+
+def family_param_shardings(family: str, params, mesh: Mesh):
+    """NamedSharding pytree for a family's params on ``mesh`` (see
+    :func:`family_param_specs`).
+
+    Quantization-aware: a :class:`~lxt_tpu.ops.quant.QuantizedTensor` leaf
+    gets its codes sharded by the family spec while any spec axis that is
+    size-1 on the SCALE (per-output-channel scales have a singleton input
+    dim, so row-parallel splits don't apply) falls back to replicated."""
+    from lxt_tpu.ops.quant import QuantizedTensor
+
+    specs = family_param_specs(family, params)
+
+    def one(p, s):
+        if isinstance(p, QuantizedTensor):
+            entries = tuple(s) + (None,) * (p.scale.ndim - len(tuple(s)))
+            scale_spec = P(*(None if p.scale.shape[i] == 1 else ax
+                             for i, ax in enumerate(entries)))
+            return QuantizedTensor(NamedSharding(mesh, s),
+                                   NamedSharding(mesh, scale_spec), p.bits)
+        return NamedSharding(mesh, s)
+
+    return jax.tree.map(one, params, specs,
+                        is_leaf=lambda x: isinstance(x, QuantizedTensor))
+
+
 def mixtral_param_shardings(mesh: Mesh):
     """PartitionSpecs for the Mixtral pytree (models/mixtral.py layout):
     EXPERT parallelism — the expert axis (axis 1 of the stacked [L, E, in,
