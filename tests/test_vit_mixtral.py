@@ -169,3 +169,37 @@ def test_openclip_vit_variant():
     val, grad = jax.value_and_grad(target)(img)
     heat = jvit.patch_relevance(img, grad)
     assert bool(jnp.isfinite(heat).all()) and float(jnp.abs(heat).sum()) > 0
+
+
+def test_mixtral_ragged_matches_dense():
+    """The ragged (sort-by-expert grouped matmul) MoE dispatch is
+    relevance-EXACT vs the dense one-hot combine at k/E of the FLOPs."""
+    import dataclasses
+
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import mixtral as jmix
+
+    cfg_d = jmix.MixtralConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, num_experts=4, experts_per_token=2,
+        moe_impl="dense")
+    cfg_r = dataclasses.replace(cfg_d, moe_impl="ragged")
+    params = jmix.init_params(cfg_d, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, 128)
+    embeds = jmix.embed(params, ids)
+
+    for composite in (lxt_tpu.attnlrp, lxt_tpu.cp_lrp):
+        logits_d = jmix.forward(params, cfg_d, embeds, composite).logits
+        logits_r = jmix.forward(params, cfg_r, embeds, composite).logits
+        np.testing.assert_allclose(np.asarray(logits_r), np.asarray(logits_d),
+                                   rtol=0, atol=1e-5)
+
+        def t(c):
+            def tgt(e):
+                return select_logit(jmix.forward(params, c, e, composite).logits)
+            return tgt
+
+        _, rel_d = input_relevance(t(cfg_d), embeds)
+        _, rel_r = input_relevance(t(cfg_r), embeds)
+        np.testing.assert_allclose(np.asarray(rel_r), np.asarray(rel_d),
+                                   rtol=0, atol=1e-5)
