@@ -151,6 +151,7 @@ def forward(
     attention_mask=None,
     kv_begin=None,
     attn_impl: str = "auto",
+    layer_driver=None,
 ):
     """Causal-LM forward. Returns :class:`ModelOutputs`.
 
@@ -197,7 +198,10 @@ def forward(
         return h, (h if output_hidden_states else None)
 
     body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
+    # layer_driver (optional) replaces the plain layer scan — e.g. the
+    # pipeline-parallel GPipe driver (parallel/pipeline_parallel.py)
+    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
+    h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")

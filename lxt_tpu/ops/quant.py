@@ -100,24 +100,51 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32):
     return w.astype(dtype)
 
 
+#: Explicit per-family quantizable leaves (the linear projection matrices,
+#: matching bitsandbytes' Linear-only scope): quantizing by NAME SPEC is
+#: robust to future layouts where the heuristics below could misfire.
+FAMILY_QUANTIZABLE = {
+    "llama": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head"),
+    "gemma3": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head"),
+    "mixtral": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "w_router",
+                "lm_head"),
+    "gpt2": ("w_attn", "w_proj", "w_fc", "w_out"),
+    "bert": ("wq", "wk", "wv", "wo", "wi", "wout", "pooler_w"),
+    "siglip": ("wq", "wk", "wv", "wo", "w_fc", "w_out"),
+    "vit": ("w_qkv", "w_proj", "w_fc", "w_out", "head_w"),
+}
+
+
 def quantize_params(params, bits: int = 8, min_ndim: int = 2,
+                    family: str = None,
                     skip=("embed", "wte", "wpe", "word_emb", "pos_emb",
                           "type_emb", "lm_head")):
-    """Quantize every weight matrix in a model pytree (norms, biases and
-    embeddings stay full precision, like bitsandbytes' Linear-only scope)."""
+    """Quantize the weight matrices in a model pytree (norms, biases and
+    embeddings stay full precision, like bitsandbytes' Linear-only scope).
+
+    With ``family`` given, EXACTLY the leaves in
+    :data:`FAMILY_QUANTIZABLE[family]` are quantized (explicit spec);
+    otherwise a name heuristic selects matrices and skips norms/biases/
+    embeddings."""
+    spec = None if family is None else frozenset(FAMILY_QUANTIZABLE[family])
+
+    def eligible(name, leaf):
+        if not hasattr(leaf, "ndim"):
+            return False
+        if spec is not None:
+            return (name in spec and leaf.ndim >= min_ndim
+                    and (bits == 8 or leaf.shape[-2] % 2 == 0))
+        is_norm = "ln" in name or "norm" in name
+        # bias vectors stack to 2D under the layer axis — never quantize
+        is_bias = name.startswith("b") or name.endswith("_b") or "bias" in name
+        return (leaf.ndim >= min_ndim and name not in skip and not is_norm
+                and not is_bias and min(leaf.shape[-2:]) >= 16
+                and leaf.shape[-2] % 2 == 0)
 
     def walk(tree, path=""):
         if isinstance(tree, dict):
             return {k: walk(v, f"{path}/{k}") for k, v in tree.items()}
-        leaf = tree
         name = path.rsplit("/", 1)[-1]
-        is_norm = "ln" in name or "norm" in name
-        # bias vectors stack to 2D under the layer axis — never quantize
-        is_bias = name.startswith("b") or name.endswith("_b") or "bias" in name
-        if (hasattr(leaf, "ndim") and leaf.ndim >= min_ndim
-                and name not in skip and not is_norm and not is_bias
-                and min(leaf.shape[-2:]) >= 16 and leaf.shape[-2] % 2 == 0):
-            return quantize(leaf, bits)
-        return leaf
+        return quantize(tree, bits) if eligible(name, tree) else tree
 
     return walk(params)

@@ -17,6 +17,11 @@ from lxt_tpu.parallel.mesh import (
     mixtral_param_shardings,
     shard_params,
 )
+from lxt_tpu.parallel.pipeline_parallel import (
+    attribute_pipeline_parallel,
+    make_pipeline_driver,
+    pipeline_param_shardings,
+)
 from lxt_tpu.parallel.ring import attribute_sequence_parallel, ring_flash_attention
 
 __all__ = [
@@ -24,4 +29,6 @@ __all__ = [
     "family_param_specs", "family_param_shardings",
     "shard_params", "attribute_sharded",
     "ring_flash_attention", "attribute_sequence_parallel",
+    "make_pipeline_driver", "pipeline_param_shardings",
+    "attribute_pipeline_parallel",
 ]

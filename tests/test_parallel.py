@@ -198,3 +198,32 @@ def test_quantized_tensor_parallel():
     np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
                                rtol=0, atol=1e-4)
+
+
+def test_pipeline_parallel_attribution():
+    """GPipe-style pipeline parallelism: layers sharded over 4 stages,
+    microbatched activations hopping via ppermute; one vjp yields the same
+    relevance as single-device (the backward is the reverse pipeline)."""
+    from jax.sharding import Mesh
+
+    from lxt_tpu.parallel import attribute_pipeline_parallel
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, rms_eps=1e-6)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0, 128)
+    embeds = jllama.embed(params, ids)
+
+    def target(e):
+        return select_logit(jllama.forward(params, cfg, e, lxt_tpu.attnlrp).logits)
+
+    val_ref, rel_ref = input_relevance(target, embeds)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("pp",))
+    val, rel = attribute_pipeline_parallel(
+        jllama.forward, params, cfg, embeds, mesh, lxt_tpu.attnlrp, n_micro=2)
+
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
+                               rtol=0, atol=1e-4)

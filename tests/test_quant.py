@@ -61,3 +61,30 @@ def test_quantized_llama_attribution(bits):
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     # quantization changes forward values, so heatmaps only correlate
     assert cos > (0.99 if bits == 8 else 0.9)
+
+
+def test_family_quantizable_spec():
+    """family= selects exactly the spec'd leaves (robust vs the name
+    heuristics); quantized forward still matches the heuristic selection."""
+    import jax
+
+    from lxt_tpu.models import llama as jllama
+    from lxt_tpu.ops.quant import FAMILY_QUANTIZABLE, QuantizedTensor, quantize_params
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2, tie_embeddings=False)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params(params, bits=8, family="llama")
+
+    quantized = {k for k, v in qp["layers"].items()
+                 if isinstance(v, QuantizedTensor)}
+    assert quantized == {"wq", "wk", "wv", "wo", "wg", "wu", "wd"}
+    assert isinstance(qp["lm_head"], QuantizedTensor)
+    assert not isinstance(qp["embed"], QuantizedTensor)
+    assert not isinstance(qp["final_norm"], QuantizedTensor)
+
+    # heuristic path picks the same layer matrices for this layout
+    qh = quantize_params(params, bits=8)
+    assert quantized == {k for k, v in qh["layers"].items()
+                        if isinstance(v, QuantizedTensor)}
