@@ -121,6 +121,7 @@ def forward(
     attention_mask=None,
     kv_begin=None,
     attn_impl: str = "auto",
+    layer_driver=None,
 ):
     B, T, D = inputs_embeds.shape
     act_fn = common.ACTIVATIONS[cfg.act]
@@ -176,8 +177,9 @@ def forward(
         return h, (h if output_hidden_states else None)
 
     body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_embeds,
-                              (params["layers"], probes, is_sliding))
+    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
+    h, hiddens = run_layers(body, inputs_embeds,
+                            (params["layers"], probes, is_sliding))
 
     h = gemma_rms_norm(h, params["final_norm"], cfg.rms_eps, composite)
     head = params.get("lm_head")

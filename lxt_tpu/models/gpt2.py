@@ -92,6 +92,7 @@ def forward(
     attention_mask=None,
     kv_begin=None,
     attn_impl: str = "auto",
+    layer_driver=None,
 ):
     """Causal-LM forward; default composite is CP-LRP (reference gpt2.py:24-26).
 
@@ -132,7 +133,9 @@ def forward(
         return h, (h if output_hidden_states else None)
 
     body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_sum, (params["layers"], probes, layer_idx))
+    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
+    h, hiddens = run_layers(body, inputs_sum,
+                            (params["layers"], probes, layer_idx))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     logits = composite.linear(h, params["wte"].T)

@@ -6,13 +6,13 @@ Deep-Taylor rule (lf.softmax at :453-504), the routing-weight x expert-output
 product gets uniform/epsilon rules (composites at :1221-1249), and experts
 run in a data-dependent Python loop — untraceable on TPU.
 
-TPU-first redesign: the expert loop becomes a dense one-hot combine — every
-expert runs on every token and the top-k routing weights (zero for unselected
-experts) weight the outputs. That is O(E/k) extra FLOPs but fully static,
-MXU-shaped, shardable over an ``expert`` mesh axis, and — crucially for LRP —
-exactly differentiable, so the Gradient*Input relevance flows through the
-router softmax (Deep-Taylor via G*I) and the uniform rule at the
-weight x expert product. A ragged-dot dispatch is a later optimization.
+TPU-first redesign: the expert loop becomes a sort-by-expert grouped matmul
+(``lax.ragged_dot`` — only the selected k experts per token compute, static
+shapes, default) with a dense one-hot combine kept as the always-correct
+parity reference (``moe_impl='dense'``). Both are shardable over an
+``expert`` mesh axis and — crucially for LRP — exactly differentiable, so
+the Gradient*Input relevance flows through the router softmax (Deep-Taylor
+via G*I) and the uniform rule at the weight x expert product.
 
 Under Gradient*Input the top-k hard selection is a piecewise-constant mask —
 its zero derivative is mathematically correct (the reference's explicit path
@@ -198,6 +198,7 @@ def forward(
     attention_mask=None,
     kv_begin=None,
     attn_impl: str = "auto",
+    layer_driver=None,
 ):
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
@@ -224,7 +225,8 @@ def forward(
         return h, (h if output_hidden_states else None)
 
     body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
+    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
+    h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")

@@ -126,7 +126,9 @@ def attention(
     q, k, v = composite.qkv(q, k, v)
 
     Tq, Tk = q.shape[2], k.shape[2]
-    flash_ok = (causal and bias is None and softcap is None and Tq == Tk
+    # non-causal (bidirectional, e.g. BERT/ViT towers) is flash-eligible
+    # too: the causal flag is static in the kernels
+    flash_ok = (bias is None and softcap is None and Tq == Tk
                 and Tq % 128 == 0)
     if impl == "auto":
         impl = "flash" if (jax.default_backend() == "tpu" and flash_ok) else "einsum"

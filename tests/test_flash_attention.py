@@ -176,3 +176,32 @@ def test_llama_padding_invariance_flash_path():
                                np.asarray(rel_ref[0]), rtol=0, atol=3e-5)
     # padded positions receive exactly zero relevance
     assert np.all(np.asarray(rel_p[0, :T - L]) == 0.0)
+
+
+def test_flash_non_causal_matches_einsum():
+    """Bidirectional (BERT/ViT-style) attention on the flash path."""
+    import lxt_tpu
+    from lxt_tpu.ops.attention import attention
+
+    B, H, T, D = 2, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(9), 4)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    rel = jax.random.normal(ks[3], (B, H, T, D))
+
+    def tgt(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=False, impl=impl,
+                            composite=lxt_tpu.vanilla_gradient)
+            return (out.astype(jnp.float32) * rel).sum(), out
+        return f
+
+    (_, out_f), gf = jax.value_and_grad(tgt("flash"), argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+    (_, out_e), ge = jax.value_and_grad(tgt("einsum"), argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e), atol=2e-5)
+    for a, b, name in zip(gf, ge, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
