@@ -1,5 +1,6 @@
-"""ViT self-consistency (no torchvision in this env to golden against) and
-Mixtral forward parity vs HF torch + relevance sanity."""
+"""ViT self-consistency and Mixtral forward parity vs HF torch + relevance
+sanity, plus ragged-vs-dense MoE equivalence. (Golden relevance parity for
+both families lives in test_parity_vit.py / test_parity_explicit.py.)"""
 
 import jax
 import jax.numpy as jnp
