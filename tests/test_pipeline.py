@@ -161,3 +161,25 @@ def test_pipeline_gamma_composites_get_distinct_programs():
     hm2 = pipe(["alpha beta gamma"], composite=g2)[0]
     assert len(pipe._jitted) == 2
     assert not np.allclose(hm1.raw_relevance, hm2.raw_relevance)
+
+
+def test_pipeline_mesh_sharded_matches_single_device():
+    """AttributionPipeline with mesh=: batch sharded over 'data', results
+    identical to the unsharded pipeline (incl. the batch rounded up with
+    fully-padded dummy rows)."""
+    from lxt_tpu.parallel import make_mesh
+
+    model, _, _ = _model()
+    tok = ToyTokenizer()
+    prompts = ["alpha beta gamma", "one two three four five six", "x y"]
+
+    plain = AttributionPipeline(model, tok)
+    sharded = AttributionPipeline(model, tok, mesh=make_mesh(data=4, model=2))
+
+    hp = plain(prompts)
+    hs = sharded(prompts)   # B=3 rounds up to 4 (one dummy row)
+    assert len(hs) == len(hp) == 3
+    for a, b in zip(hp, hs):
+        np.testing.assert_allclose(a.value, b.value, rtol=1e-5)
+        np.testing.assert_allclose(a.raw_relevance, b.raw_relevance,
+                                   rtol=0, atol=1e-4)
