@@ -99,14 +99,23 @@ def forward(
     composite: composites.Composite = composites.attnlrp,
     *,
     attention_mask=None,
+    kv_end=None,
     token_type_ids=None,
     probes=None,
     output_hidden_states: bool = False,
     remat: bool = True,
+    attn_impl: str = "auto",
+    layer_driver=None,
 ):
     """Returns ModelOutputs with ``logits = [B, num_labels]`` (classification
     via pooler, the reference's BERT quickstart flow). The full sequence
-    hidden states are in ``hidden_states`` when requested."""
+    hidden states are in ``hidden_states`` when requested.
+
+    Right-padded batches (the HF BERT convention): pass ``kv_end`` ([B]
+    number of real tokens per example) instead of ``attention_mask`` to keep
+    the flash-attention path engaged (padded key blocks are skipped
+    in-kernel); an arbitrary ``attention_mask`` lowers to an additive bias
+    on the einsum path."""
     B, T, D = inputs_embeds.shape
     act_fn = common.ACTIVATIONS[cfg.act]
 
@@ -121,7 +130,10 @@ def forward(
 
     bias = None
     if attention_mask is not None:
+        assert kv_end is None, "pass attention_mask OR kv_end, not both"
         bias = attention_bias_from_mask(attention_mask, h.dtype)
+    if kv_end is not None:
+        kv_end = jnp.asarray(kv_end, jnp.int32)
     H, hd = cfg.num_heads, cfg.hd
 
     def layer_fn(h, xs):
@@ -129,7 +141,8 @@ def forward(
         q = common.split_heads(composite.linear(h, lp["wq"], lp["bq"]), H, hd)
         k = common.split_heads(composite.linear(h, lp["wk"], lp["bk"]), H, hd)
         v = common.split_heads(composite.linear(h, lp["wv"], lp["bv"]), H, hd)
-        attn = attention(q, k, v, bias=bias, composite=composite, impl="einsum")
+        attn = attention(q, k, v, bias=bias, composite=composite,
+                         impl=attn_impl, kv_end=kv_end)
         a = composite.linear(common.merge_heads(attn), lp["wo"], lp["bo"])
         h = composite.layer_norm(h + a, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         x = composite.act(act_fn, composite.linear(h, lp["wi"], lp["bi"]))
@@ -140,7 +153,8 @@ def forward(
         return h, (h if output_hidden_states else None)
 
     body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_post, (params["layers"], probes))
+    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
+    h, hiddens = run_layers(body, inputs_post, (params["layers"], probes))
 
     pooled = composite.act(
         jnp.tanh, composite.linear(h[:, 0], params["pooler_w"], params["pooler_b"]))

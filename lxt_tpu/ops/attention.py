@@ -84,6 +84,7 @@ def attention(
     impl: str = "auto",
     softcap: Optional[float] = None,
     kv_begin=None,
+    kv_end=None,
 ):
     """LRP-aware scaled dot-product attention.
 
@@ -103,15 +104,18 @@ def attention(
         ``shard_map`` over mesh axis ``<axis>`` (q/k/v hold this device's
         sequence slice; see parallel/ring.py).
     softcap : optional tanh logit soft-capping.
-    kv_begin : optional int32 [B] — per-example index of the first VALID key
-        (left-padded batches). Structural like ``causal``/``window``, so it
-        stays flash-eligible (the kernel takes it as a scalar-prefetch
-        input and skips fully-padded blocks); the einsum path folds it into
-        an additive bias. Padded query rows return zeros with zero grads.
+    kv_begin, kv_end : optional int32 [B] — per-example valid-key span
+        (kv_begin: left padding; kv_end: right padding, the HF BERT
+        convention). Structural like ``causal``/``window``, so they stay
+        flash-eligible (the kernel takes them as scalar-prefetch inputs and
+        skips fully-padded blocks); the einsum path folds them into an
+        additive bias. Fully-padded query rows return zeros with zero grads
+        on the flash path.
     """
     if impl.startswith("ring:"):
         from lxt_tpu.parallel.ring import ring_flash_attention
-        assert bias is None and softcap is None and kv_begin is None, \
+        assert (bias is None and softcap is None and kv_begin is None
+                and kv_end is None), \
             "ring attention supports structural masks only"
         q, k, v = composite.qkv(q, k, v)
         return ring_flash_attention(q, k, v, impl.split(":", 1)[1],
@@ -147,13 +151,18 @@ def attention(
         if Dp != D:
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        out = flash_attention(q, k, v, window, scale, causal, kv_begin=kv_begin)
+        out = flash_attention(q, k, v, window, scale, causal,
+                              kv_begin=kv_begin, kv_end=kv_end)
         return out[..., :D] if Dp != D else out
-    if kv_begin is not None:
+    if kv_begin is not None or kv_end is not None:
         Tk_ = k.shape[2]
-        k_idx = jax.lax.broadcasted_iota(jnp.int32, (Tk_,), 0)
-        pad_bias = jnp.where(k_idx[None] >= jnp.asarray(kv_begin)[:, None],
-                             0.0, -1e30).astype(jnp.float32)[:, None, None, :]
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, (Tk_,), 0)[None]
+        ok = jnp.ones((1, Tk_), bool)
+        if kv_begin is not None:
+            ok = ok & (k_idx >= jnp.asarray(kv_begin)[:, None])
+        if kv_end is not None:
+            ok = ok & (k_idx < jnp.asarray(kv_end)[:, None])
+        pad_bias = jnp.where(ok, 0.0, -1e30).astype(jnp.float32)[:, None, None, :]
         bias = pad_bias if bias is None else bias + pad_bias
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)

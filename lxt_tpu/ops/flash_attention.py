@@ -52,13 +52,13 @@ def _interpret():
 
 def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
     """Additive mask [blk_q, blk_k] for the (iq, ik) block pair in GLOBAL
-    coordinates (sc = (window, q_start, k_start, kv_begin) runtime scalars;
-    kv_begin masks keys before this example's first valid token —
-    left-padding support)."""
-    window, q0, k0, kv0 = sc
+    coordinates (sc = (window, q_start, k_start, kv_begin, kv_end) runtime
+    scalars; kv_begin/kv_end mask keys outside this example's valid span —
+    left/right padding support)."""
+    window, q0, k0, kv0, kv1 = sc
     q_pos = q0 + iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
     k_pos = k0 + ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-    allowed = (k_pos > q_pos - window) & (k_pos >= kv0)
+    allowed = (k_pos > q_pos - window) & (k_pos >= kv0) & (k_pos < kv1)
     if causal:
         allowed = allowed & (k_pos <= q_pos)
     return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
@@ -66,11 +66,12 @@ def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
 
 def _skip_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely masked."""
-    window, q0, k0, kv0 = sc
+    window, q0, k0, kv0, kv1 = sc
     qlo = q0 + iq * blk_q
     klo = k0 + ik * blk_k
     skip = klo + blk_k - 1 <= qlo - window  # entirely pre-window
-    skip = skip | (klo + blk_k - 1 < kv0)   # entirely in the padding
+    skip = skip | (klo + blk_k - 1 < kv0)   # entirely in the left padding
+    skip = skip | (klo >= kv1)              # entirely in the right padding
     if causal:
         skip = skip | (klo > qlo + blk_q - 1)  # entirely future
     return skip
@@ -80,10 +81,11 @@ def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
     """Scalar bool: the (iq, ik) block is entirely VISIBLE (no mask needed) —
     the common case away from the causal diagonal / window edge, where the
     mask add is skipped to keep the VPU off the critical path."""
-    window, q0, k0, kv0 = sc
+    window, q0, k0, kv0, kv1 = sc
     qlo = q0 + iq * blk_q
     klo = k0 + ik * blk_k
     inside = (klo > qlo - window) & (klo >= kv0)  # within window, past padding
+    inside = inside & (klo + blk_k - 1 < kv1)     # before the right padding
     if causal:
         inside = inside & (klo + blk_k - 1 <= qlo)
     return inside
@@ -94,12 +96,16 @@ def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
 # ---------------------------------------------------------------------------
 
 def _scalars(w_ref):
-    """Unpack runtime scalars: (window, q_start, k_start, kv_begin[b]) —
-    kv_begin is per-example, indexed by this block's batch coordinate;
-    without padding (3-long array, static) it is the constant 0."""
+    """Unpack runtime scalars: (window, q_start, k_start, kv_begin[b],
+    kv_end[b]) — kv_begin/kv_end are per-example (left/right padding),
+    indexed by this block's batch coordinate. Without padding (3-long
+    array, static) they are the constants (0, INT_MAX)."""
+    no_pad = jnp.int32(2**30)
     if w_ref.shape[0] == 3:
-        return (w_ref[0], w_ref[1], w_ref[2], jnp.int32(0))
-    return (w_ref[0], w_ref[1], w_ref[2], w_ref[3 + pl.program_id(0)])
+        return (w_ref[0], w_ref[1], w_ref[2], jnp.int32(0), no_pad)
+    B = (w_ref.shape[0] - 3) // 2
+    b = pl.program_id(0)
+    return (w_ref[0], w_ref[1], w_ref[2], w_ref[3 + b], w_ref[3 + B + b])
 
 
 def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -407,7 +413,8 @@ def _pick_block(T, want):
     return b
 
 
-def _canon(q, k, window, q_start, k_start, kv_begin, scale, block_q, block_k):
+def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
+           block_q, block_k):
     Tq, Tk = q.shape[2], k.shape[2]
     B = q.shape[0]
     if scale is None:
@@ -417,21 +424,28 @@ def _canon(q, k, window, q_start, k_start, kv_begin, scale, block_q, block_k):
     sc = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
                     jnp.asarray(q_start, jnp.int32).reshape(()),
                     jnp.asarray(k_start, jnp.int32).reshape(())])
-    if kv_begin is not None:
-        # kv_begin rides along as [B] extra scalars; its PRESENCE (sc length
-        # > 3, static) switches the kernels' empty-row guards on, so the
-        # unpadded path pays zero extra VPU work
-        sc = jnp.concatenate([sc, jnp.asarray(kv_begin, jnp.int32).reshape(B)])
+    if kv_begin is not None or kv_end is not None:
+        # kv_begin/kv_end ride along as 2B extra scalars; their PRESENCE
+        # (sc length > 3, static) switches the kernels' empty-row guards
+        # on, so the unpadded path pays zero extra VPU work
+        if kv_begin is None:
+            kv_begin = jnp.zeros((B,), jnp.int32)
+        if kv_end is None:
+            kv_end = jnp.full((B,), 2**30, jnp.int32)
+        sc = jnp.concatenate([sc,
+                              jnp.asarray(kv_begin, jnp.int32).reshape(B),
+                              jnp.asarray(kv_end, jnp.int32).reshape(B)])
     return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def flash_attention_lse(
     q, k, v,
     window=None,
     q_start=0,
     k_start=0,
     kv_begin=None,
+    kv_end=None,
     scale: Optional[float] = None,
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
@@ -457,15 +471,15 @@ def flash_attention_lse(
     or falls back to the einsum path).
     """
     sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                               scale, block_q, block_k)
+                               kv_end, scale, block_q, block_k)
     out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk)
     return out, lse[..., 0]
 
 
-def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, scale,
-                   causal, block_q, block_k):
+def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
+                   scale, causal, block_q, block_k):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                           scale, block_q, block_k)
+                           kv_end, scale, block_q, block_k)
     out, lse = _fwd(q, k, v, sc, s, causal, bq, bk)
     return (out, lse[..., 0]), (q, k, v, sc, out, lse)
 
@@ -479,7 +493,7 @@ def _flash_lse_bwd(scale, causal, block_q, block_k, res, cts):
     bk = _pick_block(k.shape[2], block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
                            dlse=dlse)
-    return dq, dk, dv, None, None, None, None
+    return dq, dk, dv, None, None, None, None, None
 
 
 flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -493,10 +507,11 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     kv_begin=None,
+    kv_end=None,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this drops the lse output (its zero
-    cotangent vanishes in the backward). ``kv_begin``: optional per-example
-    [B] first-valid-key index (left-padded batches)."""
-    return flash_attention_lse(q, k, v, window, 0, 0, kv_begin, scale,
-                               causal, block_q, block_k)[0]
+    cotangent vanishes in the backward). ``kv_begin``/``kv_end``: optional
+    per-example [B] valid-key span (left-/right-padded batches)."""
+    return flash_attention_lse(q, k, v, window, 0, 0, kv_begin, kv_end,
+                               scale, causal, block_q, block_k)[0]

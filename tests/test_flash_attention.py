@@ -205,3 +205,74 @@ def test_flash_non_causal_matches_einsum():
     for a, b, name in zip(gf, ge, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_flash_kv_end_right_padding():
+    """kv_end (right padding, the BERT convention) on the flash path: valid
+    keys match einsum-with-bias; relevance into padded k/v positions is 0."""
+    import lxt_tpu
+    from lxt_tpu.ops.attention import attention
+
+    B, H, T, D = 2, 2, 256, 64
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    rel = jax.random.normal(ks[3], (B, H, T, D))
+    kv_end = jnp.asarray([200, 256], jnp.int32)
+
+    def tgt(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=False, impl=impl,
+                            composite=lxt_tpu.vanilla_gradient, kv_end=kv_end)
+            return (out.astype(jnp.float32) * rel).sum(), out
+        return f
+
+    (_, out_f), gf = jax.value_and_grad(tgt("flash"), argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+    (_, out_e), ge = jax.value_and_grad(tgt("einsum"), argnums=(0, 1, 2),
+                                        has_aux=True)(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_e), atol=2e-5)
+    for a, b, name in zip(gf, ge, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
+    assert np.all(np.asarray(gf[1][0, :, 200:]) == 0.0)  # dk in padding
+    assert np.all(np.asarray(gf[2][0, :, 200:]) == 0.0)  # dv in padding
+
+
+def test_bert_right_padding_invariance_flash():
+    """BERT batched classification: right-padded kv_end attribution on the
+    flash path equals the unpadded einsum attribution."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance
+    from lxt_tpu.models import bert as jbert
+
+    cfg = jbert.BertConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                           num_layers=2, num_heads=2, max_positions=512,
+                           num_labels=3)
+    params = jbert.init_params(cfg, jax.random.PRNGKey(0))
+    L = 200
+    ids = np.random.RandomState(0).randint(1, 64, (1, L))
+
+    def t_plain(x):
+        logits = jbert.forward(params, cfg, x, lxt_tpu.attnlrp,
+                               attn_impl="einsum").logits
+        return logits.max(axis=-1).sum()
+
+    e = jbert.embed(params, jnp.asarray(ids))
+    _, rel_ref = input_relevance(t_plain, e)
+
+    T = 256
+    ids_p = np.zeros((1, T), np.int32); ids_p[0, :L] = ids[0]
+    kv_end = jnp.asarray([L], jnp.int32)
+    ep = jbert.embed(params, jnp.asarray(ids_p))
+
+    def t_pad(x):
+        logits = jbert.forward(params, cfg, x, lxt_tpu.attnlrp,
+                               kv_end=kv_end, attn_impl="flash").logits
+        return logits.max(axis=-1).sum()
+
+    _, rel_p = input_relevance(t_pad, ep)
+    np.testing.assert_allclose(np.asarray(rel_p[0, :L]),
+                               np.asarray(rel_ref[0]), rtol=0, atol=3e-5)
+    assert np.all(np.asarray(rel_p[0, L:]) == 0.0)
