@@ -132,9 +132,14 @@ class Composite:
         """Dense layer, ``w: [in, out]``. Under Gradient*Input, a plain linear
         already implements the epsilon rule; gamma composites redistribute.
         Accepts int8/int4 :class:`~lxt_tpu.ops.quant.QuantizedTensor` weights
-        (dequant fuses into the matmul; weights carry no relevance anyway)."""
-        from lxt_tpu.ops.quant import QuantizedTensor, dequantize
+        — the dequantization fuses into the matmul (int4 runs as two
+        half-contraction matmuls over the nibble planes, see
+        :func:`~lxt_tpu.ops.quant.quant_matmul`); weights carry no relevance
+        under LRP, so rules are untouched."""
+        from lxt_tpu.ops.quant import QuantizedTensor, dequantize, quant_matmul
         if isinstance(w, QuantizedTensor):
+            if self.linear_gamma is None:
+                return quant_matmul(x, w, b)
             w = dequantize(w, x.dtype)
         if self.linear_gamma is not None:
             return gamma_linear(x, w, b, self.linear_gamma)

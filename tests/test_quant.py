@@ -88,3 +88,30 @@ def test_family_quantizable_spec():
     qh = quantize_params(params, bits=8)
     assert quantized == {k for k, v in qh["layers"].items()
                         if isinstance(v, QuantizedTensor)}
+
+
+def test_quant_matmul_matches_dequantized():
+    """Fused quant_matmul (int8 fused convert; int4 two-half nibble-plane
+    matmuls) matches x @ dequantize(qt) at quantization precision, and its
+    gradient w.r.t. x is consistent."""
+    import jax
+
+    from lxt_tpu.ops.quant import dequantize, quant_matmul, quantize
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (6, 64))
+    w = jax.random.normal(jax.random.PRNGKey(1), (64, 48))
+    b = jax.random.normal(jax.random.PRNGKey(2), (48,))
+
+    for bits in (8, 4):
+        qt = quantize(w, bits)
+        ref = x @ dequantize(qt) + b
+        out = quant_matmul(x, qt, b)
+        scale = float(np.abs(np.asarray(ref)).max())
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=0, atol=3e-5 * scale)
+
+        g_ref = jax.grad(lambda x: (x @ dequantize(qt)).sum())(x)
+        g_out = jax.grad(lambda x: quant_matmul(x, qt).sum())(x)
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
+                                   rtol=0, atol=3e-5 * scale)
