@@ -35,14 +35,16 @@ def attribution_flops(cfg, batch, seq):
 
     Linear layers: 2*tokens*weight_size forward; the backward propagates
     only dx (params are not differentiated in attribution), another 1x.
-    Attention: 2 causal-visible matmul passes forward + 5 necessary backward
-    passes (recomputes excluded — so recompute/remat overhead depresses MFU,
-    which is the point of reporting it)."""
+    The lm_head counts only the ONE explained position per example — the
+    step computes logits_at=-1 (and XLA's slice-through-dot would prune the
+    rest anyway). Attention: 2 causal-visible matmul passes forward + 5
+    necessary backward passes (recomputes excluded — so recompute/remat
+    overhead depresses MFU, which is the point of reporting it)."""
     D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
     hd, H, Hkv, L = cfg.hd, cfg.num_heads, cfg.num_kv_heads, cfg.num_layers
     tokens = batch * seq
     per_layer_w = D * (H * hd) + 2 * D * (Hkv * hd) + (H * hd) * D + 3 * D * I
-    linear_fwd = 2 * tokens * (L * per_layer_w + D * V)
+    linear_fwd = 2 * (tokens * L * per_layer_w + batch * D * V)
     pairs = seq * (seq + 1) / 2
     attn_fwd = L * batch * H * pairs * 2 * 2 * hd
     return (2 * linear_fwd) + (3.5 * attn_fwd)
@@ -61,9 +63,11 @@ def main():
 
     def step(params, embeds):
         def target(e):
+            # logits only at the explained position: skips (T-1)/T of the
+            # lm_head matmul in forward and backward
             return select_logit(
                 jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
-                               remat=REMAT).logits)
+                               remat=REMAT, logits_at=-1).logits)
         return input_relevance(target, embeds)
 
     jstep = jax.jit(step)

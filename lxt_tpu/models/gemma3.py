@@ -122,6 +122,7 @@ def forward(
     kv_begin=None,
     attn_impl: str = "auto",
     layer_driver=None,
+    logits_at=None,
 ):
     B, T, D = inputs_embeds.shape
     act_fn = common.ACTIVATIONS[cfg.act]
@@ -182,6 +183,9 @@ def forward(
                             (params["layers"], probes, is_sliding))
 
     h = gemma_rms_norm(h, params["final_norm"], cfg.rms_eps, composite)
+    if logits_at is not None:
+        h = jax.lax.slice_in_dim(h, logits_at % h.shape[1],
+                                 logits_at % h.shape[1] + 1, axis=1)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

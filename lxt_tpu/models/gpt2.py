@@ -93,6 +93,7 @@ def forward(
     kv_begin=None,
     attn_impl: str = "auto",
     layer_driver=None,
+    logits_at=None,
 ):
     """Causal-LM forward; default composite is CP-LRP (reference gpt2.py:24-26).
 
@@ -138,6 +139,9 @@ def forward(
                             (params["layers"], probes, layer_idx))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
+    if logits_at is not None:
+        h = jax.lax.slice_in_dim(h, logits_at % h.shape[1],
+                                 logits_at % h.shape[1] + 1, axis=1)
     logits = composite.linear(h, params["wte"].T)
 
     if output_hidden_states:

@@ -152,8 +152,15 @@ def forward(
     kv_begin=None,
     attn_impl: str = "auto",
     layer_driver=None,
+    logits_at=None,
 ):
     """Causal-LM forward. Returns :class:`ModelOutputs`.
+
+    ``logits_at`` (optional static int): compute logits ONLY at this
+    position — returns ``[B, 1, V]``. Attribution explains one position, so
+    this skips T-1/T of the lm_head matmul in forward AND its transpose in
+    the relevance backward (and the [B, T, V] logits buffer, the largest
+    activation at batch scale).
 
     ``probes`` (optional ``[L, B, T, D]`` zeros) are added to each layer
     output; their gradients are the per-layer relevance hooks for latent
@@ -204,6 +211,9 @@ def forward(
     h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    if logits_at is not None:
+        h = jax.lax.slice_in_dim(h, logits_at % h.shape[1],
+                                 logits_at % h.shape[1] + 1, axis=1)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

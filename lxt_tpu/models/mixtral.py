@@ -199,6 +199,7 @@ def forward(
     kv_begin=None,
     attn_impl: str = "auto",
     layer_driver=None,
+    logits_at=None,
 ):
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
@@ -229,6 +230,9 @@ def forward(
     h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    if logits_at is not None:
+        h = jax.lax.slice_in_dim(h, logits_at % h.shape[1],
+                                 logits_at % h.shape[1] + 1, axis=1)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

@@ -87,8 +87,10 @@ class AttributionPipeline:
 
             def run(embeds, kv_begin):
                 def tgt(e):
+                    # logits only at the explained last position (saves the
+                    # T-1 unused lm_head rows in forward and backward)
                     logits = fwd(params, cfg, e, composite,
-                                 kv_begin=kv_begin).logits
+                                 kv_begin=kv_begin, logits_at=-1).logits
                     row = logits[:, -1, :]
                     per_example = row.max(axis=-1)
                     # summing is safe: per-example targets have disjoint grads

@@ -145,6 +145,14 @@ def test_pipeline_per_example_values():
                                 lxt_tpu.attnlrp).logits
         expect = float(logits[0, -1].max())
         np.testing.assert_allclose(hm.value, expect, rtol=1e-5)
+
+        # the pipeline's logits_at=-1 shortcut must not change relevance
+        def tgt(e):
+            return select_logit(jllama.forward(params, cfg, e,
+                                               lxt_tpu.attnlrp).logits)
+        _, rel_full = input_relevance(tgt, jllama.embed(params, ids))
+        np.testing.assert_allclose(hm.raw_relevance, np.asarray(rel_full[0]),
+                                   rtol=0, atol=2e-5)
     assert heatmaps[0].value != heatmaps[1].value
 
 
