@@ -1,0 +1,109 @@
+"""Faithfulness evaluation: input-perturbation curves and AOPC.
+
+The AttnLRP paper validates attributions by perturbation analysis (flip the
+most-relevant tokens first and watch the explained logit collapse; flipping
+least-relevant tokens first should barely move it). The reference cites
+those results (README.md:54) but ships no evaluation code — this module
+provides it, TPU-first: ALL perturbation steps evaluate in ONE jitted
+program (a vmap over masking fractions), so a full curve costs one
+compile + one batched forward sweep.
+
+Conventions (Samek et al., Blücher et al.):
+
+- MoRF ("most relevant first"): ablate tokens in DESCENDING relevance
+  order. A faithful explanation makes the target drop fast — larger AOPC.
+- LeRF ("least relevant first"): ablate ASCENDING; faithful => flat curve.
+- AOPC = mean over steps of (f(x) - f(x_perturbed)).
+
+Usage::
+
+    def logit_fn(e):   # [B, T, D] -> [B] explained logit values
+        out = jllama.forward(params, cfg, e, lxt_tpu.attnlrp, logits_at=-1)
+        return out.logits[:, -1, :].max(-1)
+
+    curve = perturbation_curve(logit_fn, embeds, relevance, order="morf")
+    curve.aopc, curve.fractions, curve.values  # [S+1], [S+1, B]
+"""
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class PerturbationCurve:
+    fractions: jnp.ndarray   # [S+1] fraction of tokens ablated per step
+    values: jnp.ndarray      # [S+1, B] explained logit after ablation
+    aopc: jnp.ndarray        # [B] area over the perturbation curve
+
+
+def _rank_order(relevance, descending):
+    r = relevance if descending else -relevance
+    # rank[i] = position of token i in the ablation order (0 = first out)
+    order = jnp.argsort(-r, axis=-1)
+    ranks = jnp.argsort(order, axis=-1)
+    return ranks
+
+
+def perturbation_curve(
+    logit_fn: Callable,
+    inputs_embeds,
+    relevance,
+    *,
+    steps: int = 10,
+    order: str = "morf",
+    baseline=None,
+    valid_mask=None,
+):
+    """Batched perturbation curve in one jitted program.
+
+    ``logit_fn(embeds [B,T,D]) -> [B]`` explained logits;
+    ``relevance``: [B, T] token scores; ``baseline``: replacement embedding
+    (scalar/[D]/[B,T,D]; default 0 — embedding-space token deletion);
+    ``valid_mask``: optional [B, T] bool marking real (non-padding) tokens —
+    padded positions are never counted nor ablated.
+    """
+    if order not in ("morf", "lerf", "random"):
+        raise ValueError(order)
+    B, T, D = inputs_embeds.shape
+    if baseline is None:
+        baseline = jnp.zeros((), inputs_embeds.dtype)
+    baseline = jnp.broadcast_to(jnp.asarray(baseline, inputs_embeds.dtype),
+                                inputs_embeds.shape)
+    if valid_mask is None:
+        valid_mask = jnp.ones((B, T), bool)
+    n_valid = valid_mask.sum(-1)
+
+    rel = jnp.asarray(relevance, jnp.float32)
+    if order == "random":
+        rel = jax.random.uniform(jax.random.PRNGKey(0), rel.shape)
+    # padded tokens sort to the very end in every order
+    rel = jnp.where(valid_mask, rel, -jnp.inf if order != "lerf" else jnp.inf)
+    ranks = _rank_order(rel, descending=(order != "lerf"))
+
+    fractions = jnp.linspace(0.0, 1.0, steps + 1)
+
+    def at_fraction(frac):
+        # round, not ceil: f32 frac*n lands epsilon above integers
+        k = jnp.round(frac * n_valid).astype(jnp.int32)      # [B]
+        ablate = ranks < k[:, None]                           # [B, T]
+        e = jnp.where(ablate[..., None], baseline, inputs_embeds)
+        return logit_fn(e)
+
+    values = jax.vmap(at_fraction)(fractions)                 # [S+1, B]
+    aopc = (values[0][None] - values[1:]).mean(0)
+    return PerturbationCurve(fractions=fractions, values=values, aopc=aopc)
+
+
+def aopc_scores(logit_fn, inputs_embeds, relevance, *, steps: int = 10,
+                baseline=None, valid_mask=None):
+    """(aopc_morf, aopc_lerf, aopc_random) per example — faithful relevance
+    satisfies morf > random > lerf."""
+    out = []
+    for order in ("morf", "lerf", "random"):
+        out.append(perturbation_curve(
+            logit_fn, inputs_embeds, relevance, steps=steps, order=order,
+            baseline=baseline, valid_mask=valid_mask).aopc)
+    return tuple(out)
