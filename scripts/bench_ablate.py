@@ -43,24 +43,26 @@ def main():
     ids = jax.random.randint(jax.random.PRNGKey(1), (B, T), 0, cfg.vocab_size)
     embeds = jllama.embed(params, ids)
 
+    # NOTE: params must be a jit ARGUMENT — closing over them bakes ~2 GB
+    # of constants into the HLO and kills the remote-compile tunnel
     def fwd_step(composite, impl, remat):
         @jax.jit
-        def step(e):
+        def step(params, e):
             out = jllama.forward(params, cfg, e, composite, remat=remat,
-                                 attn_impl=impl)
+                                 attn_impl=impl, logits_at=-1)
             return e + (out.logits[..., :1] * 1e-9).astype(e.dtype)
-        return step
+        return lambda e: step(params, e)
 
     def attr_step(composite, impl, remat):
         @jax.jit
-        def step(e):
+        def step(params, e):
             def tgt(x):
                 return select_logit(jllama.forward(
                     params, cfg, x, composite, remat=remat,
-                    attn_impl=impl).logits)
+                    attn_impl=impl, logits_at=-1).logits)
             _, rel = input_relevance(tgt, e)
             return e + (rel[..., None] * 1e-9).astype(e.dtype)
-        return step
+        return lambda e: step(params, e)
 
     rows = [
         ("fwd only, flash, no remat", fwd_step(lxt_tpu.attnlrp, "auto", False)),
