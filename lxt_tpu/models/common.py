@@ -84,18 +84,22 @@ def rotate_half(x):
 
 def apply_rope(q, k, cos, sin):
     """q,k: [B, H, T, D]; cos/sin: [T, D] or [B, T, D] (padded batches).
-    Float32 rotation, cast back."""
+
+    The rotation runs in the ACTIVATION dtype (HF torch semantics:
+    apply_rotary_pos_emb casts cos/sin to x.dtype) — a profiled bf16 step
+    spent ~12% of its time on the previous f32 upcast + the transpose
+    copies it forced. The tables themselves are precomputed in f32/f64
+    (rope_tables), so only the rotation arithmetic narrows."""
     dt = q.dtype
     if cos.ndim == 3:
-        c = cos[:, None].astype(jnp.float32)
-        s = sin[:, None].astype(jnp.float32)
+        c = cos[:, None].astype(dt)
+        s = sin[:, None].astype(dt)
     else:
-        c = cos[None, None].astype(jnp.float32)
-        s = sin[None, None].astype(jnp.float32)
-    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
-    q_out = q32 * c + rotate_half(q32) * s
-    k_out = k32 * c + rotate_half(k32) * s
-    return q_out.astype(dt), k_out.astype(dt)
+        c = cos[None, None].astype(dt)
+        s = sin[None, None].astype(dt)
+    q_out = q * c + rotate_half(q) * s
+    k_out = k * c + rotate_half(k) * s
+    return q_out, k_out
 
 
 def padding_setup(attention_mask, kv_begin, positions, T):
