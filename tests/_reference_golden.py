@@ -177,6 +177,138 @@ class _TorchViT:
         return ViT().eval()
 
 
+class _TorchOpenCLIP:
+    """Builder for an OpenCLIP-``VisualTransformer``-shaped torch model
+    (state_dict keys ``conv1/class_embedding/positional_embedding/ln_pre/
+    transformer.resblocks.N.{ln_1,attn,ln_2,mlp.c_fc,mlp.c_proj}/ln_post/
+    proj``) without the open_clip dependency. The reference's OpenCLIP
+    composite targets plain ``torch.nn`` classes plus ``operator.add``/
+    ``operator.matmul``/``F.normalize`` function rewrites
+    (lxt/explicit/models/openclip.py:20-31); the fx trace would replace the
+    functions with ``lf.add2``/``lf.matmul``/``lf.normalize``, so the golden
+    build calls those directly via the ``_ADD``/``_MATMUL``/``_NORM`` hooks
+    (plain torch ops by default, for state_dict-only in-process builds)."""
+
+    _ADD = staticmethod(lambda a, b: a + b)
+    _MATMUL = staticmethod(lambda a, b: a @ b)
+    _NORM = None  # default: F.normalize
+
+    @staticmethod
+    def build(image_size=32, patch_size=8, hidden=64, mlp=128, heads=4,
+              layers=2, proj_dim=32, ln_eps=1e-5):
+        import collections
+
+        import torch
+        import torch.nn as nn
+        import torch.nn.functional as F
+
+        torch.manual_seed(0)
+        seq_len = (image_size // patch_size) ** 2 + 1
+        cls = _TorchOpenCLIP
+
+        class ResidualAttentionBlock(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.ln_1 = nn.LayerNorm(hidden, eps=ln_eps)
+                self.attn = nn.MultiheadAttention(hidden, heads,
+                                                  batch_first=True)
+                self.ln_2 = nn.LayerNorm(hidden, eps=ln_eps)
+                self.mlp = nn.Sequential(collections.OrderedDict(
+                    c_fc=nn.Linear(hidden, mlp), gelu=nn.GELU(),
+                    c_proj=nn.Linear(mlp, hidden)))
+
+            def forward(self, x):
+                y, _ = self.attn(self.ln_1(x), self.ln_1(x), self.ln_1(x),
+                                 need_weights=False)
+                x = cls._ADD(x, y)
+                return cls._ADD(x, self.mlp(self.ln_2(x)))
+
+        class Transformer(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.resblocks = nn.Sequential(
+                    *[ResidualAttentionBlock() for _ in range(layers)])
+
+            def forward(self, x):
+                return self.resblocks(x)
+
+        class VisualTower(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = nn.Conv2d(3, hidden, kernel_size=patch_size,
+                                       stride=patch_size, bias=False)
+                self.class_embedding = nn.Parameter(
+                    torch.randn(hidden) * 0.02)
+                self.positional_embedding = nn.Parameter(
+                    torch.randn(seq_len, hidden) * 0.02)
+                self.ln_pre = nn.LayerNorm(hidden, eps=ln_eps)
+                self.transformer = Transformer()
+                self.ln_post = nn.LayerNorm(hidden, eps=ln_eps)
+                self.proj = nn.Parameter(torch.randn(hidden, proj_dim) * 0.1)
+
+            def forward(self, x):
+                n = x.shape[0]
+                x = self.conv1(x).reshape(n, hidden, -1).permute(0, 2, 1)
+                x = torch.cat(
+                    [self.class_embedding.view(1, 1, -1).expand(n, 1, -1), x],
+                    dim=1)
+                x = cls._ADD(x, self.positional_embedding[None])
+                x = self.ln_pre(x)
+                x = self.transformer(x)
+                x = self.ln_post(x)
+                emb = cls._MATMUL(x[:, 0], self.proj)
+                norm = cls._NORM or (lambda e, p, d: F.normalize(e, p, d))
+                return norm(emb, 2.0, -1)
+
+        return VisualTower().eval()
+
+
+def golden_openclip():
+    """Reference explicit OpenCLIP flow (lxt/explicit/models/openclip.py:
+    20-31): MHA -> MultiheadAttention_CP with EpsilonRule in/out
+    projections, LayerNormEpsilon, GELU identity rule, add/matmul/normalize
+    as lf.*; seeded ``backward(logit)`` so the image grad IS the relevance.
+    The example's zennit gamma overlay on Conv2d/Linear (openclip.py:70-78)
+    is taken at its gamma->0 end-member, i.e. the EpsilonRule (zennit
+    ``Gamma(0)`` = LRP-0), keeping the golden zennit-free."""
+    import torch
+    import torch.nn as nn
+    from lxt.explicit.core import Composite
+    import lxt.explicit.functional as lf
+    import lxt.explicit.modules as lm
+    import lxt.explicit.rules as rules
+
+    _TorchOpenCLIP._ADD = staticmethod(lf.add2)
+    _TorchOpenCLIP._MATMUL = staticmethod(lf.matmul)
+    _TorchOpenCLIP._NORM = staticmethod(
+        lambda e, p, d: lf.normalize(e, p, d))
+    model = _TorchOpenCLIP.build()
+
+    composite = Composite({
+        nn.MultiheadAttention: lm.MultiheadAttention_CP,
+        # order matters: these live inside MultiheadAttention_CP and must
+        # match before the generic nn.Linear entry (reference comment,
+        # openclip.py:22)
+        lm.LinearInProjection: rules.EpsilonRule,
+        lm.LinearOutProjection: rules.EpsilonRule,
+        nn.LayerNorm: lm.LayerNormEpsilon,
+        nn.GELU: rules.IdentityRule,
+        nn.Linear: rules.EpsilonRule,
+        nn.Conv2d: rules.EpsilonRule,
+    })
+    composite.register(model)
+
+    x = torch.randn(1, 3, 32, 32,
+                    generator=torch.Generator().manual_seed(1))
+    x = x.requires_grad_()
+    out = model(x)
+    top = int(out[0].argmax())
+    val = out[0, top]
+    val.backward(val)
+    heatmap = x.grad[0].sum(0, keepdim=True)  # grad IS relevance here
+    return x.detach(), out, heatmap, top
+
+
 def golden_vit():
     """Reference efficient cp_LRP ViT flow (examples/vit_torch.py:59-97,
     sans the zennit gamma overlay): patch, forward, backward on the top
@@ -284,6 +416,15 @@ def main():
             result[f"{family}.ids"] = ids.numpy()
             result[f"{family}.logits"] = logits.detach().float().numpy()
             result[f"{family}.rel"] = rel.detach().float().numpy()
+        np.savez(out_path, **result)
+        print("golden written:", out_path)
+        return
+    if composite == "openclip":
+        x, y, heatmap, top = golden_openclip()
+        result["openclip.x"] = x.numpy()
+        result["openclip.emb"] = y.detach().float().numpy()
+        result["openclip.heatmap"] = heatmap.detach().float().numpy()
+        result["openclip.top"] = np.asarray(top)
         np.savez(out_path, **result)
         print("golden written:", out_path)
         return
