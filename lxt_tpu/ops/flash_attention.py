@@ -50,18 +50,40 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _block_mask(iq, ik, sc, blk_q, blk_k, causal):
-    """Additive mask [blk_q, blk_k] for the (iq, ik) block pair in GLOBAL
-    coordinates (sc = (window, q_start, k_start, kv_begin, kv_end) runtime
-    scalars; kv_begin/kv_end mask keys outside this example's valid span —
-    left/right padding support)."""
+def _block_mask(iq, ik, sc, blk_q, blk_k, causal, flags):
+    """Boolean allowed-mask [blk_q, blk_k] for the (iq, ik) block pair in
+    GLOBAL coordinates (sc = (window, q_start, k_start, kv_begin, kv_end)
+    runtime scalars; kv_begin/kv_end mask keys outside this example's valid
+    span — left/right padding support). ``flags`` (static) says which
+    scalar comparisons exist at all: every compare here is a full VPU pass
+    over blk_q*blk_k elements, and on the masked (diagonal) blocks that
+    dominates hd=64 shapes — a plain-causal caller pays for exactly one
+    compare. Returns None when no masking applies (non-causal, no window,
+    no padding)."""
     window, q0, k0, kv0, kv1 = sc
-    q_pos = q0 + iq * blk_q + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 0)
-    k_pos = k0 + ik * blk_k + jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_k), 1)
-    allowed = (k_pos > q_pos - window) & (k_pos >= kv0) & (k_pos < kv1)
+    has_window, has_offsets, has_kv = flags
+    # [blk_q, 1] x [1, blk_k] operands: each compare broadcasts in ONE pass
+    q_pos = jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0) + iq * blk_q
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, blk_k), 1) + ik * blk_k
+    if has_offsets:
+        q_pos = q_pos + q0
+        k_pos = k_pos + k0
+    allowed = None
+
+    def _and(a, b):
+        return b if a is None else a & b
+
     if causal:
-        allowed = allowed & (k_pos <= q_pos)
-    return jnp.where(allowed, 0.0, NEG_INF).astype(jnp.float32)
+        allowed = _and(allowed, k_pos <= q_pos)
+    if has_window:
+        allowed = _and(allowed, k_pos > q_pos - window)
+    if has_kv:
+        allowed = _and(allowed, (k_pos >= kv0) & (k_pos < kv1))
+    return allowed
+
+
+def _apply_mask(s, allowed):
+    return s if allowed is None else jnp.where(allowed, s, NEG_INF)
 
 
 def _skip_block(iq, ik, sc, blk_q, blk_k, causal):
@@ -110,7 +132,7 @@ def _scalars(w_ref):
 
 def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                 acc, m_scr, l_scr, *, scale, causal, blk_q, blk_k,
-                guard_empty):
+                guard_empty, flags):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
@@ -130,7 +152,8 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
-            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
+            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
+                                           flags))
 
         m_prev = m_scr[:, :1]
         m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
@@ -169,7 +192,7 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
 
 
-def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
+def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
@@ -201,7 +224,7 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3),
+                          guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
@@ -219,7 +242,7 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k):
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty):
+               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
@@ -235,7 +258,8 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
-            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
+            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
+                                           flags))
         lse = lse_ref[0, 0][:, :1]  # natural-log; rescale into exp2 domain
         p = jnp.exp2(s - lse * LOG2E)
         if guard_empty:
@@ -262,7 +286,7 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, blk_q, blk_k, guard_empty):
+                *, scale, causal, blk_q, blk_k, guard_empty, flags):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
@@ -282,7 +306,8 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
-            s = s + _block_mask(iq, ik, sc, blk_q, blk_k, causal)
+            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
+                                           flags))
         lse = lse_ref[0, 0][:, :1]
         p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
         if guard_empty:
@@ -310,8 +335,154 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
+def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                      *, scale, causal, blk_q, blk_k, guard_empty, flags):
+    """One pass per (ik, iq) block pair producing dq, dk AND dv: the score
+    matmul and the dp matmul are computed once instead of once per kernel
+    (7 -> 5 matmul passes, one p-exp2 instead of two). dq cannot accumulate
+    across the ik grid dim here (its blocks are revisited), so per-ik
+    partials go to ``dqp`` [nk, B, H, T, D] and are summed outside — one
+    XLA pass, profitable while nk stays small (the split kernels remain for
+    long sequences)."""
+    ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
+    nq, n_rep = pl.num_programs(3), pl.num_programs(4)
+    sc = _scalars(w_ref)
+
+    @pl.when((iq == 0) & (r == 0))
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    def _step(apply_mask):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
+        if apply_mask:
+            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
+                                           flags))
+        lse = lse_ref[0, 0][:, :1]
+        p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
+        if guard_empty:
+            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
+        do = do_ref[0, 0]
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta_ref[0, 0][:, :1])).astype(q.dtype)
+        dk_acc[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        dqp_ref[0, 0, 0] = (jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dqp_ref.dtype)
+
+    visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
+    pl.when(visible & interior)(lambda: _step(False))
+    pl.when(visible & jnp.logical_not(interior))(lambda: _step(True))
+
+    @pl.when(jnp.logical_not(visible))
+    def _zero_dq():
+        # every (ik, iq) partial block is written exactly once; skipped
+        # pairs must still clear their slot
+        dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
+
+    @pl.when((iq == nq - 1) & (r == n_rep - 1))
+    def _epilogue():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+#: the fused backward's dq partials cost nk extra dq-sized f32 HBM buffers
+#: (written every step); measured on v5e, that traffic already loses to the
+#: split kernels' score recompute at nk=2 — only the partial-free nk==1
+#: case (whole kv in one block, dq written once in its final dtype) wins
+#: (~17% at T=1024/hd=64)
+FUSED_BWD_MAX_NK = 1
+
+
+def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
+               dlse=None):
+    B, H, T, D = q.shape
+    Tk = k.shape[2]
+    Hkv = k.shape[1]
+    n_rep = H // Hkv
+    nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
+
+    delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv, nk, nq, n_rep),
+        in_specs=[
+            pl.BlockSpec((1, 1, blk_q, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_q, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
+                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, blk_q, D),
+                         lambda b, hk, ik, iq, r, w: (ik, b, hk * n_rep + r, iq, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            pl.BlockSpec((1, 1, blk_k, D),
+                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk_k, D), jnp.float32),
+            pltpu.VMEM((blk_k, D), jnp.float32),
+        ],
+    )
+    dqp, dk, dv = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel, scale=scale, causal=causal,
+                          blk_q=blk_q, blk_k=blk_k,
+                          guard_empty=sc.shape[0] > 3, flags=flags),
+        grid_spec=spec,
+        out_shape=[
+            # nk==1 needs no cross-partial sum: write dq in its final dtype
+            jax.ShapeDtypeStruct((nk, B, H, T, D),
+                                 q.dtype if nk == 1 else jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, Tk, D), v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary", "arbitrary")),
+        interpret=_interpret(),
+    )(sc, q, k, v, do, lse, delta)
+    dq = dqp.sum(axis=0).astype(q.dtype) if nk > 1 else \
+        dqp[0].astype(q.dtype)
+    return dq, dk, dv
+
+
+def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
               dlse=None):
+    if pl.cdiv(k.shape[2], blk_k) <= FUSED_BWD_MAX_NK:
+        return _fused_bwd(q, k, v, out, lse, do, sc, scale, causal,
+                          blk_q, blk_k, flags, dlse=dlse)
+    return _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
+                      flags, dlse=dlse)
+
+
+def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
+               dlse=None):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     Hkv = k.shape[1]
@@ -346,7 +517,7 @@ def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3),
+                          guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -385,7 +556,7 @@ def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3),
+                          guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
@@ -438,7 +609,56 @@ def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
     return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _flash_lse(
+    q, k, v,
+    window,
+    q_start,
+    k_start,
+    kv_begin,
+    kv_end,
+    scale: Optional[float],
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    flags,
+):
+    sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                               kv_end, scale, block_q, block_k)
+    out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk, flags)
+    return out, lse[..., 0]
+
+
+def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
+                   scale, causal, block_q, block_k, flags):
+    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                           kv_end, scale, block_q, block_k)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags)
+    return (out, lse[..., 0]), (q, k, v, sc, out, lse)
+
+
+def _flash_lse_bwd(scale, causal, block_q, block_k, flags, res, cts):
+    do, dlse = cts
+    q, k, v, sc, out, lse = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    bq = _pick_block(q.shape[2], block_q)
+    bk = _pick_block(k.shape[2], block_k)
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
+                           flags, dlse=dlse)
+    return dq, dk, dv, None, None, None, None, None
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def _static_zero(x):
+    """True when ``x`` is a compile-time zero (Python int/zero-d constant) —
+    lets plain (non-ring) callers skip the global-offset arithmetic in the
+    kernels' elementwise mask."""
+    return isinstance(x, int) and x == 0
+
+
 def flash_attention_lse(
     q, k, v,
     window=None,
@@ -469,34 +689,17 @@ def flash_attention_lse(
     the same relevance as monolithic attention. Sequence lengths must be
     multiples of 128 (the dispatcher in ops/attention.py guarantees this
     or falls back to the einsum path).
+
+    The STATIC shape of the call — which of window / global offsets /
+    kv padding are present at all — compiles to a kernel with exactly the
+    mask comparisons it needs (``_block_mask``); a plain-causal LM pays
+    for one compare per score element instead of six.
     """
-    sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                               kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk)
-    return out, lse[..., 0]
-
-
-def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-                   scale, causal, block_q, block_k):
-    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                           kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk)
-    return (out, lse[..., 0]), (q, k, v, sc, out, lse)
-
-
-def _flash_lse_bwd(scale, causal, block_q, block_k, res, cts):
-    do, dlse = cts
-    q, k, v, sc, out, lse = res
-    if scale is None:
-        scale = 1.0 / math.sqrt(q.shape[-1])
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
-    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
-                           dlse=dlse)
-    return dq, dk, dv, None, None, None, None, None
-
-
-flash_attention_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+    flags = (window is not None,
+             not (_static_zero(q_start) and _static_zero(k_start)),
+             kv_begin is not None or kv_end is not None)
+    return _flash_lse(q, k, v, window, q_start, k_start, kv_begin, kv_end,
+                      scale, causal, block_q, block_k, flags)
 
 
 def flash_attention(

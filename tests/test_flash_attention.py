@@ -276,3 +276,41 @@ def test_bert_right_padding_invariance_flash():
     np.testing.assert_allclose(np.asarray(rel_p[0, :L]),
                                np.asarray(rel_ref[0]), rtol=0, atol=3e-5)
     assert np.all(np.asarray(rel_p[0, L:]) == 0.0)
+
+
+@pytest.mark.parametrize("config", [
+    # (causal, window, kv_begin, kv_end, block_k) — block_k sets nk:
+    # nk<=FUSED_BWD_MAX_NK runs the fused backward, the last one the split
+    (True, None, None, None, 128),
+    (True, 64, None, None, 128),
+    (False, None, [64, 0], [256, 130], 128),
+    (True, None, None, None, 32),
+])
+def test_fused_bwd_matches_split(config):
+    """The fused one-pass backward (dq partials + dk/dv) and the split
+    dq/dkv kernels compute identical gradients for every mask regime."""
+    from lxt_tpu.ops import flash_attention as fa
+
+    causal, window, kvb, kve, bk = config
+    q, k, v = _qkv(jax.random.PRNGKey(3), H=4, T=256, D=32)
+    k = k[:, ::2]  # GQA: Hkv=2
+    v = v[:, ::2]
+    do = jax.random.normal(jax.random.PRNGKey(4), q.shape)
+    kvb = None if kvb is None else jnp.asarray(kvb, jnp.int32)
+    kve = None if kve is None else jnp.asarray(kve, jnp.int32)
+
+    def run(q, k, v):
+        return (fa.flash_attention(q, k, v, window, None, causal, 128, bk,
+                                   kv_begin=kvb, kv_end=kve) * do).sum()
+
+    old = fa.FUSED_BWD_MAX_NK
+    try:
+        fa.FUSED_BWD_MAX_NK = 8  # force fused even at nk>1
+        g_fused = jax.grad(run, argnums=(0, 1, 2))(q, k, v)
+        fa.FUSED_BWD_MAX_NK = 0  # force split
+        g_split = jax.grad(run, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        fa.FUSED_BWD_MAX_NK = old
+    for a, b, name in zip(g_fused, g_split, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5, err_msg=f"d{name}")
