@@ -192,6 +192,48 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
 
 
+def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                       *, scale, causal, blk_q, blk_k, guard_empty, flags):
+    """nk==1 specialization: the whole kv span sits in this one block, so
+    the softmax is exact in one shot — no online-softmax running state, no
+    f32 accumulator scratch, no alpha rescale."""
+    iq, ik = pl.program_id(2), jnp.int32(0)
+    sc = _scalars(w_ref)
+
+    def _body(apply_mask):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * (scale * LOG2E)
+        if apply_mask:
+            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
+                                           flags))
+        m = s.max(axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        if guard_empty:
+            p = jnp.where(m <= NEG_INF / 2, 0.0, p)
+        l = p.sum(axis=-1, keepdims=True)
+        empty = l <= 0.0
+        l_safe = jnp.where(empty, 1.0, l)
+        acc = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, 0] = jnp.where(empty, 0.0, acc / l_safe).astype(o_ref.dtype)
+        lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
+        lse_ref[0, 0] = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
+
+    visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
+    interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
+    pl.when(visible & interior)(lambda: _body(False))
+    pl.when(visible & jnp.logical_not(interior))(lambda: _body(True))
+
+    @pl.when(jnp.logical_not(visible))
+    def _zeros():
+        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
+        lse_ref[0, 0] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
+
+
 def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
     B, H, T, D = q.shape
     Tk = k.shape[2]
@@ -214,15 +256,16 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, h, iq, ik, w: (b, h, iq, 0)),
         ],
-        scratch_shapes=[
+        scratch_shapes=[] if nk == 1 else [
             pltpu.VMEM((blk_q, D), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
         ],
     )
 
+    kernel = _fwd_kernel_single if nk == 1 else _fwd_kernel
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, causal=causal,
+        functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=grid_spec,
