@@ -53,6 +53,7 @@ def attribution_flops(cfg, batch, seq):
 def main():
     import lxt_tpu
     from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import common as jcommon
     from lxt_tpu.models import llama as jllama
 
     cfg = jllama.LlamaConfig(
@@ -65,9 +66,13 @@ def main():
         def target(e):
             # logits only at the explained position: skips (T-1)/T of the
             # lm_head matmul in forward and backward
+            # unrolled layer driver: no scan residual-stacking copies
+            # (+12% at remat=none; see models/common.unrolled)
+            driver = jcommon.unrolled if REMAT is False else None
             return select_logit(
                 jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
-                               remat=REMAT, logits_at=-1).logits)
+                               remat=REMAT, logits_at=-1,
+                               layer_driver=driver).logits)
         return input_relevance(target, embeds)
 
     jstep = jax.jit(step)

@@ -150,6 +150,32 @@ def merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, n * d)
 
 
+def unrolled(f, h, xs):
+    """Fully-unrolled layer driver (drop-in for the default ``lax.scan``).
+
+    A ``layer_driver`` that runs the stacked layers as straight-line code
+    with STATIC per-layer slices. Under ``jax.vjp`` with ``remat=False``
+    the default scan stacks every saved residual with a
+    dynamic-update-slice per layer and reads it back with a dynamic-slice
+    in the backward — pure HBM copy traffic that a profiled bench step
+    spent ~25% of its time on (scripts/profile_step.py). Unrolled, XLA
+    writes residuals in place and the copies vanish (measured +12%
+    end-to-end on the headline config; compile time ~3x the scan's).
+
+    Use when throughput matters more than compile time and ``remat`` is
+    off; the scan stays the default everywhere else.
+    """
+    L = jax.tree_util.tree_leaves(xs)[0].shape[0]
+    ys = []
+    for i in range(L):
+        xi = jax.tree_util.tree_map(lambda a: a[i], xs)
+        h, y = f(h, xi)
+        ys.append(y)
+    if ys and ys[0] is not None:
+        return h, jnp.stack(ys)
+    return h, None
+
+
 def remat_wrap(layer_fn, remat):
     """Rematerialization policy for a scanned layer body.
 

@@ -42,12 +42,19 @@ def device_op_times(tmpdir):
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         for line in plane.lines:
-            # XLA modules nest ops under "XLA Ops"-style lines
-            if "op" not in line.name.lower() and "XLA" not in line.name:
+            # leaf-level kernel timeline only — module/while lines would
+            # double-count their children
+            if line.name != "XLA Ops":
                 continue
             for event in line.events:
                 dur = event.duration_ns
-                per_op[event.name] += dur
+                # strip the HLO operand dump: '%name = type(args)...' -> name
+                name = event.name.split(" = ")[0].lstrip("%")
+                if name.startswith(("while", "conditional")):
+                    # control-flow parents span their children on the same
+                    # timeline — counting them double-counts the body
+                    continue
+                per_op[name] += dur
                 total += dur
     return per_op, total
 

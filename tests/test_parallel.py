@@ -227,3 +227,36 @@ def test_pipeline_parallel_attribution():
     np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
                                rtol=0, atol=1e-4)
+
+
+def test_unrolled_driver_matches_scan():
+    """The unrolled layer driver (straight-line layers, no scan residual
+    stacking — the bench perf path) is numerically identical to the scan,
+    including hidden-state collection and the relevance backward."""
+    from lxt_tpu.models import common as jcommon
+
+    cfg = _tiny_cfg()
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    embeds = jllama.embed(params, ids)
+
+    def target(e, driver=None):
+        return select_logit(jllama.forward(
+            params, cfg, e, lxt_tpu.attnlrp, remat=False,
+            layer_driver=driver).logits)
+
+    val_ref, rel_ref = input_relevance(lambda e: target(e), embeds)
+    val, rel = input_relevance(
+        lambda e: target(e, driver=jcommon.unrolled), embeds)
+    np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
+                               rtol=0, atol=1e-6)
+
+    hs_scan = jllama.forward(params, cfg, embeds, lxt_tpu.attnlrp,
+                             remat=False, output_hidden_states=True
+                             ).hidden_states
+    hs_unroll = jllama.forward(params, cfg, embeds, lxt_tpu.attnlrp,
+                               remat=False, output_hidden_states=True,
+                               layer_driver=jcommon.unrolled).hidden_states
+    np.testing.assert_allclose(np.asarray(hs_unroll), np.asarray(hs_scan),
+                               rtol=0, atol=1e-6)
