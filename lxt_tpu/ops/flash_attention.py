@@ -234,6 +234,14 @@ def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
 
 
+def _split_eligible(causal, flags, nq, nk, Tq, Tk):
+    """The 2x2 diagonal-split kernels apply when the single block IS the
+    causal diagonal in global coordinates."""
+    has_offsets = flags[1]
+    return (causal and not has_offsets and nq == 1 and nk == 1
+            and Tq == Tk and Tq % 256 == 0)
+
+
 def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
     B, H, T, D = q.shape
     Tk = k.shape[2]
@@ -263,6 +271,11 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
         ],
     )
 
+    # NOTE: a diagonal-split forward (skip the masked upper-right quarter,
+    # mirroring _fused_bwd_kernel_split) is measurably faster per step but
+    # triggers a pathological XLA:TPU compile-time blowup (~45s -> ~300s)
+    # when its residuals are stacked by grad-of-scan; the backward-only
+    # split keeps most of the win at normal compile times.
     kernel = _fwd_kernel_single if nk == 1 else _fwd_kernel
     out, lse = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
@@ -442,6 +455,92 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
+def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
+                            delta_ref, dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                            *, scale, causal, blk_q, blk_k, guard_empty,
+                            flags):
+    """Diagonal-split variant of the fused nk==1 backward (see
+    ``_fwd_kernel_single_split``): all five matmuls skip the masked
+    upper-right quarter — 15 quarter-matmuls instead of 5 full ones, and
+    3/4 of the p/ds elementwise work."""
+    r = pl.program_id(4)
+    n_rep = pl.num_programs(4)
+    sc = _scalars(w_ref)
+    h = blk_q // 2
+    s2 = scale * LOG2E
+
+    def dot_nt(a, b):  # [m, D] x [n, D] -> [m, n]
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_tn(a, b):  # [m, n] x [m, D] -> [n, D]  (contract rows)
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_nn(a, b):  # [m, n] x [n, D] -> [m, D]
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    @pl.when(r == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    q1, q2 = q[:h], q[h:]
+    k1, k2 = k[:h], k[h:]
+    v1, v2 = v[:h], v[h:]
+    do1, do2 = do[:h], do[h:]
+    lse = lse_ref[0, 0][:, :1]
+    lse1, lse2 = lse[:h], lse[h:]
+    delta = delta_ref[0, 0][:, :1]
+    delta1, delta2 = delta[:h], delta[h:]
+
+    sub_flags = (flags[0], False, flags[2])
+    s11 = _apply_mask(dot_nt(q1, k1) * s2,
+                      _block_mask(0, 0, sc, h, h, True, sub_flags))
+    s22 = _apply_mask(dot_nt(q2, k2) * s2,
+                      _block_mask(1, 1, sc, h, h, True, sub_flags))
+    s21 = dot_nt(q2, k1) * s2
+    if flags[0] or flags[2]:
+        s21 = _apply_mask(s21, _block_mask(1, 0, sc, h, h, False, sub_flags))
+
+    p11 = jnp.exp2(s11 - lse1 * LOG2E)
+    p21 = jnp.exp2(s21 - lse2 * LOG2E)
+    p22 = jnp.exp2(s22 - lse2 * LOG2E)
+    if guard_empty:
+        p11 = jnp.where(lse1 <= NEG_INF / 2, 0.0, p11)
+        empty2 = lse2 <= NEG_INF / 2
+        p21 = jnp.where(empty2, 0.0, p21)
+        p22 = jnp.where(empty2, 0.0, p22)
+
+    dt = do.dtype
+    dv_acc[:h] += dot_tn(p11.astype(dt), do1) + dot_tn(p21.astype(dt), do2)
+    dv_acc[h:] += dot_tn(p22.astype(dt), do2)
+
+    dp11 = dot_nt(do1, v1)
+    dp21 = dot_nt(do2, v1)
+    dp22 = dot_nt(do2, v2)
+    ds11 = (p11 * (dp11 - delta1)).astype(dt)
+    ds21 = (p21 * (dp21 - delta2)).astype(dt)
+    ds22 = (p22 * (dp22 - delta2)).astype(dt)
+
+    dk_acc[:h] += (dot_tn(ds11, q1) + dot_tn(ds21, q2)) * scale
+    dk_acc[h:] += dot_tn(ds22, q2) * scale
+
+    dq1 = dot_nn(ds11, k1) * scale
+    dq2 = (dot_nn(ds21, k1) + dot_nn(ds22, k2)) * scale
+    dqp_ref[0, 0, 0] = jnp.concatenate([dq1, dq2], axis=0).astype(dqp_ref.dtype)
+
+    @pl.when(r == n_rep - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 #: the fused backward's dq partials cost nk extra dq-sized f32 HBM buffers
 #: (written every step); measured on v5e, that traffic already loses to the
 #: split kernels' score recompute at nk=2 — only the partial-free nk==1
@@ -493,8 +592,11 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
             pltpu.VMEM((blk_k, D), jnp.float32),
         ],
     )
+    kernel = (_fused_bwd_kernel_split
+              if _split_eligible(causal, flags, nq, nk, T, Tk)
+              else _fused_bwd_kernel)
     dqp, dk, dv = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=scale, causal=causal,
+        functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=spec,
