@@ -42,6 +42,9 @@ def __getattr__(name):
     if name == "load_checkpoint_params":
         from lxt_tpu.io import load_checkpoint_params
         return load_checkpoint_params
+    if name in ("AttributionServer", "http_server"):
+        import lxt_tpu.serve as _s
+        return getattr(_s, name)
     raise AttributeError(name)
 
 
@@ -49,5 +52,6 @@ __all__ = [
     "ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient",
     "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
     "select_logit", "contrastive_target", "normalize_relevance",
-    "load_checkpoint_params", "__version__",
+    "load_checkpoint_params", "AttributionServer", "http_server",
+    "__version__",
 ]

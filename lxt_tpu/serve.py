@@ -1,0 +1,206 @@
+"""Attribution serving: continuous micro-batching + a minimal HTTP endpoint.
+
+Beyond-reference production surface (the reference attributes one prompt
+per script run; SURVEY.md §0 "no serving"). The TPU economics that motivate
+it: one attribution step over a batch costs barely more than over one
+prompt (the MXU is depth-bound, not batch-bound), so a server that groups
+concurrent requests into one :class:`~lxt_tpu.pipeline.AttributionPipeline`
+call multiplies heatmap throughput by the batch size — the north-star
+metric of BASELINE.md.
+
+Two pieces, composable:
+
+- :class:`AttributionServer` — a worker thread pulls requests from a queue
+  and coalesces them (up to ``max_batch``, waiting at most ``max_wait_ms``
+  after the first arrival) into single pipeline calls. Requests carrying
+  different composites are grouped per composite within a drain. Results
+  resolve ``concurrent.futures.Future``s, so any frontend (HTTP, gRPC,
+  notebook threads) can sit on top.
+- :func:`http_server` — a stdlib-only JSON-over-HTTP frontend
+  (``POST /v1/attribute`` with ``{"prompt": ...}`` or
+  ``{"prompts": [...]}``; ``GET /healthz``). Handler threads block on
+  futures while the single worker keeps the chip busy — classic
+  continuous batching.
+
+The pipeline already pads prompts to a shared bucketed length
+(``pad_multiple``), so mixed-length batches stay on the flash-attention
+path and the jit cache stays small.
+"""
+
+import concurrent.futures
+import dataclasses
+import json
+import queue
+import threading
+import time
+from typing import List, Optional
+
+from lxt_tpu.pipeline import AttributionPipeline, Heatmap
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt: str
+    composite: Optional[object]
+    future: "concurrent.futures.Future"
+
+
+class AttributionServer:
+    """Micro-batching front of an :class:`AttributionPipeline`.
+
+    ``max_batch``: largest coalesced batch (match it to the throughput
+    sweet spot of the chip — the bench uses 8). ``max_wait_ms``: how long
+    the worker holds the FIRST request of a batch waiting for company;
+    the latency cost of batching is bounded by this.
+    """
+
+    def __init__(self, pipeline: AttributionPipeline, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        self.pipeline = pipeline
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self.batch_sizes: List[int] = []   # observability: coalescing stats
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="lxt-attribution-worker")
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+
+    def submit(self, prompt: str, composite=None) -> "concurrent.futures.Future":
+        """Enqueue one prompt; the Future resolves to a :class:`Heatmap`."""
+        if not self._worker.is_alive():
+            raise RuntimeError("AttributionServer is closed")
+        fut: "concurrent.futures.Future" = concurrent.futures.Future()
+        self._queue.put(_Request(prompt, composite, fut))
+        return fut
+
+    def attribute(self, prompt: str, composite=None) -> Heatmap:
+        """Blocking convenience wrapper around :meth:`submit`."""
+        return self.submit(prompt, composite).result()
+
+    def close(self):
+        """Drain nothing further; the worker exits after in-flight work."""
+        self._queue.put(None)
+        self._worker.join()
+
+    # -- worker side --------------------------------------------------------
+
+    def _drain(self):
+        """Block for one request, then coalesce arrivals until the batch is
+        full or ``max_wait_s`` after the first. Returns [] on shutdown."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.max_wait_s
+        while len(batch) < self.max_batch:
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                req = self._queue.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if req is None:
+                self._queue.put(None)   # re-post shutdown for the outer loop
+                break
+            batch.append(req)
+        return batch
+
+    def _run(self):
+        while True:
+            batch = self._drain()
+            if not batch:
+                return
+            self.batch_sizes.append(len(batch))
+            # one pipeline call per distinct composite in the drain
+            # (Composites are hashable frozen dataclasses; None = default)
+            groups = {}
+            for req in batch:
+                groups.setdefault(req.composite, []).append(req)
+            for composite, reqs in groups.items():
+                try:
+                    heatmaps = self.pipeline([r.prompt for r in reqs],
+                                             composite=composite)
+                except Exception as e:  # noqa: BLE001 — propagate to callers
+                    for r in reqs:
+                        r.future.set_exception(e)
+                    continue
+                for r, hm in zip(reqs, heatmaps):
+                    r.future.set_result(hm)
+                    self.requests_served += 1
+
+
+# ---------------------------------------------------------------------------
+# HTTP frontend (stdlib only)
+# ---------------------------------------------------------------------------
+
+def _heatmap_json(hm: Heatmap):
+    return {
+        "tokens": list(hm.tokens),
+        "relevance": [float(x) for x in hm.relevance],
+        "value": hm.value,
+    }
+
+
+def http_server(server: AttributionServer, host: str = "127.0.0.1",
+                port: int = 0):
+    """Build a ``ThreadingHTTPServer`` frontend for ``server``.
+
+    Routes:
+      - ``POST /v1/attribute`` body ``{"prompt": str}`` or
+        ``{"prompts": [str, ...]}`` -> ``{"heatmaps": [...]}``. Prompts in
+        one request are submitted individually, so they coalesce with OTHER
+        concurrent requests too.
+      - ``GET /healthz`` -> ``{"ok": true, "served": N, "batches": [...]}``
+
+    Returns the ``http.server.ThreadingHTTPServer`` (call
+    ``serve_forever()`` — typically in a thread — and ``shutdown()``).
+    Port 0 picks a free port (``httpd.server_address[1]``).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True,
+                                  "served": server.requests_served,
+                                  "batches": server.batch_sizes[-32:]})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/v1/attribute":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompts = req.get("prompts")
+                if prompts is None:
+                    prompts = [req["prompt"]]
+            except (KeyError, ValueError) as e:
+                self._reply(400, {"error": f"bad request: {e}"})
+                return
+            futures = [server.submit(p) for p in prompts]
+            try:
+                heatmaps = [f.result() for f in futures]
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                self._reply(500, {"error": str(e)})
+                return
+            self._reply(200, {"heatmaps": [_heatmap_json(h) for h in heatmaps]})
+
+        def log_message(self, *args):  # quiet (observability via /healthz)
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
