@@ -20,6 +20,8 @@ import time
 
 import jax
 
+from lxt_tpu.utils.profiling import PEAK_BF16
+
 BATCH = int(os.environ.get("LXT_BENCH_BATCH", 8))
 SEQ = int(os.environ.get("LXT_BENCH_SEQ", 1024))
 ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
@@ -27,7 +29,6 @@ ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
 # 'full' (the reference's O(sqrt N) gradient-checkpointing profile)
 REMAT = {"none": False, "dots": "dots", "full": True}[
     os.environ.get("LXT_BENCH_REMAT", "none")]
-PEAK_BF16 = 197e12  # v5e TensorCore peak
 
 
 def attribution_flops(cfg, batch, seq):

@@ -96,12 +96,15 @@ def _parse_entries(meta):
     return meta
 
 
-def _load_safetensors_native(path, dtype, threads):
-    lib = _lib()
+def _load_safetensors_native(path, dtype, threads, lib):
     threads = threads or min(8, os.cpu_count() or 1)
     handle = lib.sl_open(str(path).encode())
     if not handle:
-        raise FileNotFoundError(f"{path}: missing or malformed safetensors")
+        # distinguish "no such checkpoint" (callers branch on this to try
+        # alternate paths) from "file exists but is truncated/malformed"
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"{path}: no such safetensors file")
+        raise ValueError(f"{path}: truncated or malformed safetensors")
     try:
         hlen = lib.sl_header_len(handle)
         data_size = lib.sl_file_size(handle) - 8 - hlen
@@ -175,11 +178,13 @@ def load_safetensors(path, dtype=np.float32, threads=None):
     cannot be built (no g++) or loaded.
     """
     try:
-        return _load_safetensors_native(path, dtype, threads)
-    except (OSError, subprocess.CalledProcessError) as e:
-        if isinstance(e, FileNotFoundError) and str(path) in str(e):
-            raise  # the checkpoint itself is missing/malformed
+        lib = _lib()
+    except (OSError, subprocess.CalledProcessError):
+        # only a failure to BUILD/LOAD the native library falls back;
+        # checkpoint problems (missing file, truncation) raise from either
+        # reader with the same exception types
         return _load_safetensors_numpy(path, dtype)
+    return _load_safetensors_native(path, dtype, threads, lib)
 
 
 def load_checkpoint_state_dict(model_dir, dtype=np.float32):

@@ -151,7 +151,7 @@ def attention(
         if Dp != D:
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
-        out = flash_attention(q, k, v, window, scale, causal,
+        out = flash_attention(q, k, v, window, scale=scale, causal=causal,
                               kv_begin=kv_begin, kv_end=kv_end)
         return out[..., :D] if Dp != D else out
     if kv_begin is not None or kv_end is not None:

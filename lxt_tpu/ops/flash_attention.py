@@ -807,6 +807,8 @@ def _static_zero(x):
 def flash_attention_lse(
     q, k, v,
     window=None,
+    *,  # keyword-only: silent misbinding here (e.g. scale->kv_begin)
+        # produces wrong attention, not an error
     q_start=0,
     k_start=0,
     kv_begin=None,
@@ -850,6 +852,7 @@ def flash_attention_lse(
 def flash_attention(
     q, k, v,
     window=None,
+    *,  # keyword-only (see flash_attention_lse)
     scale: Optional[float] = None,
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
@@ -861,5 +864,6 @@ def flash_attention(
     See :func:`flash_attention_lse` — this drops the lse output (its zero
     cotangent vanishes in the backward). ``kv_begin``/``kv_end``: optional
     per-example [B] valid-key span (left-/right-padded batches)."""
-    return flash_attention_lse(q, k, v, window, 0, 0, kv_begin, kv_end,
-                               scale, causal, block_q, block_k)[0]
+    return flash_attention_lse(q, k, v, window, kv_begin=kv_begin,
+                               kv_end=kv_end, scale=scale, causal=causal,
+                               block_q=block_q, block_k=block_k)[0]

@@ -125,10 +125,12 @@ def quant_matmul(x, qt: QuantizedTensor, bias=None):
 #: matching bitsandbytes' Linear-only scope): quantizing by NAME SPEC is
 #: robust to future layouts where the heuristics below could misfire.
 FAMILY_QUANTIZABLE = {
-    "llama": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head"),
-    "gemma3": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "lm_head"),
-    "mixtral": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "w_router",
-                "lm_head"),
+    # lm_head is deliberately absent everywhere: bitsandbytes leaves the
+    # output head full-precision by default, the heuristic path's skip list
+    # agrees, and the explained logit is exactly what attribution reads.
+    "llama": ("wq", "wk", "wv", "wo", "wg", "wu", "wd"),
+    "gemma3": ("wq", "wk", "wv", "wo", "wg", "wu", "wd"),
+    "mixtral": ("wq", "wk", "wv", "wo", "wg", "wu", "wd", "w_router"),
     "gpt2": ("w_attn", "w_proj", "w_fc", "w_out"),
     "bert": ("wq", "wk", "wv", "wo", "wi", "wout", "pooler_w"),
     "siglip": ("wq", "wk", "wv", "wo", "w_fc", "w_out"),

@@ -59,7 +59,7 @@ def ring_flash_attention(q, k, v, axis_name: str,
         out_acc, lse_acc, (k_cur, v_cur) = carry
         src = (idx - s) % n          # device the current kv slice came from
         out_s, lse_s = flash_attention_lse(
-            q, k_cur, v_cur, window, q_start, src * Tl,
+            q, k_cur, v_cur, window, q_start=q_start, k_start=src * Tl,
             scale=scale, causal=causal)
         out_acc, lse_acc = _merge(out_acc, lse_acc,
                                   out_s.astype(jnp.float32), lse_s)

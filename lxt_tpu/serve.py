@@ -27,13 +27,14 @@ The pipeline already pads prompts to a shared bucketed length
 path and the jit cache stays small.
 """
 
+import collections
 import concurrent.futures
 import dataclasses
 import json
 import queue
 import threading
 import time
-from typing import List, Optional
+from typing import Optional
 
 from lxt_tpu.pipeline import AttributionPipeline, Heatmap
 
@@ -60,8 +61,11 @@ class AttributionServer:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
-        self.batch_sizes: List[int] = []   # observability: coalescing stats
+        # bounded: a long-running server must not leak one int per batch
+        self.batch_sizes = collections.deque(maxlen=1024)
         self.requests_served = 0
+        self._closed = False
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="lxt-attribution-worker")
         self._worker.start()
@@ -70,10 +74,13 @@ class AttributionServer:
 
     def submit(self, prompt: str, composite=None) -> "concurrent.futures.Future":
         """Enqueue one prompt; the Future resolves to a :class:`Heatmap`."""
-        if not self._worker.is_alive():
-            raise RuntimeError("AttributionServer is closed")
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
-        self._queue.put(_Request(prompt, composite, fut))
+        # lock so no request can land BEHIND the shutdown sentinel (it
+        # would never resolve); close() takes the same lock
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("AttributionServer is closed")
+            self._queue.put(_Request(prompt, composite, fut))
         return fut
 
     def attribute(self, prompt: str, composite=None) -> Heatmap:
@@ -81,8 +88,12 @@ class AttributionServer:
         return self.submit(prompt, composite).result()
 
     def close(self):
-        """Drain nothing further; the worker exits after in-flight work."""
-        self._queue.put(None)
+        """Reject new submissions; the worker exits after in-flight work."""
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._worker.join()
 
     # -- worker side --------------------------------------------------------
@@ -109,28 +120,53 @@ class AttributionServer:
             batch.append(req)
         return batch
 
+    @staticmethod
+    def _resolve(fut, result=None, error=None):
+        """Resolve a future, tolerating client-side cancellation (a
+        set_result on a CANCELLED future raises InvalidStateError and
+        would otherwise kill the worker)."""
+        if not fut.set_running_or_notify_cancel():
+            return False
+        if error is not None:
+            fut.set_exception(error)
+            return False
+        fut.set_result(result)
+        return True
+
+    def _process(self, batch):
+        # one pipeline call per distinct composite in the drain
+        # (Composites are hashable frozen dataclasses; None = default)
+        groups = {}
+        for req in batch:
+            groups.setdefault(req.composite, []).append(req)
+        for composite, reqs in groups.items():
+            try:
+                heatmaps = self.pipeline([r.prompt for r in reqs],
+                                         composite=composite)
+                if len(heatmaps) != len(reqs):
+                    raise RuntimeError(
+                        f"pipeline returned {len(heatmaps)} heatmaps for "
+                        f"{len(reqs)} prompts")
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for r in reqs:
+                    self._resolve(r.future, error=e)
+                continue
+            for r, hm in zip(reqs, heatmaps):
+                if self._resolve(r.future, hm):
+                    self.requests_served += 1
+
     def _run(self):
         while True:
             batch = self._drain()
             if not batch:
                 return
             self.batch_sizes.append(len(batch))
-            # one pipeline call per distinct composite in the drain
-            # (Composites are hashable frozen dataclasses; None = default)
-            groups = {}
-            for req in batch:
-                groups.setdefault(req.composite, []).append(req)
-            for composite, reqs in groups.items():
-                try:
-                    heatmaps = self.pipeline([r.prompt for r in reqs],
-                                             composite=composite)
-                except Exception as e:  # noqa: BLE001 — propagate to callers
-                    for r in reqs:
-                        r.future.set_exception(e)
-                    continue
-                for r, hm in zip(reqs, heatmaps):
-                    r.future.set_result(hm)
-                    self.requests_served += 1
+            try:
+                self._process(batch)
+            except Exception as e:  # noqa: BLE001 — the worker must survive
+                for r in batch:
+                    if not r.future.done():
+                        self._resolve(r.future, error=e)
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +211,7 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             if self.path == "/healthz":
                 self._reply(200, {"ok": True,
                                   "served": server.requests_served,
-                                  "batches": server.batch_sizes[-32:]})
+                                  "batches": list(server.batch_sizes)[-32:]})
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -186,10 +222,15 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
                 prompts = req.get("prompts")
                 if prompts is None:
                     prompts = [req["prompt"]]
-            except (KeyError, ValueError) as e:
+                if (not isinstance(prompts, list)
+                        or not all(isinstance(p, str) for p in prompts)):
+                    raise ValueError("'prompts' must be a list of strings")
+            except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             futures = [server.submit(p) for p in prompts]

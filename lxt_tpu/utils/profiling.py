@@ -55,6 +55,38 @@ def benchmark(fn: Callable, args_stream: Iterable, *, warmup: int = 2,
     return dt, 1.0 / dt
 
 
+#: v5e TensorCore bf16 peak, the MFU denominator for every bench script
+PEAK_BF16 = 197e12
+
+
+def chained_timeit(fn, arg, iters=8, min_window=0.4):
+    """Seconds per call of ``fn(arg) -> array-like-arg``, timed by CHAINING
+    iterations through a data dependence and draining with one scalar
+    fetch. ``block_until_ready`` can return before execution completes on
+    remote-attached TPUs (axon tunnel), so wall-clocking n chained calls
+    minus one subtracts the fetch overhead exactly. The iteration count
+    adapts upward until the measured window covers ``min_window`` seconds —
+    for sub-5ms kernels a fixed n leaves the estimate dominated by tunnel
+    jitter (observed 2x run-to-run). Single source of truth for bench.py /
+    scripts/bench_*.py."""
+    import jax.numpy as jnp
+
+    def chain(a, n):
+        for _ in range(n):
+            a = fn(a)
+        return float(jnp.real(jnp.asarray(a)).ravel()[0])
+
+    chain(arg, 1)  # compile + warm
+    while True:
+        t0 = time.perf_counter(); chain(arg, 1); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); chain(arg, 1 + iters)
+        tn = time.perf_counter() - t0
+        dt = max((tn - t1) / iters, 1e-9)
+        if tn - t1 >= min_window or iters >= 4096:
+            return dt
+        iters = min(4096, max(iters * 2, int(min_window / dt) + 1))
+
+
 def memory_stats(device=None):
     """Per-device HBM usage snapshot (bytes), or {} if unsupported."""
     device = device or jax.devices()[0]

@@ -14,17 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-
-def timeit(fn, arg, iters=5):
-    def chain(a, n):
-        for _ in range(n):
-            a = fn(a)
-        return float(jnp.asarray(a).ravel()[0])
-
-    chain(arg, 1)
-    t0 = time.time(); chain(arg, 1); t1 = time.time() - t0
-    t0 = time.time(); chain(arg, 1 + iters); tn = time.time() - t0
-    return max((tn - t1) / iters, 1e-9)
+from lxt_tpu.utils.profiling import chained_timeit
 
 
 def main():
@@ -74,7 +64,7 @@ def main():
     ]
     for name, step in rows:
         try:
-            dt = timeit(step, embeds)
+            dt = chained_timeit(step, embeds)
             print(f"{name:36s} {dt*1e3:8.2f} ms  ({B/dt:.2f} heatmaps/s)")
         except Exception as e:
             print(f"{name:36s} FAILED: {str(e)[:80]}")

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-PEAK_BF16 = 197e12  # v5e TensorCore peak, bf16
+from lxt_tpu.utils.profiling import PEAK_BF16, chained_timeit
 
 
 def causal_pair_count(T, window=None):
@@ -46,22 +46,6 @@ def useful_flops(B, H, T, D, window=None, bwd=False):
     return B * H * pairs * per_pair
 
 
-def timeit(fn, arg, iters=8):
-    """Chained timing: fn(arg) -> array like arg."""
-    out = fn(arg)
-    jax.block_until_ready(out)
-
-    def chain(a, n):
-        for _ in range(n):
-            a = fn(a)
-        return float(jnp.real(a).ravel()[0])
-
-    chain(arg, 1)
-    t0 = time.time(); chain(arg, 1); t1 = time.time() - t0
-    t0 = time.time(); chain(arg, 1 + iters); tn = time.time() - t0
-    return max((tn - t1) / iters, 1e-9)
-
-
 def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16):
     from lxt_tpu.ops.flash_attention import flash_attention
 
@@ -73,21 +57,21 @@ def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16):
     if mode == "fwd":
         @jax.jit
         def step(q):
-            return flash_attention(q, k, v, None, None, True,
-                                   block_q, block_k).astype(q.dtype)
+            return flash_attention(q, k, v, None, causal=True,
+                                   block_q=block_q, block_k=block_k).astype(q.dtype)
         flops = useful_flops(B, H, T, D)
     else:
         @jax.jit
         def step(q):
             def loss(q):
-                o = flash_attention(q, k, v, None, None, True,
-                                    block_q, block_k)
+                o = flash_attention(q, k, v, None, causal=True,
+                                    block_q=block_q, block_k=block_k)
                 return (o.astype(jnp.float32) ** 2).sum()
             g = jax.grad(loss)(q)
             return q + g.astype(q.dtype) * 1e-6
         flops = useful_flops(B, H, T, D, bwd=True)
 
-    dt = timeit(step, q)
+    dt = chained_timeit(step, q)
     return flops / dt / 1e12, dt
 
 
@@ -117,7 +101,7 @@ def bench_einsum(B, H, Hkv, T, D, mode, dtype=jnp.bfloat16):
             return q + g.astype(q.dtype) * 1e-6
         flops = useful_flops(B, H, T, D, bwd=True)
     try:
-        dt = timeit(step, q)
+        dt = chained_timeit(step, q)
     except Exception as e:  # OOM at long T
         return None, str(e)[:60]
     return flops / dt / 1e12, dt

@@ -25,14 +25,14 @@ def test_flash_matches_einsum_fwd_bwd(window):
     q, k, v = _qkv(jax.random.PRNGKey(0))
 
     def f_flash(q, k, v):
-        return flash_attention(q, k, v, window, None, True).sum()
+        return flash_attention(q, k, v, window).sum()
 
     def f_ref(q, k, v):
         return attention(q, k, v, causal=True, window=window,
                          composite=lxt_tpu.vanilla_gradient,
                          impl="einsum").sum()
 
-    out_f = flash_attention(q, k, v, window, None, True)
+    out_f = flash_attention(q, k, v, window)
     out_r = attention(q, k, v, causal=True, window=window,
                       composite=lxt_tpu.vanilla_gradient, impl="einsum")
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
@@ -78,10 +78,10 @@ def test_flash_traced_window():
     q, k, v = _qkv(jax.random.PRNGKey(2), T=128)
 
     def f(w):
-        return flash_attention(q, k, v, w, None, True)
+        return flash_attention(q, k, v, w)
 
     out_full = f(jnp.int32(128))
-    out_none = flash_attention(q, k, v, None, None, True)
+    out_none = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_none),
                                rtol=0, atol=1e-6)
 
@@ -110,7 +110,7 @@ def test_flash_kv_begin_padding():
     kv_begin = jnp.asarray([64, 0], jnp.int32)
 
     def tgt_flash(q, k, v):
-        out = flash_attention(q, k, v, None, None, True, 128, 128,
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
                               kv_begin=kv_begin)
         return (out.astype(jnp.float32) * rel).sum(), out
 
@@ -300,8 +300,8 @@ def test_fused_bwd_matches_split(config):
     kve = None if kve is None else jnp.asarray(kve, jnp.int32)
 
     def run(q, k, v):
-        return (fa.flash_attention(q, k, v, window, None, causal, 128, bk,
-                                   kv_begin=kvb, kv_end=kve) * do).sum()
+        return (fa.flash_attention(q, k, v, window, causal=causal, block_q=128,
+                                   block_k=bk, kv_begin=kvb, kv_end=kve) * do).sum()
 
     old = fa.FUSED_BWD_MAX_NK
     try:

@@ -80,7 +80,10 @@ def test_family_quantizable_spec():
     quantized = {k for k, v in qp["layers"].items()
                  if isinstance(v, QuantizedTensor)}
     assert quantized == {"wq", "wk", "wv", "wo", "wg", "wu", "wd"}
-    assert isinstance(qp["lm_head"], QuantizedTensor)
+    # lm_head stays full precision on BOTH selection paths (bitsandbytes
+    # skips the output head by default, and the explained logit is exactly
+    # what attribution reads)
+    assert not isinstance(qp["lm_head"], QuantizedTensor)
     assert not isinstance(qp["embed"], QuantizedTensor)
     assert not isinstance(qp["final_norm"], QuantizedTensor)
 
