@@ -30,6 +30,14 @@ def from_hf(hf_model, composite=None, dtype=None):
     return _from_hf(hf_model, composite=composite, dtype=dtype)
 
 
+def from_pretrained(model_dir, composite=None, dtype=None, quantize_bits=None):
+    """Load an :class:`AttributionModel` straight from an HF checkpoint
+    directory via the native safetensors reader (no torch model built)."""
+    from lxt_tpu.models.registry import from_pretrained as _fp
+    return _fp(model_dir, composite=composite, dtype=dtype,
+               quantize_bits=quantize_bits)
+
+
 def __getattr__(name):
     # lazy top-level conveniences (keep `import lxt_tpu` light)
     if name == "AttributionPipeline":
@@ -53,5 +61,6 @@ __all__ = [
     "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
     "select_logit", "contrastive_target", "normalize_relevance",
     "load_checkpoint_params", "AttributionServer", "http_server",
+    "from_pretrained",
     "__version__",
 ]

@@ -160,17 +160,11 @@ def detect_family(hf_config) -> str:
     return mt
 
 
-def from_hf(hf_model, composite: composites.Composite = None,
-            dtype=None) -> AttributionModel:
-    """Convert a loaded HF torch model into an AttributionModel.
-
-    ``composite`` defaults to AttnLRP except GPT-2, where the reference
-    recommends CP-LRP (models/gpt2.py:24-26).
-    """
+def _convert(state_dict, hf_config, composite, dtype) -> AttributionModel:
+    """Shared state_dict -> AttributionModel conversion (torch tensors or
+    numpy arrays — the family converters accept either)."""
     import numpy as np
 
-    hf_config = hf_model.config
-    state_dict = hf_model.state_dict()
     # multimodal wrappers (e.g. Gemma3ForConditionalGeneration) expose the
     # text config underneath; extract the language-model weights (use
     # lxt_tpu.models.gemma3.multimodal_* for joint image+text attribution)
@@ -193,3 +187,39 @@ def from_hf(hf_model, composite: composites.Composite = None,
         composite = composites.cp_lrp if family == "gpt2" else composites.attnlrp
     return AttributionModel(family=family, cfg=cfg, params=params,
                             composite=composite, _fns=table)
+
+
+def from_hf(hf_model, composite: composites.Composite = None,
+            dtype=None) -> AttributionModel:
+    """Convert a loaded HF torch model into an AttributionModel.
+
+    ``composite`` defaults to AttnLRP except GPT-2, where the reference
+    recommends CP-LRP (models/gpt2.py:24-26).
+    """
+    return _convert(hf_model.state_dict(), hf_model.config, composite, dtype)
+
+
+def from_pretrained(model_dir, composite: composites.Composite = None,
+                    dtype=None, quantize_bits: int = None) -> AttributionModel:
+    """Load an AttributionModel straight from an HF checkpoint DIRECTORY —
+    no torch model is ever instantiated: the config comes from
+    ``transformers.AutoConfig`` and the weights stream through the native
+    mmap safetensors loader (:mod:`lxt_tpu.io`), so an 8B checkpoint never
+    holds a second full-precision torch copy in host RAM.
+
+    ``quantize_bits`` (4/8) applies the per-family weight-only
+    quantization spec after conversion (the bitsandbytes role in the
+    reference's quantized examples, examples/quantized_llama.py:13-19).
+    """
+    from transformers import AutoConfig
+
+    from lxt_tpu.io import load_checkpoint_state_dict
+
+    hf_config = AutoConfig.from_pretrained(model_dir)
+    state = load_checkpoint_state_dict(model_dir)
+    model = _convert(state, hf_config, composite, dtype)
+    if quantize_bits:
+        from lxt_tpu.ops.quant import quantize_params
+        model.params = quantize_params(model.params, bits=quantize_bits,
+                                       family=model.family)
+    return model

@@ -147,8 +147,17 @@ def quantize_params(params, bits: int = 8, min_ndim: int = 2,
 
     With ``family`` given, EXACTLY the leaves in
     :data:`FAMILY_QUANTIZABLE[family]` are quantized (explicit spec);
-    otherwise a name heuristic selects matrices and skips norms/biases/
-    embeddings."""
+    families sharing the llama layout (qwen/mistral/phi3/gemma3_text)
+    resolve to the llama spec. Otherwise a name heuristic selects matrices
+    and skips norms/biases/embeddings."""
+    aliases = {"qwen2": "llama", "qwen3": "llama", "mistral": "llama",
+               "phi3": "llama", "gemma3_text": "gemma3"}
+    if family is not None:
+        family = aliases.get(family, family)
+        if family not in FAMILY_QUANTIZABLE:
+            raise ValueError(
+                f"no quantizable-leaf spec for family {family!r}; "
+                f"known: {sorted(FAMILY_QUANTIZABLE)}")
     spec = None if family is None else frozenset(FAMILY_QUANTIZABLE[family])
 
     def eligible(name, leaf):

@@ -245,3 +245,79 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             pass
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+# ---------------------------------------------------------------------------
+# CLI: python -m lxt_tpu.serve --model <hf checkpoint dir>
+# ---------------------------------------------------------------------------
+
+def build_server(args):
+    """Checkpoint directory -> (AttributionServer, tokenizer). Split from
+    :func:`main` so deployments (and tests) can wire their own frontend."""
+    import numpy as np
+
+    import lxt_tpu
+    from lxt_tpu.models.registry import from_pretrained
+
+    composite = {"attnlrp": lxt_tpu.attnlrp, "cp_lrp": lxt_tpu.cp_lrp,
+                 None: None}[args.composite]
+    if args.dtype == "bfloat16":
+        import ml_dtypes
+        dtype = np.dtype(ml_dtypes.bfloat16)
+    else:
+        dtype = np.dtype(args.dtype)
+    model = from_pretrained(args.model, composite=composite, dtype=dtype,
+                            quantize_bits=args.bits)
+
+    from transformers import AutoTokenizer
+    tokenizer = AutoTokenizer.from_pretrained(args.model)
+
+    mesh = None
+    if args.data_parallel > 1:
+        from lxt_tpu.parallel import make_mesh
+        mesh = make_mesh(data=args.data_parallel)
+    pipeline = AttributionPipeline(model, tokenizer, mesh=mesh)
+    return AttributionServer(pipeline, max_batch=args.max_batch,
+                             max_wait_ms=args.max_wait_ms)
+
+
+def _parse_args(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(
+        prog="python -m lxt_tpu.serve",
+        description="Serve AttnLRP attributions over HTTP (continuous "
+                    "micro-batching on TPU).")
+    ap.add_argument("--model", required=True,
+                    help="HF checkpoint directory (config.json + safetensors)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--composite", choices=["attnlrp", "cp_lrp"], default=None)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--bits", type=int, choices=[4, 8], default=None,
+                    help="weight-only quantization (fit big models on one chip)")
+    ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--data-parallel", type=int, default=1,
+                    help="shard request batches over this many chips")
+    return ap.parse_args(argv)
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    server = build_server(args)
+    httpd = http_server(server, args.host, args.port)
+    print(f"lxt_tpu attribution server on "
+          f"http://{args.host}:{httpd.server_address[1]} "
+          f"(POST /v1/attribute, GET /healthz)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+if __name__ == "__main__":
+    main()

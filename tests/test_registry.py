@@ -84,3 +84,68 @@ def test_from_hf_phi3_forward_parity():
 
     value, rel = model.attribute(ids.numpy())
     assert bool(jnp.isfinite(rel).all()) and float(jnp.abs(rel).sum()) > 0
+
+
+def test_from_pretrained_matches_from_hf(tmp_path):
+    """from_pretrained loads a checkpoint DIRECTORY through the native
+    safetensors reader (no torch model instantiated) and must produce the
+    same logits as from_hf on the loaded torch model; quantize_bits= applies
+    the per-family spec (incl. the llama-layout alias families)."""
+    import torch
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    from lxt_tpu.models.registry import from_pretrained
+    from lxt_tpu.ops.quant import QuantizedTensor
+
+    torch.manual_seed(1)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.save_pretrained(tmp_path)
+
+    ref = lxt_tpu.from_hf(hf)
+    model = from_pretrained(tmp_path)
+    assert model.family == "llama"
+    ids = np.random.RandomState(1).randint(0, 256, (1, 8))
+    np.testing.assert_allclose(np.asarray(model.logits(ids)),
+                               np.asarray(ref.logits(ids)),
+                               rtol=0, atol=2e-5)
+
+    qmodel = from_pretrained(tmp_path, quantize_bits=8)
+    assert isinstance(qmodel.params["layers"]["wq"], QuantizedTensor)
+    assert not isinstance(qmodel.params["lm_head"], QuantizedTensor)
+    value, rel = qmodel.attribute(ids)
+    assert bool(jnp.isfinite(rel).all())
+
+
+def test_serve_build_server_from_checkpoint(tmp_path, monkeypatch):
+    """The CLI wiring (python -m lxt_tpu.serve): checkpoint dir ->
+    AttributionServer; end-to-end attribution through the server."""
+    import torch
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    from lxt_tpu import serve as lserve
+
+    torch.manual_seed(2)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.save_pretrained(tmp_path)
+
+    from test_pipeline import ToyTokenizer
+    import transformers
+    monkeypatch.setattr(transformers.AutoTokenizer, "from_pretrained",
+                        staticmethod(lambda *_a, **_k: ToyTokenizer(256)))
+
+    args = lserve._parse_args(["--model", str(tmp_path), "--dtype", "float32"])
+    server = lserve.build_server(args)
+    try:
+        hm = server.attribute("alpha beta gamma")
+        assert len(hm.tokens) == 3
+        assert np.isfinite(hm.relevance).all()
+    finally:
+        server.close()
