@@ -297,8 +297,20 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
 # backward
 # ---------------------------------------------------------------------------
 
+def _delta_block(delta_ref, do, delta_inline):
+    """[blk_q, 1] delta: either read from the precomputed buffer or computed
+    in VMEM from the forward OUT block (``delta_ref`` then carries out; see
+    ``_fused_bwd_kernel``). Recomputing per block visit is a few VPU passes
+    — far cheaper than the external cross-lane reduce + HBM round-trip."""
+    if delta_inline:
+        return (delta_ref[0, 0].astype(jnp.float32)
+                * do.astype(jnp.float32)).sum(axis=-1, keepdims=True)
+    return delta_ref[0, 0][:, :1]
+
+
 def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags):
+               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags,
+               delta_inline=False):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
@@ -322,10 +334,11 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             # rows with NO visible keys (left-padding) carry lse=-1e30;
             # exp2(s - lse) would overflow — their probabilities are 0
             p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
+        do = do_ref[0, 0]
         dp = jax.lax.dot_general(
-            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, :1])
+        ds = p * (dp - _delta_block(delta_ref, do, delta_inline))
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -342,7 +355,8 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, blk_q, blk_k, guard_empty, flags):
+                *, scale, causal, blk_q, blk_k, guard_empty, flags,
+                delta_inline=False):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
@@ -375,7 +389,7 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(
             do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, :1])
+        ds = p * (dp - _delta_block(delta_ref, do, delta_inline))
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -393,14 +407,20 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                       dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                      *, scale, causal, blk_q, blk_k, guard_empty, flags):
+                      *, scale, causal, blk_q, blk_k, guard_empty, flags,
+                      delta_inline=False):
     """One pass per (ik, iq) block pair producing dq, dk AND dv: the score
     matmul and the dp matmul are computed once instead of once per kernel
     (7 -> 5 matmul passes, one p-exp2 instead of two). dq cannot accumulate
     across the ik grid dim here (its blocks are revisited), so per-ik
     partials go to ``dqp`` [nk, B, H, T, D] and are summed outside — one
     XLA pass, profitable while nk stays small (the split kernels remain for
-    long sequences)."""
+    long sequences).
+
+    ``delta_inline``: ``delta_ref`` is the forward OUT block instead of a
+    precomputed delta, and delta = sum(out*do, -1) is computed in VMEM — a
+    profiled step spent ~1ms/layer on the external multiply-reduce (a
+    cross-lane reduction over D) plus its HBM round-trip."""
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
@@ -430,7 +450,8 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(
             do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta_ref[0, 0][:, :1])).astype(q.dtype)
+        ds = (p * (dp - _delta_block(delta_ref, do, delta_inline))
+              ).astype(q.dtype)
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -458,11 +479,12 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                             delta_ref, dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
                             *, scale, causal, blk_q, blk_k, guard_empty,
-                            flags):
+                            flags, delta_inline=False):
     """Diagonal-split variant of the fused nk==1 backward (see
     ``_fwd_kernel_single_split``): all five matmuls skip the masked
     upper-right quarter — 15 quarter-matmuls instead of 5 full ones, and
-    3/4 of the p/ds elementwise work."""
+    3/4 of the p/ds elementwise work. ``delta_inline`` as in
+    ``_fused_bwd_kernel``."""
     r = pl.program_id(4)
     n_rep = pl.num_programs(4)
     sc = _scalars(w_ref)
@@ -496,7 +518,7 @@ def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     do1, do2 = do[:h], do[h:]
     lse = lse_ref[0, 0][:, :1]
     lse1, lse2 = lse[:h], lse[h:]
-    delta = delta_ref[0, 0][:, :1]
+    delta = _delta_block(delta_ref, do, delta_inline)
     delta1, delta2 = delta[:h], delta[h:]
 
     sub_flags = (flags[0], False, flags[2])
@@ -557,10 +579,23 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
-    if dlse is not None:
+    # delta = sum(out*do, -1) is computed INSIDE the kernel when there is no
+    # lse cotangent to fold in (the common attribution path): the external
+    # multiply-reduce is a cross-lane reduction over D plus a full HBM
+    # round-trip — profiled at ~1 ms/layer on the bench config
+    delta_inline = dlse is None
+    if delta_inline:
+        delta = out
+        delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, D),
+            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+    else:
+        delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
         delta = delta - dlse.astype(jnp.float32)
-    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+        delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+        delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, LSE_LANES),
+            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
 
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -576,8 +611,7 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            delta_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, 1, blk_q, D),
@@ -598,7 +632,8 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dqp, dk, dv = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3, flags=flags,
+                          delta_inline=delta_inline),
         grid_spec=spec,
         out_shape=[
             # nk==1 needs no cross-partial sum: write dq in its final dtype
@@ -634,12 +669,25 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
-    if dlse is not None:
+    delta_inline = dlse is None
+    if delta_inline:
+        delta = out  # delta computed in-kernel from the out/do blocks
+        dq_delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0))
+        dkv_delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, D),
+            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+    else:
+        delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
         # d(lse)/d(scores) = probs, so the lse cotangent enters every ds
         # term exactly like -delta: ds = p * (dp - (delta - dlse))
         delta = delta - dlse.astype(jnp.float32)
-    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+        delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+        dq_delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, LSE_LANES), lambda b, h, iq, ik, w: (b, h, iq, 0))
+        dkv_delta_spec = pl.BlockSpec(
+            (1, 1, blk_q, LSE_LANES),
+            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -653,8 +701,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, h, iq, ik, w: (b, h, iq, 0)),
+            dq_delta_spec,
         ],
         out_specs=pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
         scratch_shapes=[pltpu.VMEM((blk_q, D), jnp.float32)],
@@ -662,7 +709,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3, flags=flags,
+                          delta_inline=delta_inline),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -684,8 +732,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            dkv_delta_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, blk_k, D),
@@ -701,7 +748,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3, flags=flags,
+                          delta_inline=delta_inline),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
@@ -797,6 +845,41 @@ def _flash_lse_bwd(scale, causal, block_q, block_k, flags, res, cts):
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 
 
+# Separate primitive for the lse-DROPPING path (flash_attention): routed
+# through _flash_lse, JAX would materialize the unused lse cotangent as a
+# ZEROS array, which both wastes a subtract and — more importantly — makes
+# `dlse is None` false, disabling the backward's in-kernel delta
+# computation. This variant's bwd statically has no lse cotangent.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _flash(q, k, v, window, q_start, k_start, kv_begin, kv_end,
+           scale, causal, block_q, block_k, flags):
+    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                           kv_end, scale, block_q, block_k)
+    return _fwd(q, k, v, sc, s, causal, bq, bk, flags)[0]
+
+
+def _flash_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
+               scale, causal, block_q, block_k, flags):
+    sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
+                           kv_end, scale, block_q, block_k)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags)
+    return out, (q, k, v, sc, out, lse)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, flags, res, do):
+    q, k, v, sc, out, lse = res
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    bq = _pick_block(q.shape[2], block_q)
+    bk = _pick_block(k.shape[2], block_k)
+    dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
+                           flags, dlse=None)
+    return dq, dk, dv, None, None, None, None, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def _static_zero(x):
     """True when ``x`` is a compile-time zero (Python int/zero-d constant) —
     lets plain (non-ring) callers skip the global-offset arithmetic in the
@@ -861,9 +944,11 @@ def flash_attention(
     kv_end=None,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
-    See :func:`flash_attention_lse` — this drops the lse output (its zero
-    cotangent vanishes in the backward). ``kv_begin``/``kv_end``: optional
-    per-example [B] valid-key span (left-/right-padded batches)."""
-    return flash_attention_lse(q, k, v, window, kv_begin=kv_begin,
-                               kv_end=kv_end, scale=scale, causal=causal,
-                               block_q=block_q, block_k=block_k)[0]
+    See :func:`flash_attention_lse` — this has no lse output (so its
+    backward statically has no lse cotangent and computes delta in-kernel).
+    ``kv_begin``/``kv_end``: optional per-example [B] valid-key span
+    (left-/right-padded batches)."""
+    flags = (window is not None, False,
+             kv_begin is not None or kv_end is not None)
+    return _flash(q, k, v, window, 0, 0, kv_begin, kv_end,
+                  scale, causal, block_q, block_k, flags)
