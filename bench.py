@@ -25,10 +25,11 @@ from lxt_tpu.utils.profiling import PEAK_BF16
 BATCH = int(os.environ.get("LXT_BENCH_BATCH", 8))
 SEQ = int(os.environ.get("LXT_BENCH_SEQ", 1024))
 ITERS = int(os.environ.get("LXT_BENCH_ITERS", 5))
-# 'none' (fastest; this config's activations fit one chip's HBM), 'dots', or
-# 'full' (the reference's O(sqrt N) gradient-checkpointing profile)
-REMAT = {"none": False, "dots": "dots", "full": True}[
-    os.environ.get("LXT_BENCH_REMAT", "none")]
+# 'none' (fastest; this config's activations fit one chip's HBM), 'dots',
+# 'full' (the reference's O(sqrt N) gradient-checkpointing profile), or
+# 'offload' (full remat + layer inputs offloaded to pinned host memory)
+REMAT = {"none": False, "dots": "dots", "full": True,
+         "offload": "offload"}[os.environ.get("LXT_BENCH_REMAT", "none")]
 
 
 def attribution_flops(cfg, batch, seq):

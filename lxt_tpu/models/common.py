@@ -183,6 +183,11 @@ def remat_wrap(layer_fn, remat):
               layer — the reference's gradient-checkpointing profile)
     - "dots": save matmul outputs, recompute elementwise ops — much less
               recompute for a modest memory increase (often the sweet spot)
+    - "offload": full remat AND the per-layer input (the only tensor full
+              remat still keeps on device per layer) offloads to pinned
+              HOST memory — device activation memory becomes O(1) in
+              depth, the regime for contexts past one chip's HBM (the
+              offload DMA overlaps the layer compute)
     - False : save everything (fastest when activations fit HBM)
     """
     if remat is True:
@@ -190,6 +195,17 @@ def remat_wrap(layer_fn, remat):
     if remat == "dots":
         return jax.checkpoint(
             layer_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    if remat == "offload":
+        from jax.ad_checkpoint import checkpoint_name
+        policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[],
+            names_which_can_be_offloaded=["lxt_layer_in"],
+            offload_src="device", offload_dst="pinned_host")
+
+        def named(h, xs):
+            return layer_fn(checkpoint_name(h, "lxt_layer_in"), xs)
+
+        return jax.checkpoint(named, policy=policy)
     return layer_fn
 
 

@@ -260,3 +260,25 @@ def test_unrolled_driver_matches_scan():
                                layer_driver=jcommon.unrolled).hidden_states
     np.testing.assert_allclose(np.asarray(hs_unroll), np.asarray(hs_scan),
                                rtol=0, atol=1e-6)
+
+
+def test_offload_remat_matches_full_remat():
+    """remat='offload' (layer inputs offloaded to pinned host memory during
+    the forward, fetched back for the backward recompute) is numerically
+    identical to remat=True."""
+    cfg = _tiny_cfg()
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    embeds = jllama.embed(params, ids)
+
+    def run(remat):
+        def target(e):
+            return select_logit(jllama.forward(
+                params, cfg, e, lxt_tpu.attnlrp, remat=remat).logits)
+        return input_relevance(target, embeds)
+
+    val_full, rel_full = run(True)
+    val_off, rel_off = run("offload")
+    np.testing.assert_allclose(float(val_off), float(val_full), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rel_off), np.asarray(rel_full),
+                               rtol=0, atol=1e-6)
