@@ -54,8 +54,16 @@ def attribution_flops(cfg, batch, seq):
 
 def main():
     import lxt_tpu
+    import lxt_tpu.ops.flash_attention as fa
     from lxt_tpu.attribution import input_relevance, select_logit
     from lxt_tpu.models import common as jcommon
+
+    if REMAT is False and os.environ.get("LXT_BENCH_INLINE_DELTA") == "1":
+        # the bench runs layers unrolled (no lax.scan), where the in-kernel
+        # delta is safe and worth ~2% — but its compile time over the
+        # remote-TPU service is erratic (2.5-10 min observed), so it stays
+        # opt-in; see flash_attention.INLINE_DELTA
+        fa.INLINE_DELTA = True
     from lxt_tpu.models import llama as jllama
 
     cfg = jllama.LlamaConfig(

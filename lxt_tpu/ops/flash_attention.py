@@ -297,11 +297,30 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
 # backward
 # ---------------------------------------------------------------------------
 
+#: Opt-in: the fused nk==1 backward computes delta = sum(out*do, -1) inside
+#: the kernel (saves the external cross-lane reduce + its HBM round-trip,
+#: measured +2.8% end-to-end on the bench config with the unrolled layer
+#: driver). Default OFF: a backward custom call that consumes the forward
+#: OUT triggers a pathological XLA:TPU compile blowup under grad-of-scan
+#: (~10s -> ~500s) — only enable when the surrounding model runs its layers
+#: WITHOUT lax.scan (e.g. models.common.unrolled; bench.py does this).
+INLINE_DELTA = False
+
+
+def _make_delta(out, do, dlse):
+    """[B, H, T, LSE_LANES] delta for the backward kernels. The lse
+    cotangent (ring path) folds in exactly like -delta:
+    ds = p * (dp - (delta - dlse))."""
+    delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+    return jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+
+
 def _delta_block(delta_ref, do, delta_inline):
-    """[blk_q, 1] delta: either read from the precomputed buffer or computed
-    in VMEM from the forward OUT block (``delta_ref`` then carries out; see
-    ``_fused_bwd_kernel``). Recomputing per block visit is a few VPU passes
-    — far cheaper than the external cross-lane reduce + HBM round-trip."""
+    """[blk_q, 1] delta inside a backward kernel: read from the precomputed
+    buffer, or (INLINE_DELTA) computed in VMEM from the forward OUT block
+    that ``delta_ref`` then carries."""
     if delta_inline:
         return (delta_ref[0, 0].astype(jnp.float32)
                 * do.astype(jnp.float32)).sum(axis=-1, keepdims=True)
@@ -309,8 +328,7 @@ def _delta_block(delta_ref, do, delta_inline):
 
 
 def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags,
-               delta_inline=False):
+               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags):
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
@@ -334,11 +352,10 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             # rows with NO visible keys (left-padding) carry lse=-1e30;
             # exp2(s - lse) would overflow — their probabilities are 0
             p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        do = do_ref[0, 0]
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - _delta_block(delta_ref, do, delta_inline))
+        ds = p * (dp - delta_ref[0, 0][:, :1])
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -355,8 +372,7 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, blk_q, blk_k, guard_empty, flags,
-                delta_inline=False):
+                *, scale, causal, blk_q, blk_k, guard_empty, flags):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
@@ -389,7 +405,7 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dp = jax.lax.dot_general(
             do, v_ref[0, 0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - _delta_block(delta_ref, do, delta_inline))
+        ds = p * (dp - delta_ref[0, 0][:, :1])
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -415,12 +431,7 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     across the ik grid dim here (its blocks are revisited), so per-ik
     partials go to ``dqp`` [nk, B, H, T, D] and are summed outside — one
     XLA pass, profitable while nk stays small (the split kernels remain for
-    long sequences).
-
-    ``delta_inline``: ``delta_ref`` is the forward OUT block instead of a
-    precomputed delta, and delta = sum(out*do, -1) is computed in VMEM — a
-    profiled step spent ~1ms/layer on the external multiply-reduce (a
-    cross-lane reduction over D) plus its HBM round-trip."""
+    long sequences)."""
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
@@ -483,8 +494,7 @@ def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
     """Diagonal-split variant of the fused nk==1 backward (see
     ``_fwd_kernel_single_split``): all five matmuls skip the masked
     upper-right quarter — 15 quarter-matmuls instead of 5 full ones, and
-    3/4 of the p/ds elementwise work. ``delta_inline`` as in
-    ``_fused_bwd_kernel``."""
+    3/4 of the p/ds elementwise work."""
     r = pl.program_id(4)
     n_rep = pl.num_programs(4)
     sc = _scalars(w_ref)
@@ -579,20 +589,14 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    # delta = sum(out*do, -1) is computed INSIDE the kernel when there is no
-    # lse cotangent to fold in (the common attribution path): the external
-    # multiply-reduce is a cross-lane reduction over D plus a full HBM
-    # round-trip — profiled at ~1 ms/layer on the bench config
-    delta_inline = dlse is None
+    delta_inline = INLINE_DELTA and dlse is None
     if delta_inline:
         delta = out
         delta_spec = pl.BlockSpec(
             (1, 1, blk_q, D),
             lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
     else:
-        delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
-        delta = delta - dlse.astype(jnp.float32)
-        delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
+        delta = _make_delta(out, do, dlse)
         delta_spec = pl.BlockSpec(
             (1, 1, blk_q, LSE_LANES),
             lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
@@ -669,25 +673,12 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    delta_inline = dlse is None
-    if delta_inline:
-        delta = out  # delta computed in-kernel from the out/do blocks
-        dq_delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0))
-        dkv_delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, D),
-            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
-    else:
-        delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
-        # d(lse)/d(scores) = probs, so the lse cotangent enters every ds
-        # term exactly like -delta: ds = p * (dp - (delta - dlse))
-        delta = delta - dlse.astype(jnp.float32)
-        delta = jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
-        dq_delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, LSE_LANES), lambda b, h, iq, ik, w: (b, h, iq, 0))
-        dkv_delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, LSE_LANES),
-            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+    delta = _make_delta(out, do, dlse)
+    dq_delta_spec = pl.BlockSpec(
+        (1, 1, blk_q, LSE_LANES), lambda b, h, iq, ik, w: (b, h, iq, 0))
+    dkv_delta_spec = pl.BlockSpec(
+        (1, 1, blk_q, LSE_LANES),
+        lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -709,8 +700,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags,
-                          delta_inline=delta_inline),
+                          guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -748,8 +738,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags,
-                          delta_inline=delta_inline),
+                          guard_empty=sc.shape[0] > 3, flags=flags),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--bits", type=int, default=4)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--remat", choices=["full", "offload"], default="full")
     args = ap.parse_args()
 
     import lxt_tpu
@@ -46,10 +47,15 @@ def main():
     print(f"params ready: {n_bytes / 2**30:.2f} GiB on device "
           f"({time.time() - t0:.0f}s)", flush=True)
 
+    remat = {"full": True, "offload": "offload"}[args.remat]
+
     def step(params, embeds):
         def target(e):
+            # logits only at the explained position (the [B, T, V] buffer
+            # would be ~1 GiB/example at the 128k vocab)
             return select_logit(jllama.forward(
-                params, cfg, e, lxt_tpu.attnlrp, remat=True).logits)
+                params, cfg, e, lxt_tpu.attnlrp, remat=remat,
+                logits_at=-1).logits)
         return input_relevance(target, embeds)
 
     jstep = jax.jit(step)
