@@ -215,8 +215,12 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
 
     from lxt_tpu.io import load_checkpoint_state_dict
 
+    import numpy as np
+
     hf_config = AutoConfig.from_pretrained(model_dir)
-    state = load_checkpoint_state_dict(model_dir)
+    # thread dtype into the loader: widening a bf16 checkpoint to a host
+    # f32 dict only to cast back down would double peak host memory
+    state = load_checkpoint_state_dict(model_dir, dtype=dtype or np.float32)
     model = _convert(state, hf_config, composite, dtype)
     if quantize_bits:
         from lxt_tpu.ops.quant import quantize_params

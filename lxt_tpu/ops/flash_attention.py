@@ -304,6 +304,9 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
 #: OUT triggers a pathological XLA:TPU compile blowup under grad-of-scan
 #: (~10s -> ~500s) — only enable when the surrounding model runs its layers
 #: WITHOUT lax.scan (e.g. models.common.unrolled; bench.py does this).
+#: Read at TRACE time and not part of any jit cache key: set it before the
+#: first call of a jitted program; flipping it later silently has no effect
+#: on already-compiled programs.
 INLINE_DELTA = False
 
 
@@ -934,7 +937,8 @@ def flash_attention(
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this has no lse output (so its
-    backward statically has no lse cotangent and computes delta in-kernel).
+    backward statically has no lse cotangent; with ``INLINE_DELTA`` the
+    fused nk==1 backward then also computes delta in-kernel).
     ``kv_begin``/``kv_end``: optional per-example [B] valid-key span
     (left-/right-padded batches)."""
     flags = (window is not None, False,

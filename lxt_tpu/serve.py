@@ -251,8 +251,9 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
 # CLI: python -m lxt_tpu.serve --model <hf checkpoint dir>
 # ---------------------------------------------------------------------------
 
-def build_server(args):
-    """Checkpoint directory -> (AttributionServer, tokenizer). Split from
+def build_server(args) -> AttributionServer:
+    """Checkpoint directory -> ready :class:`AttributionServer` (its
+    tokenizer/pipeline are reachable as ``server.pipeline``). Split from
     :func:`main` so deployments (and tests) can wire their own frontend."""
     import numpy as np
 
@@ -315,7 +316,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        httpd.shutdown()
+        httpd.server_close()   # release the listening socket
         server.close()
 
 
