@@ -75,6 +75,43 @@ def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16):
     return flops / dt / 1e12, dt
 
 
+def bench_stock(B, H, Hkv, T, D, mode, dtype=jnp.bfloat16):
+    """JAX's stock Pallas flash kernel (512 blocks — its defaults reject
+    some shapes; no GQA support, so kv is repeated to full H)."""
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention as stock)
+    except ImportError as e:
+        return None, str(e)[:60]
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D), dtype)
+    k = jax.random.normal(ks[1], (B, H, T, D), dtype)
+    v = jax.random.normal(ks[2], (B, H, T, D), dtype)
+    b = min(512, T)
+    bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+                    block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+                    block_q_dkv=b, block_k_major_dq=b, block_k_dq=b,
+                    block_q_dq=b)
+    if mode == "fwd":
+        @jax.jit
+        def step(q):
+            return stock(q, k, v, causal=True, block_sizes=bs).astype(q.dtype)
+        flops = useful_flops(B, H, T, D)
+    else:
+        @jax.jit
+        def step(q):
+            def loss(q):
+                o = stock(q, k, v, causal=True, block_sizes=bs)
+                return (o.astype(jnp.float32) ** 2).sum()
+            return q + jax.grad(loss)(q).astype(q.dtype) * 1e-6
+        flops = useful_flops(B, H, T, D, bwd=True)
+    try:
+        dt = chained_timeit(step, q)
+    except Exception as e:  # remote-compile limits on some shapes
+        return None, str(e)[:60]
+    return flops / dt / 1e12, dt
+
+
 def bench_einsum(B, H, Hkv, T, D, mode, dtype=jnp.bfloat16):
     import lxt_tpu
     from lxt_tpu.ops.attention import attention
@@ -136,6 +173,15 @@ def main():
                          mfu=round(tf_e * 1e12 / PEAK_BF16, 3),
                          ms=round(dt_e * 1e3, 2))
                 print(json.dumps(r)); results.append(r)
+            tf_s, dt_s = bench_stock(B, H, Hkv, T, D, mode)
+            if tf_s is not None:
+                r = dict(base, impl="jax-stock-flash", tflops=round(tf_s, 1),
+                         mfu=round(tf_s * 1e12 / PEAK_BF16, 3),
+                         ms=round(dt_s * 1e3, 2))
+                print(json.dumps(r)); results.append(r)
+            else:
+                print(json.dumps(dict(base, impl="jax-stock-flash",
+                                      error=str(dt_s))))
             for (bq, bk) in blocks:
                 if bq > T or bk > T:
                     continue
