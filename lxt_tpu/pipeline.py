@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lxt_tpu.attribution import normalize_relevance
 
 
 @dataclasses.dataclass
@@ -44,7 +43,8 @@ class AttributionPipeline:
     """
 
     def __init__(self, model, tokenizer, composite=None, mesh=None,
-                 pad_multiple: Optional[int] = None):
+                 pad_multiple: Optional[int] = None,
+                 bucket_batch: bool = False):
         self.model = model
         self.tokenizer = tokenizer
         self.composite = composite or model.composite
@@ -52,6 +52,11 @@ class AttributionPipeline:
         if pad_multiple is None:
             pad_multiple = 128 if jax.default_backend() == "tpu" else 1
         self.pad_multiple = pad_multiple
+        #: round the batch up to the next power of two with fully-padded
+        #: dummy rows — serving workloads produce ragged coalesced batches
+        #: (7, then 3, then 8...) and every distinct batch size is
+        #: otherwise a fresh XLA compile
+        self.bucket_batch = bucket_batch
         self._jitted = {}
 
     def _pad_id(self):
@@ -67,6 +72,8 @@ class AttributionPipeline:
         T = -(-T // m) * m
         pad = self._pad_id()
         B = len(seqs)
+        if self.bucket_batch:
+            B = 1 << (B - 1).bit_length()   # next power of two
         if self.mesh is not None:
             n = self.mesh.shape["data"]
             B = -(-B // n) * n          # round the batch up to the data axis
@@ -82,10 +89,12 @@ class AttributionPipeline:
         # itself distinguishes e.g. two gamma variants that share a name.
         key = (shape, composite)
         if key not in self._jitted:
-            fwd, cfg, params = (self.model._fns["forward"], self.model.cfg,
-                                self.model.params)
+            fwd, cfg = self.model._fns["forward"], self.model.cfg
 
-            def run(embeds, kv_begin):
+            # params are a jit ARGUMENT, not a closure constant: closed-over
+            # arrays bake into the serialized program, which the remote-TPU
+            # compile service rejects outright for real model sizes
+            def run(params, embeds, kv_begin):
                 def tgt(e):
                     # logits only at the explained last position (saves the
                     # T-1 unused lm_head rows in forward and backward)
@@ -108,7 +117,8 @@ class AttributionPipeline:
                 data = NamedSharding(self.mesh, P("data"))
                 self._jitted[key] = jax.jit(
                     run,
-                    in_shardings=(NamedSharding(self.mesh, P("data", None, None)),
+                    in_shardings=(None,
+                                  NamedSharding(self.mesh, P("data", None, None)),
                                   data),
                     out_shardings=(data, NamedSharding(self.mesh,
                                                        P("data", None))))
@@ -119,7 +129,7 @@ class AttributionPipeline:
         ids, kv_begin, seqs = self._encode(prompts)
         embeds = self.model.embed(ids)
         value, rel = self._step((ids.shape, embeds.dtype.name), composite)(
-            embeds, jnp.asarray(kv_begin))
+            self.model.params, embeds, jnp.asarray(kv_begin))
         rel = np.asarray(rel)
 
         value = np.asarray(value)
@@ -129,9 +139,12 @@ class AttributionPipeline:
             tokens = (self.tokenizer.convert_ids_to_tokens(s)
                       if hasattr(self.tokenizer, "convert_ids_to_tokens")
                       else [str(t) for t in s])
+            # normalize on the HOST: per-prompt eager jnp ops each pay a
+            # device round-trip (~1s/prompt over a remote-TPU tunnel —
+            # measured 9.6s vs 0.15s for a batch of 8)
             out.append(Heatmap(
                 tokens=tokens,
-                relevance=np.asarray(normalize_relevance(jnp.asarray(r))),
+                relevance=r / (np.abs(r).max() + 1e-12),
                 raw_relevance=r,
                 value=float(value[i])))
         return out

@@ -191,3 +191,24 @@ def test_pipeline_mesh_sharded_matches_single_device():
         np.testing.assert_allclose(a.value, b.value, rtol=1e-5)
         np.testing.assert_allclose(a.raw_relevance, b.raw_relevance,
                                    rtol=0, atol=1e-4)
+
+
+def test_pipeline_bucket_batch():
+    """bucket_batch=True rounds ragged batch sizes up to powers of two
+    (dummy fully-padded rows), so different coalesced sizes share compiled
+    programs — and results match the unbucketed pipeline exactly."""
+    model, _, _ = _model()
+    tok = ToyTokenizer()
+    plain = AttributionPipeline(model, tok)
+    bucketed = AttributionPipeline(model, tok, bucket_batch=True)
+
+    prompts = ["alpha beta gamma", "one two three four five", "x y"]
+    hp = plain(prompts)
+    hb = bucketed(prompts)          # B=3 -> bucket 4
+    hb2 = bucketed(prompts[:4])     # B=3 again -> same bucket
+    assert len(bucketed._jitted) == 1
+    for a, b in zip(hp, hb):
+        assert a.tokens == b.tokens
+        np.testing.assert_allclose(b.raw_relevance, a.raw_relevance,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(b.value, a.value, rtol=1e-6)
