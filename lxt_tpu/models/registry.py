@@ -82,22 +82,32 @@ SUPPORTED_FAMILIES = (
 
 @dataclasses.dataclass
 class AttributionModel:
-    """A converted model plus its attribution entry points."""
+    """A converted model plus its attribution entry points.
+
+    Every entry point passes ``params`` as a jit ARGUMENT (a closure
+    constant bakes the weight tree into the serialized program, which the
+    remote-TPU compile service rejects for real model sizes) and caches
+    compiled programs per (shape, composite, target) in ``_jit``."""
 
     family: str
     cfg: Any
     params: Any
     composite: composites.Composite
     _fns: dict
+    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
 
     def embed(self, input_ids):
         return self._fns["embed"](self.params, jnp.asarray(input_ids), self.cfg)
 
     def logits(self, input_ids, composite=None):
+        composite = composite or self.composite
+        fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
-        out = self._fns["forward"](self.params, self.cfg, embeds,
-                                   composite or self.composite)
-        return out.logits
+        key = ("logits", embeds.shape, embeds.dtype.name, composite)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda params, e: fwd(params, cfg, e, composite).logits)
+        return self._jit[key](self.params, embeds)
 
     def attribute(self, input_ids, *, target: Optional[Callable] = None,
                   position: int = -1, token=None, composite=None, jit=True):
@@ -108,45 +118,51 @@ class AttributionModel:
         ``(target_value, relevance [B, T])``.
         """
         composite = composite or self.composite
-        fwd, cfg, params = self._fns["forward"], self.cfg, self.params
+        fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
-
-        def tgt(e):
-            logits = fwd(params, cfg, e, composite).logits
-            if target is not None:
-                return target(logits)
-            if logits.ndim == 2:  # classification head (BERT)
-                return logits.max(axis=-1).sum()
-            return select_logit(logits, position=position, token=token)
-
-        fn = (lambda e: input_relevance(tgt, e))
-        if jit:
-            fn = jax.jit(fn)
-        return fn(embeds)
+        tok = None if token is None else jnp.asarray(token)
+        key = ("attribute", embeds.shape, embeds.dtype.name, composite,
+               position, target, tok is not None, jit)
+        if key not in self._jit:
+            def run(params, e, tok):
+                def tgt(ee):
+                    logits = fwd(params, cfg, ee, composite).logits
+                    if target is not None:
+                        return target(logits)
+                    if logits.ndim == 2:  # classification head (BERT)
+                        return logits.max(axis=-1).sum()
+                    return select_logit(logits, position=position, token=tok)
+                return input_relevance(tgt, e)
+            self._jit[key] = jax.jit(run) if jit else run
+        return self._jit[key](self.params, embeds, tok)
 
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):
         """Input relevance + per-layer latent relevance in ONE backward
         (reference docs/latent-feature-attribution-efficient.rst)."""
         composite = composite or self.composite
-        fwd, cfg, params = self._fns["forward"], self.cfg, self.params
+        fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         L = cfg.num_layers
         B, T, D = embeds.shape
-
-        def forward_with_probes(e, probes):
-            out = fwd(params, cfg, e, composite, probes=probes,
-                      output_hidden_states=True)
-            logits = out.logits
-            if target is not None:
-                val = target(logits)
-            elif logits.ndim == 2:
-                val = logits.max(axis=-1).sum()
-            else:
-                val = select_logit(logits, position=position)
-            return val, out.hidden_states
-
-        return latent_relevance(forward_with_probes, embeds, (L, B, T, D))
+        key = ("latent", embeds.shape, embeds.dtype.name, composite,
+               position, target)
+        if key not in self._jit:
+            def run(params, e):
+                def forward_with_probes(ee, probes):
+                    out = fwd(params, cfg, ee, composite, probes=probes,
+                              output_hidden_states=True)
+                    logits = out.logits
+                    if target is not None:
+                        val = target(logits)
+                    elif logits.ndim == 2:
+                        val = logits.max(axis=-1).sum()
+                    else:
+                        val = select_logit(logits, position=position)
+                    return val, out.hidden_states
+                return latent_relevance(forward_with_probes, e, (L, B, T, D))
+            self._jit[key] = jax.jit(run)
+        return self._jit[key](self.params, embeds)
 
 
 def detect_family(hf_config) -> str:

@@ -149,3 +149,35 @@ def test_serve_build_server_from_checkpoint(tmp_path, monkeypatch):
         assert np.isfinite(hm.relevance).all()
     finally:
         server.close()
+
+
+def test_attribution_model_jit_cache_reuse():
+    """attribute/logits/attribute_latent compile once per (shape,
+    composite): repeated calls must NOT rebuild jitted programs, and params
+    are jit arguments (a closure constant would embed the weight tree in
+    the serialized program — rejected by the remote-TPU compile service)."""
+    import torch
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+
+    ids = np.random.RandomState(2).randint(0, 256, (1, 8))
+    model.attribute(ids)
+    model.logits(ids)
+    model.attribute_latent(ids)
+    n = len(model._jit)
+    ids2 = np.random.RandomState(3).randint(0, 256, (1, 8))
+    v1, r1 = model.attribute(ids2)
+    model.logits(ids2)
+    model.attribute_latent(ids2)
+    assert len(model._jit) == n  # same shapes -> no new programs
+
+    v2, r2 = model.attribute(ids2, composite=lxt_tpu.cp_lrp)
+    assert len(model._jit) == n + 1  # distinct composite -> one new program
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
