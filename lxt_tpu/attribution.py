@@ -60,13 +60,7 @@ def latent_relevance(forward_fn: Callable, inputs_embeds, probe_shape,
     Returns ``(value, input_rel [B,T], latent_rel [L,B,T(,D)])``.
     """
     probes = jnp.zeros(probe_shape, inputs_embeds.dtype)
-
-    def wrapped(embeds, probes):
-        value, hiddens = forward_fn(embeds, probes)
-        return value, hiddens
-
-    (value, hiddens), vjp_fn = jax.vjp(wrapped, inputs_embeds, probes,
-                                       has_aux=False)
+    (value, hiddens), vjp_fn = jax.vjp(forward_fn, inputs_embeds, probes)
     g_embeds, g_probes = vjp_fn((jnp.ones_like(value), jnp.zeros_like(hiddens)))
     in_rel = (inputs_embeds.astype(jnp.float32) * g_embeds.astype(jnp.float32)).sum(-1)
     latent = hiddens[1:].astype(jnp.float32) * g_probes.astype(jnp.float32)

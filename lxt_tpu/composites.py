@@ -115,13 +115,17 @@ class Composite:
         return (offset + weight) * y
 
     def layer_norm(self, x, weight, bias, eps):
-        """LayerNorm with stop-grad through std (reference patches.py:126-142)."""
-        mu = x.mean(axis=-1, keepdims=True)
-        var = ((x - mu) ** 2).mean(axis=-1, keepdims=True)
+        """LayerNorm with stop-grad through std (reference patches.py:126-142).
+        Statistics in float32, cast back (torch computes bf16 LayerNorm with
+        float accumulation — same parity rationale as :meth:`rms_norm`)."""
+        dt = x.dtype
+        x32 = x.astype(jnp.float32)
+        mu = x32.mean(axis=-1, keepdims=True)
+        var = ((x32 - mu) ** 2).mean(axis=-1, keepdims=True)
         std = jnp.sqrt(var + eps)
         if self.norm == "identity":
             std = stop_gradient(std)
-        y = (x - mu) / std
+        y = ((x32 - mu) / std).astype(dt)
         if weight is not None:
             y = y * weight
         if bias is not None:
@@ -156,10 +160,15 @@ class Composite:
         return out if b is None else out + b
 
     def with_gamma(self, conv_gamma=None, linear_gamma=None):
-        """Derive a gamma-rule variant (ViT denoising, replaces zennit)."""
+        """Derive a gamma-rule variant (ViT denoising, replaces zennit).
+        An omitted (None) argument keeps the current value for that site."""
         return dataclasses.replace(
-            self, conv_gamma=conv_gamma, linear_gamma=linear_gamma,
-            name=f"{self.name}+gamma")
+            self,
+            conv_gamma=self.conv_gamma if conv_gamma is None else conv_gamma,
+            linear_gamma=(self.linear_gamma if linear_gamma is None
+                          else linear_gamma),
+            name=self.name if self.name.endswith("+gamma")
+            else f"{self.name}+gamma")
 
     def summary(self, verbose: bool = True) -> str:
         """Human-readable audit of the rule assigned at every site — parity

@@ -11,9 +11,17 @@ total relevance arriving at the input equals the seeded output relevance;
 any leak (a non-LRP-compatible op, a bias sink, a NaN) shows up as a
 mismatch in :func:`conservation_error`.
 
-JAX nuance: the flag is read at *trace time*, so flipping it invalidates jit
-caches — that is intended; the check is a debugging mode, exactly as in the
-reference where it also changes the executed backward.
+JAX nuance: the flag is read at *trace time* and is NOT part of any jit cache
+key — a function jitted (and called) before entering the context keeps its
+cached program and silently runs WITHOUT the check. Call un-jitted or
+freshly-wrapped functions under the context (see :func:`conservation_check`).
+
+Scope: the redistribution semantics assume the cotangent IS relevance, i.e.
+the explicit path (``lxt_tpu.ops.functional`` / ``lxt_tpu.explicit``). Under
+the efficient Gradient*Input path (``lxt_tpu.ops.rules``, composites) the
+cotangent is a gradient — relevance is ``x * grad`` — so uniform
+redistribution of the cotangent does not preserve total relevance and
+:func:`conservation_error` is not meaningful there.
 """
 
 import contextlib
@@ -38,13 +46,15 @@ def conservation_check(raise_on_nan: bool = False):
     pre-existing jit caches are not affected. Prefer calling un-jitted or
     freshly-wrapped functions under this context.
     """
+    prev_conservation = CONSERVATION_CHECK_FLAG[0]
+    prev_nan = NAN_CHECK_FLAG[0]
     CONSERVATION_CHECK_FLAG[0] = True
-    NAN_CHECK_FLAG[0] = raise_on_nan
+    NAN_CHECK_FLAG[0] = raise_on_nan or prev_nan
     try:
         yield
     finally:
-        CONSERVATION_CHECK_FLAG[0] = False
-        NAN_CHECK_FLAG[0] = False
+        CONSERVATION_CHECK_FLAG[0] = prev_conservation
+        NAN_CHECK_FLAG[0] = prev_nan
 
 
 @contextlib.contextmanager
@@ -52,11 +62,12 @@ def nan_check():
     """Enable only the in-program NaN assertions (no redistribution): every
     rule backward checks its outgoing relevance for NaN/Inf. Wrap the
     attribution with :func:`checked` to discharge the assertions."""
+    prev = NAN_CHECK_FLAG[0]
     NAN_CHECK_FLAG[0] = True
     try:
         yield
     finally:
-        NAN_CHECK_FLAG[0] = False
+        NAN_CHECK_FLAG[0] = prev
 
 
 def checked(fn):
@@ -129,6 +140,11 @@ def conservation_error(input_relevance, seeded_value):
     Run an attribution under :func:`conservation_check` and pass the resulting
     input relevance plus the seeded output relevance (e.g. the explained
     logit value); values near 0 mean every op in the model conserved.
+
+    Only meaningful for the explicit path, where cotangents are relevance;
+    under the Gradient*Input path (composites / ``ops/rules.py``) the
+    redistributed quantity is a gradient and this metric reports a mismatch
+    even when every rule conserves (see module docstring).
     """
     total = jnp.asarray(input_relevance, jnp.float32).sum()
     seed = jnp.asarray(seeded_value, jnp.float32).sum()

@@ -32,9 +32,10 @@ def _colormap(value, cmap="bwr"):
     if cmap == "bwr":
         return _bwr(value)
     # fall back to matplotlib for other colormaps
-    import matplotlib.cm as cm
+    import matplotlib
     import matplotlib.colors as colors
-    rgba = cm.get_cmap(cmap)(colors.Normalize(vmin=-1, vmax=1)(float(value)))
+    rgba = matplotlib.colormaps[cmap](
+        colors.Normalize(vmin=-1, vmax=1)(float(value)))
     return tuple(int(c * 255) for c in rgba[:3])
 
 
@@ -105,7 +106,16 @@ def pdf_heatmap(words, relevances, cmap="bwr", path="heatmap.pdf",
 
     tex = path.with_suffix(".tex")
     tex.write_text(_latex_doc(words, rels, cmap))
-    subprocess.call([backend, "--output-directory", str(path.parent), str(tex)])
+    # nonstopmode: on a LaTeX error the default errorstopmode prompts on
+    # stdin, which hangs interactive sessions.
+    ret = subprocess.call([backend, "-interaction=nonstopmode",
+                           "--output-directory", str(path.parent), str(tex)])
+    if ret != 0 or not path.exists():
+        alt = html_heatmap(words, rels, cmap=cmap,
+                           path=path.with_suffix(".html"))
+        print(f"'{backend}' failed (exit {ret}); wrote {alt} instead "
+              f"(kept {tex} for inspection).")
+        return alt
     if delete_aux_files:
         for suffix in (".aux", ".log", ".tex"):
             p = path.with_suffix(suffix)
