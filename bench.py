@@ -54,17 +54,23 @@ def attribution_flops(cfg, batch, seq):
 
 def main():
     import lxt_tpu
-    import lxt_tpu.ops.flash_attention as fa
     from lxt_tpu.attribution import input_relevance, select_logit
     from lxt_tpu.models import common as jcommon
-
-    if REMAT is False and os.environ.get("LXT_BENCH_INLINE_DELTA") == "1":
-        # the bench runs layers unrolled (no lax.scan), where the in-kernel
-        # delta is safe and worth ~2% — but its compile time over the
-        # remote-TPU service is erratic (2.5-10 min observed), so it stays
-        # opt-in; see flash_attention.INLINE_DELTA
-        fa.INLINE_DELTA = True
     from lxt_tpu.models import llama as jllama
+
+    # flash perf options (static, encoded in attn_impl — see ops/attention):
+    # both are safe only with the unrolled layer driver (REMAT is False).
+    # '+split': diagonal-split forward kernel (skips the masked upper-right
+    # quarter of the causal diagonal block — the hd=64 forward is structure-
+    # bound on exactly that). '+delta': in-kernel backward delta (~+2.8%),
+    # opt-in because its compile time over the remote-TPU service is erratic
+    # (2.5-10 min observed).
+    attn_impl = "auto"
+    if REMAT is False:
+        if os.environ.get("LXT_BENCH_SPLIT_FWD", "1") == "1":
+            attn_impl += "+split"
+        if os.environ.get("LXT_BENCH_INLINE_DELTA") == "1":
+            attn_impl += "+delta"
 
     cfg = jllama.LlamaConfig(
         vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -82,6 +88,7 @@ def main():
             return select_logit(
                 jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
                                remat=REMAT, logits_at=-1,
+                               attn_impl=attn_impl,
                                layer_driver=driver).logits)
         return input_relevance(target, embeds)
 
@@ -114,18 +121,26 @@ def main():
     tflops = attribution_flops(cfg, BATCH, SEQ) / dt / 1e12
 
     vs = None
+    base_desc = None
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_baseline.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
         vs = hps / base["heatmaps_per_sec"]
+        # self-describing baseline qualifier: the reference publishes no GPU
+        # numbers, so the only shared hardware is this host's CPU — and the
+        # measurement there used a single core (see bench_baseline.json)
+        bc = base.get("config", {})
+        base_desc = (f"{bc.get('framework', 'torch reference attnLRP')}, "
+                     f"{bc.get('host_cpus', '?')} CPU core(s)")
 
     print(json.dumps({
         "metric": f"attnlrp_heatmaps_per_sec(llama1.1b,bf16,b{BATCH},s{SEQ})",
         "value": round(hps, 3),
         "unit": "heatmaps/s",
         "vs_baseline": (round(vs, 1) if vs is not None else None),
+        "baseline": base_desc,
         "tflops": round(tflops, 1),
         "mfu": round(tflops * 1e12 / PEAK_BF16, 3),
     }))

@@ -31,13 +31,28 @@ ACTIVATIONS: Dict[str, Callable] = {
 }
 
 
-def _inv_freq(head_dim, theta, scaling, rope_scaling):
-    """Host-side (float64) inverse frequencies, with optional HF-style rope
-    scaling. ``rope_scaling``: None, or a hashable tuple
-    ("linear", factor) or ("llama3", factor, low_freq_factor,
-    high_freq_factor, original_max_position_embeddings)."""
+def _inv_freq(head_dim, theta, scaling, rope_scaling, seq_len=None):
+    """Host-side (float64) inverse frequencies + attention scale factor,
+    with optional HF-style rope scaling. ``rope_scaling``: None, or a
+    hashable tuple
+    ("linear", factor),
+    ("llama3", factor, low_freq_factor, high_freq_factor,
+     original_max_position_embeddings),
+    ("longrope", short_factors, long_factors, original_max_positions,
+     max_positions, attention_factor_or_None)  — Phi-3 'longrope'/'su';
+     the short/long per-dim factor schedule switches on ``seq_len`` vs
+     original_max (reference vendors the same schedule,
+     lxt/explicit/models/phi3.py:158-213), or
+    ("yarn", factor, beta_fast, beta_slow, original_max_positions,
+     attention_factor_or_None)  — HF _compute_yarn_parameters.
+    Returns (inv_freq [head_dim//2] f32, attention_factor float) — the
+    factor multiplies cos/sin (HF attention_scaling)."""
+    import math
+
     import numpy as np
-    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim))
+    half = np.arange(0, head_dim, 2, dtype=np.float64)
+    inv = 1.0 / (theta ** (half / head_dim))
+    attn_factor = 1.0
     if rope_scaling is not None:
         kind = rope_scaling[0]
         if kind == "linear":
@@ -54,26 +69,62 @@ def _inv_freq(head_dim, theta, scaling, rope_scaling):
             smoothed = (1 - smooth) * inv / factor + smooth * inv
             is_mid = (wavelen <= low_wl) & (wavelen >= high_wl)
             inv = np.where(is_mid, smoothed, inv_scaled)
+        elif kind == "longrope":
+            _, short, long, old_ctx, max_ctx, af = rope_scaling
+            ext = np.asarray(
+                long if (seq_len or 0) > old_ctx else short, np.float64)
+            if ext.shape != half.shape:
+                raise ValueError(
+                    f"longrope factor length {ext.shape[0]} != head_dim//2 "
+                    f"({half.shape[0]}) — HF ships one factor per rotary "
+                    f"frequency pair")
+            inv = 1.0 / (ext * theta ** (half / head_dim))
+            factor = max_ctx / old_ctx
+            if af is not None:
+                attn_factor = af
+            elif factor > 1:
+                attn_factor = math.sqrt(1 + math.log(factor) / math.log(old_ctx))
+        elif kind == "yarn":
+            _, factor, beta_fast, beta_slow, old_ctx, af = rope_scaling
+            # HF _compute_yarn_parameters: NTK-by-parts interpolation between
+            # extrapolated and position-interpolated frequencies
+            def correction_dim(n_rot):
+                return (head_dim * math.log(old_ctx / (n_rot * 2 * math.pi))
+                        ) / (2 * math.log(theta))
+            low = max(math.floor(correction_dim(beta_fast)), 0)
+            high = min(math.ceil(correction_dim(beta_slow)), head_dim - 1)
+            if low == high:
+                high += 0.001
+            ramp = np.clip((np.arange(head_dim // 2, dtype=np.float64) - low)
+                           / (high - low), 0.0, 1.0)
+            extrap_w = 1.0 - ramp
+            inv = (inv / factor) * (1 - extrap_w) + inv * extrap_w
+            attn_factor = af if af is not None else 0.1 * math.log(factor) + 1.0
         else:
             raise ValueError(f"unsupported rope scaling: {kind}")
-    return jnp.asarray((inv / scaling).astype(np.float32))
+    return jnp.asarray((inv / scaling).astype(np.float32)), attn_factor
 
 
 def rope_tables(positions, head_dim, theta=10000.0, scaling=1.0,
-                rope_scaling=None):
+                rope_scaling=None, seq_len=None):
     """cos/sin tables (half-frequencies duplicated, HF convention).
 
     ``positions``: int32 ``[T]`` -> tables ``[T, head_dim]``, or ``[B, T]``
     (per-example positions for left-padded batches) -> ``[B, T, head_dim]``.
 
+    ``seq_len`` (static int): the total sequence length, used by longrope
+    scaling to pick the short vs long factor schedule.
+
     ``inv_freq`` is computed in float64 on the host and baked in as an f32
     constant — HF torch does the double-precision pow too, and the 1e-5 table
     error from an f32 pow measurably degrades relevance parity after a few
     layers."""
-    import numpy as np
-    inv_freq = _inv_freq(head_dim, theta, scaling, rope_scaling)
+    inv_freq, attn_factor = _inv_freq(head_dim, theta, scaling, rope_scaling,
+                                      seq_len=seq_len)
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
+    if attn_factor != 1.0:
+        return jnp.cos(emb) * attn_factor, jnp.sin(emb) * attn_factor
     return jnp.cos(emb), jnp.sin(emb)
 
 

@@ -31,6 +31,15 @@ class GPT2Config:
     ln_eps: float = 1e-5
     act: str = "gelu_new"
     scale_attn_by_inverse_layer_idx: bool = False
+    #: HF GPT2Config.reorder_and_upcast_attn: compute attention scores in
+    #: float32 with the scale folded before the matmul. Consumed (not
+    #: ignored): our attention ALWAYS computes scores in f32 with the scale
+    #: applied outside the matmul — in f32 the two orderings are the same
+    #: operator, so this path is upcast-correct by construction (verified by
+    #: tests/test_parity_gpt2 against HF's _upcast_and_reordered_attn; the
+    #: reference's own flag path is broken — it calls the undefined
+    #: lf.baddbmm, lxt/explicit/models/gpt2.py:288).
+    reorder_and_upcast_attn: bool = False
 
     @property
     def hd(self):
@@ -47,6 +56,8 @@ class GPT2Config:
             ln_eps=hf_config.layer_norm_epsilon,
             scale_attn_by_inverse_layer_idx=getattr(
                 hf_config, "scale_attn_by_inverse_layer_idx", False),
+            reorder_and_upcast_attn=getattr(
+                hf_config, "reorder_and_upcast_attn", False),
         )
 
 

@@ -41,9 +41,14 @@ class LlamaConfig:
     qkv_bias: bool = False      # Qwen2
     qk_norm: bool = False       # Qwen3
     tie_embeddings: bool = False
-    #: hashable rope-scaling spec: None, ("linear", factor) or
-    #: ("llama3", factor, low_ff, high_ff, original_max_positions)
+    #: hashable rope-scaling spec: None, ("linear", factor),
+    #: ("llama3", factor, low_ff, high_ff, original_max_positions),
+    #: ("longrope", short_factors, long_factors, original_max, max_pos, af)
+    #: or ("yarn", factor, beta_fast, beta_slow, original_max, af)
     rope_scaling: Optional[tuple] = None
+    #: causal sliding-window size (Mistral-7B: 4096, Phi-3-mini-4k: 2047);
+    #: None = full causal attention
+    sliding_window: Optional[int] = None
     dtype: str = "float32"
 
     @property
@@ -68,12 +73,42 @@ class LlamaConfig:
             qkv_bias=(mt == "qwen2"),
             qk_norm=(mt == "qwen3"),
             tie_embeddings=getattr(hf_config, "tie_word_embeddings", False),
-            rope_scaling=_rope_scaling_spec(getattr(hf_config, "rope_scaling", None)),
+            rope_scaling=_rope_scaling_spec(
+                getattr(hf_config, "rope_scaling", None), hf_config),
+            sliding_window=_sliding_window_spec(hf_config),
         )
 
 
-def _rope_scaling_spec(rs):
-    """HF rope_scaling dict -> hashable tuple (config dataclasses must hash)."""
+def _sliding_window_spec(hf_config):
+    """Resolve the config's causal sliding window (Mistral, Phi-3).
+
+    Qwen2 ships ``sliding_window`` in its config but applies it only when
+    ``use_sliding_window`` is set, and then only to a per-layer subset
+    (``max_window_layers``) — raise loudly on that instead of silently
+    computing full attention (the HF default checkpoints have it off)."""
+    sw = getattr(hf_config, "sliding_window", None)
+    if sw is None:
+        return None
+    mt = getattr(hf_config, "model_type", "llama")
+    if mt in ("qwen2", "qwen3"):
+        if getattr(hf_config, "use_sliding_window", False):
+            raise ValueError(
+                f"{mt} use_sliding_window=True (layered sliding window via "
+                f"max_window_layers) is not supported yet")
+        return None
+    if mt in ("mistral", "phi3"):
+        return int(sw)
+    return None
+
+
+def _rope_scaling_spec(rs, hf_config=None):
+    """HF rope_scaling dict -> hashable tuple (config dataclasses must hash).
+
+    longrope/su (Phi-3 128k checkpoints) and yarn follow HF's
+    ``_compute_longrope_parameters`` / ``_compute_yarn_parameters``; the
+    reference vendors the same schedules as
+    ``Phi3SuScaledRotaryEmbedding``/``Phi3YarnScaledRotaryEmbedding``
+    (lxt/explicit/models/phi3.py:158-213, dispatch :349-362)."""
     if not rs:
         return None
     kind = rs.get("rope_type", rs.get("type"))
@@ -86,6 +121,29 @@ def _rope_scaling_spec(rs):
                 float(rs.get("low_freq_factor", 1.0)),
                 float(rs.get("high_freq_factor", 4.0)),
                 float(rs.get("original_max_position_embeddings", 8192)))
+    if kind in ("longrope", "su"):
+        old_ctx = rs.get("original_max_position_embeddings") or getattr(
+            hf_config, "original_max_position_embeddings", None)
+        max_ctx = getattr(hf_config, "max_position_embeddings", None)
+        if old_ctx is None or max_ctx is None:
+            raise ValueError("longrope scaling needs original/max position "
+                             "embeddings in the HF config")
+        af = rs.get("attention_factor", rs.get("attn_factor"))
+        return ("longrope",
+                tuple(float(f) for f in rs["short_factor"]),
+                tuple(float(f) for f in rs["long_factor"]),
+                float(old_ctx), float(max_ctx),
+                float(af) if af is not None else None)
+    if kind == "yarn":
+        old_ctx = rs.get("original_max_position_embeddings") or getattr(
+            hf_config, "original_max_position_embeddings", None) or getattr(
+            hf_config, "max_position_embeddings", 4096)
+        af = rs.get("attention_factor")
+        return ("yarn", float(rs["factor"]),
+                float(rs.get("beta_fast", 32.0)),
+                float(rs.get("beta_slow", 1.0)),
+                float(old_ctx),
+                float(af) if af is not None else None)
     raise ValueError(f"unsupported rope scaling type: {kind}")
 
 
@@ -176,7 +234,7 @@ def forward(
     positions, bias, kv_begin = common.padding_setup(
         attention_mask, kv_begin, positions, T)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta,
-                                  rope_scaling=cfg.rope_scaling)
+                                  rope_scaling=cfg.rope_scaling, seq_len=T)
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
 
@@ -193,7 +251,8 @@ def forward(
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
+        attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
+                         bias=bias, composite=composite,
                          scale=scale, impl=attn_impl, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)

@@ -102,7 +102,12 @@ def attention(
     impl : 'einsum' | 'flash' | 'auto' ('auto': flash on TPU when eligible),
         or 'ring:<axis>' — sequence-parallel ring attention inside a
         ``shard_map`` over mesh axis ``<axis>`` (q/k/v hold this device's
-        sequence slice; see parallel/ring.py).
+        sequence slice; see parallel/ring.py). 'flash'/'auto' accept
+        '+split' and/or '+delta' suffixes (e.g. 'flash+split+delta')
+        enabling the diagonal-split forward kernel and the in-kernel
+        backward delta — static per-call perf options that are SAFE ONLY
+        with non-scan layer drivers (see flash_attention's docstring for
+        the grad-of-scan compile pathology they trigger otherwise).
     softcap : optional tanh logit soft-capping.
     kv_begin, kv_end : optional int32 [B] — per-example valid-key span
         (kv_begin: left padding; kv_end: right padding, the HF BERT
@@ -130,6 +135,13 @@ def attention(
     q, k, v = composite.qkv(q, k, v)
 
     Tq, Tk = q.shape[2], k.shape[2]
+    # static flash perf options encoded as impl suffixes ('flash+split',
+    # 'auto+split+delta', ...) so they thread through every model's
+    # hashable attn_impl argument without new plumbing
+    base, _, opts_s = impl.partition("+")
+    split_fwd = "split" in opts_s.split("+")
+    inline_delta = "delta" in opts_s.split("+")
+    impl = base
     # non-causal (bidirectional, e.g. BERT/ViT towers) is flash-eligible
     # too: the causal flag is static in the kernels
     flash_ok = (bias is None and softcap is None and Tq == Tk
@@ -152,7 +164,8 @@ def attention(
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         out = flash_attention(q, k, v, window, scale=scale, causal=causal,
-                              kv_begin=kv_begin, kv_end=kv_end)
+                              kv_begin=kv_begin, kv_end=kv_end,
+                              inline_delta=inline_delta, split_fwd=split_fwd)
         return out[..., :D] if Dp != D else out
     if kv_begin is not None or kv_end is not None:
         Tk_ = k.shape[2]

@@ -211,8 +211,11 @@ def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
                                            flags))
         m = s.max(axis=-1, keepdims=True)
         p = jnp.exp2(s - m)
-        if guard_empty:
-            p = jnp.where(m <= NEG_INF / 2, 0.0, p)
+        # unconditional (unlike the online kernel, there is no running-state
+        # cost here): a row fully masked inside a visible block would get
+        # p = exp2(0) = 1 on every masked entry otherwise — reachable not
+        # just via kv padding but via degenerate windows/offsets
+        p = jnp.where(m <= NEG_INF / 2, 0.0, p)
         l = p.sum(axis=-1, keepdims=True)
         empty = l <= 0.0
         l_safe = jnp.where(empty, 1.0, l)
@@ -234,6 +237,74 @@ def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
 
 
+def _fwd_kernel_single_split(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                             *, scale, causal, blk_q, blk_k, guard_empty,
+                             flags):
+    """Diagonal-split variant of the nk==1 forward: the single block IS the
+    causal diagonal, so the masked upper-right quarter is never computed —
+    6 quarter-matmuls instead of 8 and 3/4 of the exp2/mask elementwise
+    work (the hd=64 forward is structure-bound on exactly that, VERDICT r2).
+    Row half 1 sees only k1; row half 2 sees k1 (full) + k2 (diagonal).
+    Safe only OUTSIDE grad-of-lax.scan (see flash_attention docstring)."""
+    sc = _scalars(w_ref)
+    h = blk_q // 2
+    s2 = scale * LOG2E
+
+    def dot_nt(a, b):  # [m, D] x [n, D] -> [m, n]
+        return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot_nn(a, b):  # [m, n] x [n, D] -> [m, D]
+        return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    q1, q2 = q[:h], q[h:]
+    k1, k2 = k[:h], k[h:]
+    v1, v2 = v[:h], v[h:]
+
+    sub_flags = (flags[0], False, flags[2])
+    s11 = _apply_mask(dot_nt(q1, k1) * s2,
+                      _block_mask(0, 0, sc, h, h, True, sub_flags))
+    s22 = _apply_mask(dot_nt(q2, k2) * s2,
+                      _block_mask(1, 1, sc, h, h, True, sub_flags))
+    s21 = dot_nt(q2, k1) * s2
+    if flags[0] or flags[2]:
+        s21 = _apply_mask(s21, _block_mask(1, 0, sc, h, h, False, sub_flags))
+
+    m1 = s11.max(axis=-1, keepdims=True)
+    m2 = jnp.maximum(s21.max(axis=-1, keepdims=True),
+                     s22.max(axis=-1, keepdims=True))
+    p11 = jnp.exp2(s11 - m1)
+    p21 = jnp.exp2(s21 - m2)
+    p22 = jnp.exp2(s22 - m2)
+    # unconditional fully-masked-row guard (see _fwd_kernel_single)
+    p11 = jnp.where(m1 <= NEG_INF / 2, 0.0, p11)
+    empty2 = m2 <= NEG_INF / 2
+    p21 = jnp.where(empty2, 0.0, p21)
+    p22 = jnp.where(empty2, 0.0, p22)
+
+    l1 = p11.sum(axis=-1, keepdims=True)
+    l2 = p21.sum(axis=-1, keepdims=True) + p22.sum(axis=-1, keepdims=True)
+    dt = v_ref.dtype
+    acc1 = dot_nn(p11.astype(dt), v1)
+    acc2 = dot_nn(p21.astype(dt), v1) + dot_nn(p22.astype(dt), v2)
+
+    e1 = l1 <= 0.0
+    e2 = l2 <= 0.0
+    l1s = jnp.where(e1, 1.0, l1)
+    l2s = jnp.where(e2, 1.0, l2)
+    o_ref[0, 0] = jnp.concatenate(
+        [jnp.where(e1, 0.0, acc1 / l1s), jnp.where(e2, 0.0, acc2 / l2s)],
+        axis=0).astype(o_ref.dtype)
+    lse1 = jnp.where(e1, NEG_INF, (m1 + jnp.log2(l1s)) * LN2)
+    lse2 = jnp.where(e2, NEG_INF, (m2 + jnp.log2(l2s)) * LN2)
+    lse_ref[0, 0] = jnp.broadcast_to(
+        jnp.concatenate([lse1, lse2], axis=0), (blk_q, LSE_LANES))
+
+
 def _split_eligible(causal, flags, nq, nk, Tq, Tk):
     """The 2x2 diagonal-split kernels apply when the single block IS the
     causal diagonal in global coordinates."""
@@ -242,7 +313,7 @@ def _split_eligible(causal, flags, nq, nk, Tq, Tk):
             and Tq == Tk and Tq % 256 == 0)
 
 
-def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
+def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
@@ -271,12 +342,15 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
         ],
     )
 
-    # NOTE: a diagonal-split forward (skip the masked upper-right quarter,
-    # mirroring _fused_bwd_kernel_split) is measurably faster per step but
-    # triggers a pathological XLA:TPU compile-time blowup (~45s -> ~300s)
-    # when its residuals are stacked by grad-of-scan; the backward-only
-    # split keeps most of the win at normal compile times.
-    kernel = _fwd_kernel_single if nk == 1 else _fwd_kernel
+    # The diagonal-split forward is opt-in (split_fwd): measurably faster
+    # per step, but it triggers a pathological XLA:TPU compile-time blowup
+    # (~45s -> ~300s) when its residuals are stacked by grad-of-lax.scan —
+    # enable it only with non-scan layer drivers (models.common.unrolled;
+    # bench.py does).
+    if split_fwd and _split_eligible(causal, flags, nq, nk, T, Tk):
+        kernel = _fwd_kernel_single_split
+    else:
+        kernel = _fwd_kernel_single if nk == 1 else _fwd_kernel
     out, lse = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
@@ -297,19 +371,6 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags):
 # backward
 # ---------------------------------------------------------------------------
 
-#: Opt-in: the fused nk==1 backward computes delta = sum(out*do, -1) inside
-#: the kernel (saves the external cross-lane reduce + its HBM round-trip,
-#: measured +2.8% end-to-end on the bench config with the unrolled layer
-#: driver). Default OFF: a backward custom call that consumes the forward
-#: OUT triggers a pathological XLA:TPU compile blowup under grad-of-scan
-#: (~10s -> ~500s) — only enable when the surrounding model runs its layers
-#: WITHOUT lax.scan (e.g. models.common.unrolled; bench.py does this).
-#: Read at TRACE time and not part of any jit cache key: set it before the
-#: first call of a jitted program; flipping it later silently has no effect
-#: on already-compiled programs.
-INLINE_DELTA = False
-
-
 def _make_delta(out, do, dlse):
     """[B, H, T, LSE_LANES] delta for the backward kernels. The lse
     cotangent (ring path) folds in exactly like -delta:
@@ -322,8 +383,8 @@ def _make_delta(out, do, dlse):
 
 def _delta_block(delta_ref, do, delta_inline):
     """[blk_q, 1] delta inside a backward kernel: read from the precomputed
-    buffer, or (INLINE_DELTA) computed in VMEM from the forward OUT block
-    that ``delta_ref`` then carries."""
+    buffer, or (``inline_delta`` opt) computed in VMEM from the forward OUT
+    block that ``delta_ref`` then carries."""
     if delta_inline:
         return (delta_ref[0, 0].astype(jnp.float32)
                 * do.astype(jnp.float32)).sum(axis=-1, keepdims=True)
@@ -576,23 +637,24 @@ def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-#: the fused backward's dq partials cost nk extra dq-sized f32 HBM buffers
-#: (written every step); measured on v5e, that traffic already loses to the
-#: split kernels' score recompute at nk=2 — only the partial-free nk==1
-#: case (whole kv in one block, dq written once in its final dtype) wins
-#: (~17% at T=1024/hd=64)
+#: Tuning CONSTANT (fixed at import; not a runtime toggle): the fused
+#: backward's dq partials cost nk extra dq-sized f32 HBM buffers (written
+#: every step); measured on v5e, that traffic already loses to the split
+#: kernels' score recompute at nk=2 — only the partial-free nk==1 case
+#: (whole kv in one block, dq written once in its final dtype) wins
+#: (~17% at T=1024/hd=64). Tests monkeypatch it to force either path.
 FUSED_BWD_MAX_NK = 1
 
 
 def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-               dlse=None):
+               dlse=None, inline_delta=False):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     Hkv = k.shape[1]
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    delta_inline = INLINE_DELTA and dlse is None
+    delta_inline = inline_delta and dlse is None
     if delta_inline:
         delta = out
         delta_spec = pl.BlockSpec(
@@ -660,10 +722,11 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
 
 
 def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-              dlse=None):
+              dlse=None, inline_delta=False):
     if pl.cdiv(k.shape[2], blk_k) <= FUSED_BWD_MAX_NK:
         return _fused_bwd(q, k, v, out, lse, do, sc, scale, causal,
-                          blk_q, blk_k, flags, dlse=dlse)
+                          blk_q, blk_k, flags, dlse=dlse,
+                          inline_delta=inline_delta)
     return _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
                       flags, dlse=dlse)
 
@@ -794,7 +857,7 @@ def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
     return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash_lse(
     q, k, v,
     window,
@@ -807,22 +870,25 @@ def _flash_lse(
     block_q: int,
     block_k: int,
     flags,
+    opts,  # static (inline_delta, split_fwd); inline_delta is a no-op
+           # here — the lse cotangent always needs the external delta
 ):
     sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                                kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk, flags)
+    out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk, flags,
+                    split_fwd=opts[1])
     return out, lse[..., 0]
 
 
 def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-                   scale, causal, block_q, block_k, flags):
+                   scale, causal, block_q, block_k, flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])
     return (out, lse[..., 0]), (q, k, v, sc, out, lse)
 
 
-def _flash_lse_bwd(scale, causal, block_q, block_k, flags, res, cts):
+def _flash_lse_bwd(scale, causal, block_q, block_k, flags, opts, res, cts):
     do, dlse = cts
     q, k, v, sc, out, lse = res
     if scale is None:
@@ -830,7 +896,7 @@ def _flash_lse_bwd(scale, causal, block_q, block_k, flags, res, cts):
     bq = _pick_block(q.shape[2], block_q)
     bk = _pick_block(k.shape[2], block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
-                           flags, dlse=dlse)
+                           flags, dlse=dlse, inline_delta=opts[0])
     return dq, dk, dv, None, None, None, None, None
 
 
@@ -842,30 +908,30 @@ _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 # ZEROS array, which both wastes a subtract and — more importantly — makes
 # `dlse is None` false, disabling the backward's in-kernel delta
 # computation. This variant's bwd statically has no lse cotangent.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
 def _flash(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-           scale, causal, block_q, block_k, flags):
+           scale, causal, block_q, block_k, flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    return _fwd(q, k, v, sc, s, causal, bq, bk, flags)[0]
+    return _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])[0]
 
 
 def _flash_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-               scale, causal, block_q, block_k, flags):
+               scale, causal, block_q, block_k, flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])
     return out, (q, k, v, sc, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, flags, res, do):
+def _flash_bwd(scale, causal, block_q, block_k, flags, opts, res, do):
     q, k, v, sc, out, lse = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     bq = _pick_block(q.shape[2], block_q)
     bk = _pick_block(k.shape[2], block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
-                           flags, dlse=None)
+                           flags, dlse=None, inline_delta=opts[0])
     return dq, dk, dv, None, None, None, None, None
 
 
@@ -892,6 +958,7 @@ def flash_attention_lse(
     causal: bool = True,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    split_fwd: bool = False,
 ):
     """Fused attention returning ``(out, lse)`` with a full VJP.
 
@@ -916,12 +983,18 @@ def flash_attention_lse(
     kv padding are present at all — compiles to a kernel with exactly the
     mask comparisons it needs (``_block_mask``); a plain-causal LM pays
     for one compare per score element instead of six.
+
+    ``split_fwd`` (static): use the diagonal-split forward kernel when
+    eligible (plain-causal, nq==nk==1). Faster per step, but compiles
+    pathologically slowly when the residuals are stacked by grad-of-
+    ``lax.scan`` — enable only with non-scan layer drivers.
     """
     flags = (window is not None,
              not (_static_zero(q_start) and _static_zero(k_start)),
              kv_begin is not None or kv_end is not None)
     return _flash_lse(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-                      scale, causal, block_q, block_k, flags)
+                      scale, causal, block_q, block_k, flags,
+                      (False, split_fwd))
 
 
 def flash_attention(
@@ -934,14 +1007,26 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     kv_begin=None,
     kv_end=None,
+    inline_delta: bool = False,
+    split_fwd: bool = False,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this has no lse output (so its
-    backward statically has no lse cotangent; with ``INLINE_DELTA`` the
-    fused nk==1 backward then also computes delta in-kernel).
-    ``kv_begin``/``kv_end``: optional per-example [B] valid-key span
-    (left-/right-padded batches)."""
+    backward statically has no lse cotangent; with ``inline_delta`` the
+    fused nk==1 backward then also computes delta in-kernel, saving the
+    external cross-lane reduce + its HBM round-trip, measured +2.8%
+    end-to-end). ``kv_begin``/``kv_end``: optional per-example [B]
+    valid-key span (left-/right-padded batches).
+
+    ``inline_delta`` and ``split_fwd`` are STATIC per-call options (part
+    of the traced program, unlike the former ``INLINE_DELTA`` module
+    global). Both trigger a pathological XLA:TPU compile-time blowup
+    (~10s -> ~500s) under grad-of-``lax.scan`` — a backward custom call
+    consuming the forward OUT / stacked split-forward residuals — so
+    enable them only with non-scan layer drivers
+    (``models.common.unrolled``; bench.py does)."""
     flags = (window is not None, False,
              kv_begin is not None or kv_end is not None)
     return _flash(q, k, v, window, 0, 0, kv_begin, kv_end,
-                  scale, causal, block_q, block_k, flags)
+                  scale, causal, block_q, block_k, flags,
+                  (inline_delta, split_fwd))

@@ -314,3 +314,90 @@ def test_fused_bwd_matches_split(config):
     for a, b, name in zip(g_fused, g_split, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-5, err_msg=f"d{name}")
+
+
+def test_split_fwd_matches_default():
+    """The diagonal-split forward kernel (split_fwd=True, eligible: plain
+    causal, nq==nk==1, T % 256 == 0) computes the same out/lse and the same
+    VJP as the online-softmax kernel."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), B=2, H=3, T=256, D=64)
+    do = jax.random.normal(jax.random.PRNGKey(6), q.shape)
+
+    def run(split):
+        def f(q, k, v):
+            return (flash_attention(q, k, v, causal=True,
+                                    split_fwd=split) * do).sum()
+        val, g = jax.value_and_grad(f, argnums=(0, 1, 2))(q, k, v)
+        return val, g
+
+    v_s, g_s = run(True)
+    v_d, g_d = run(False)
+    np.testing.assert_allclose(float(v_s), float(v_d), rtol=1e-5)
+    for a, b, name in zip(g_s, g_d, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5, err_msg=f"d{name}")
+
+
+def test_split_fwd_lse_matches():
+    """split_fwd through flash_attention_lse: lse agrees with the default
+    kernel (the ring merge consumes it bit-for-bit)."""
+    from lxt_tpu.ops.flash_attention import flash_attention_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(8), B=1, H=2, T=256, D=64)
+    out_s, lse_s = flash_attention_lse(q, k, v, causal=True, split_fwd=True)
+    out_d, lse_d = flash_attention_lse(q, k, v, causal=True, split_fwd=False)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lse_s), np.asarray(lse_d), atol=1e-5)
+
+
+def test_split_fwd_ineligible_falls_back():
+    """split_fwd on an ineligible call (window present) silently uses the
+    default kernel and stays correct."""
+    q, k, v = _qkv(jax.random.PRNGKey(10), T=256)
+    out = flash_attention(q, k, v, 64, split_fwd=True)
+    ref = attention(q, k, v, causal=True, window=64,
+                    composite=lxt_tpu.vanilla_gradient, impl="einsum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0, atol=2e-5)
+
+
+def test_inline_delta_static_arg():
+    """inline_delta as a static per-call argument (VERDICT r2 #7: the old
+    INLINE_DELTA module global was not part of any jit cache key): gradients
+    with the in-kernel delta match the external-delta path, including under
+    jit where the option is baked into the traced program."""
+    q, k, v = _qkv(jax.random.PRNGKey(12), B=1, H=2, T=256, D=64)
+    do = jax.random.normal(jax.random.PRNGKey(13), q.shape)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def g(q, k, v, inline):
+        def f(q, k, v):
+            return (flash_attention(q, k, v, causal=True,
+                                    inline_delta=inline) * do).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_in = g(q, k, v, True)
+    g_ex = g(q, k, v, False)
+    for a, b, name in zip(g_in, g_ex, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5, err_msg=f"d{name}")
+
+
+def test_attention_impl_suffix_options():
+    """impl='flash+split+delta' on the dispatcher parses the static options
+    and matches the einsum path under the attnlrp composite."""
+    q, k, v = _qkv(jax.random.PRNGKey(14), B=1, H=2, T=256, D=64)
+    rel = jax.random.normal(jax.random.PRNGKey(15), q.shape)
+
+    def run(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=True, composite=lxt_tpu.attnlrp,
+                            impl=impl)
+            return (out * rel).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_f = run("flash+split+delta")
+    g_r = run("einsum")
+    for a, b, name in zip(g_f, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
