@@ -389,6 +389,39 @@ def build_tiny(family, patch_composite=None):
             max_position_embeddings=128, rope_theta=1_000_000.0,
             rope_local_base_freq=10_000.0, tie_word_embeddings=True)
         return mod, maps, Gemma3ForCausalLM(gcfg).eval()
+    if family == "mistral":
+        # the reference's efficient map does not ship a mistral entry; its
+        # documented route is a custom patch_map (lxt/efficient/models/
+        # __init__.py:24-26) — build one with the generic patches, the exact
+        # shape of the llama map (lxt/efficient/models/llama.py:9-21), so the
+        # golden exercises the reference's own rules on a windowed model
+        from functools import partial
+        from types import SimpleNamespace
+
+        from torch.nn import Dropout
+        from transformers.models.mistral import modeling_mistral as mod
+        from transformers.models.mistral.modeling_mistral import (
+            MistralConfig, MistralForCausalLM, MistralMLP, MistralRMSNorm)
+        from lxt.efficient.patches import (
+            patch_method, patch_attention, patch_cp_attention,
+            rms_norm_forward, gated_mlp_forward, cp_gated_mlp_forward,
+            dropout_forward)
+        maps = SimpleNamespace(
+            attnLRP={
+                MistralMLP: partial(patch_method, gated_mlp_forward),
+                MistralRMSNorm: partial(patch_method, rms_norm_forward),
+                Dropout: partial(patch_method, dropout_forward),
+                mod: patch_attention,
+            },
+            cp_LRP={
+                MistralMLP: partial(patch_method, cp_gated_mlp_forward),
+                MistralRMSNorm: partial(patch_method, rms_norm_forward),
+                Dropout: partial(patch_method, dropout_forward),
+                mod: patch_cp_attention,
+            })
+        mcfg = MistralConfig(**common_kw, sliding_window=8,
+                             attn_implementation="eager")
+        return mod, maps, MistralForCausalLM(mcfg).eval()
     if family == "gpt2":
         from transformers.models.gpt2 import modeling_gpt2 as mod
         from transformers.models.gpt2.modeling_gpt2 import GPT2Config, GPT2LMHeadModel
