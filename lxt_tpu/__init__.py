@@ -40,6 +40,9 @@ def from_pretrained(model_dir, composite=None, dtype=None, quantize_bits=None):
 
 def __getattr__(name):
     # lazy top-level conveniences (keep `import lxt_tpu` light)
+    if name in ("from_torchvision", "from_openclip", "from_siglip"):
+        import lxt_tpu.models.registry as _r
+        return getattr(_r, name)
     if name == "AttributionPipeline":
         from lxt_tpu.pipeline import AttributionPipeline
         return AttributionPipeline
@@ -61,6 +64,6 @@ __all__ = [
     "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
     "select_logit", "contrastive_target", "normalize_relevance",
     "load_checkpoint_params", "AttributionServer", "http_server",
-    "from_pretrained",
+    "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
     "__version__",
 ]

@@ -176,16 +176,22 @@ def detect_family(hf_config) -> str:
     return mt
 
 
-def _convert(state_dict, hf_config, composite, dtype) -> AttributionModel:
+def _convert(state_dict, hf_config, composite, dtype, text_only=False):
     """Shared state_dict -> AttributionModel conversion (torch tensors or
     numpy arrays — the family converters accept either)."""
     import numpy as np
 
-    # multimodal wrappers (e.g. Gemma3ForConditionalGeneration) expose the
-    # text config underneath; extract the language-model weights (use
-    # lxt_tpu.models.gemma3.multimodal_* for joint image+text attribution)
+    # multimodal wrappers (Gemma3ForConditionalGeneration): when the vision
+    # tower's weights are present, return the joint image+text model —
+    # ``attribute(input_ids, pixel_values)`` in one vjp. ``text_only=True``
+    # (or a text-only checkpoint) extracts the language model instead.
     if hasattr(hf_config, "text_config") and hf_config.model_type in (
             "gemma3",):
+        has_vision = any(k.startswith("model.vision_tower.")
+                         for k in state_dict)
+        if has_vision and not text_only:
+            return _convert_multimodal(state_dict, hf_config, composite,
+                                       dtype)
         hf_config = hf_config.text_config
         if any(k.startswith("model.language_model.") for k in state_dict):
             sd = {k.replace("model.language_model.", "model."): v
@@ -206,17 +212,43 @@ def _convert(state_dict, hf_config, composite, dtype) -> AttributionModel:
 
 
 def from_hf(hf_model, composite: composites.Composite = None,
-            dtype=None) -> AttributionModel:
+            dtype=None, text_only: bool = False):
     """Convert a loaded HF torch model into an AttributionModel.
 
     ``composite`` defaults to AttnLRP except GPT-2, where the reference
-    recommends CP-LRP (models/gpt2.py:24-26).
+    recommends CP-LRP (models/gpt2.py:24-26), and vision towers, which ship
+    CP-LRP only (models/vit_torch.py:7-11).
+
+    Also accepts config-less vision modules the way the reference's
+    DEFAULT_MAP covers torchvision (lxt/efficient/models/__init__.py:10-18):
+    a torchvision-``VisionTransformer``-shaped model (or an OpenCLIP visual
+    tower) returns a :class:`VisionAttributionModel`; a
+    ``Gemma3ForConditionalGeneration`` with its vision tower returns a
+    :class:`MultimodalAttributionModel` (``text_only=True`` extracts the
+    language model instead).
     """
-    return _convert(hf_model.state_dict(), hf_model.config, composite, dtype)
+    if not hasattr(hf_model, "config"):   # torchvision / open_clip modules
+        sd = (hf_model if isinstance(hf_model, dict)
+              else hf_model.state_dict())
+        if "conv_proj.weight" in sd:
+            return from_torchvision(hf_model, composite=composite,
+                                    dtype=dtype)
+        if "conv1.weight" in sd and any(
+                k.startswith("transformer.resblocks.") for k in sd):
+            return from_openclip(hf_model, composite=composite, dtype=dtype)
+        raise ValueError(
+            "model has no .config and is not a recognized vision layout "
+            "(torchvision VisionTransformer / OpenCLIP visual tower)")
+    if getattr(hf_model.config, "model_type", None) in (
+            "siglip", "siglip_vision_model"):
+        return from_siglip(hf_model, composite=composite, dtype=dtype)
+    return _convert(hf_model.state_dict(), hf_model.config, composite, dtype,
+                    text_only=text_only)
 
 
 def from_pretrained(model_dir, composite: composites.Composite = None,
-                    dtype=None, quantize_bits: int = None) -> AttributionModel:
+                    dtype=None, quantize_bits: int = None,
+                    text_only: bool = False):
     """Load an AttributionModel straight from an HF checkpoint DIRECTORY —
     no torch model is ever instantiated: the config comes from
     ``transformers.AutoConfig`` and the weights stream through the native
@@ -237,9 +269,305 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     # thread dtype into the loader: widening a bf16 checkpoint to a host
     # f32 dict only to cast back down would double peak host memory
     state = load_checkpoint_state_dict(model_dir, dtype=dtype or np.float32)
-    model = _convert(state, hf_config, composite, dtype)
+    model = _convert(state, hf_config, composite, dtype, text_only=text_only)
     if quantize_bits:
+        if not isinstance(model, AttributionModel):
+            raise ValueError("quantize_bits applies to text models only")
         from lxt_tpu.ops.quant import quantize_params
         model.params = quantize_params(model.params, bits=quantize_bits,
                                        family=model.family)
     return model
+
+
+# ---------------------------------------------------------------------------
+# Vision (one-call surface for the reference's torchvision/OpenCLIP coverage,
+# lxt/efficient/models/__init__.py:10-18 + examples/vit_torch.py)
+# ---------------------------------------------------------------------------
+
+def _canon_images(images):
+    """Accept NHWC or NCHW (torch convention) float images; return NHWC."""
+    images = jnp.asarray(images)
+    if images.ndim != 4:
+        raise ValueError(f"expected [B, H, W, 3] images, got {images.shape}")
+    if images.shape[-1] != 3 and images.shape[1] == 3:
+        images = images.transpose(0, 2, 3, 1)
+    return images
+
+
+@dataclasses.dataclass
+class VisionAttributionModel:
+    """A converted vision tower plus its attribution entry points.
+
+    ``kind``: 'vit' (classification head), 'openclip' (L2-normalized CLIP
+    embedding) or 'siglip' (headless patch-embedding tower — pass an
+    explicit ``target``)."""
+
+    kind: str
+    cfg: Any
+    params: Any
+    composite: composites.Composite
+    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def _forward(self):
+        """Uniform (params, cfg, images, composite) -> output array:
+        siglip.forward returns the patch-embedding array directly, vit
+        wraps in ModelOutputs."""
+        if self.kind == "siglip":
+            from lxt_tpu.models import siglip
+            return siglip.forward
+        from lxt_tpu.models import vit
+        return lambda params, cfg, x, comp: vit.forward(
+            params, cfg, x, comp).logits
+
+    def logits(self, images, composite=None):
+        """Class logits ('vit'), CLIP embedding ('openclip') or patch
+        embeddings ('siglip')."""
+        composite = composite or self.composite
+        images = _canon_images(images)
+        fwd, cfg = self._forward(), self.cfg
+        key = ("logits", images.shape, images.dtype.name, composite)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(
+                lambda params, x: fwd(params, cfg, x, composite))
+        return self._jit[key](self.params, images)
+
+    def attribute_image(self, images, *, label=None,
+                        target: Optional[Callable] = None, composite=None,
+                        jit=True):
+        """Pixel relevance heatmap, one fused forward+backward.
+
+        Default target: the argmax class logit ('vit'; pass ``label`` [B]
+        int to explain specific classes) or, for 'openclip', the embedding
+        dotted with ``target`` (a [proj_dim] direction, e.g. a text
+        embedding). 'siglip' has no head — ``target`` (callable on the
+        [B, P, D] patch embeddings) is required. Returns
+        ``(value, heatmap [B, H, W])`` — relevance summed over channels
+        (reference examples/vit_torch.py:84).
+        """
+        from lxt_tpu.models.vit import patch_relevance
+
+        composite = composite or self.composite
+        images = _canon_images(images)
+        fwd, cfg, kind = self._forward(), self.cfg, self.kind
+        if kind == "siglip" and target is None:
+            raise ValueError(
+                "siglip towers are headless: pass target=<callable on the "
+                "[B, P, D] patch embeddings> (e.g. a pooled-probe dot)")
+        if target is not None and not callable(target) and kind != "openclip":
+            raise ValueError("non-callable target (an embedding direction) "
+                             "is only meaningful for openclip towers")
+        lab = None if label is None else jnp.asarray(label)
+        tgt_dir = (jnp.asarray(target)
+                   if (kind == "openclip" and target is not None
+                       and not callable(target)) else None)
+        key = ("attr_img", images.shape, images.dtype.name, composite,
+               callable(target) and target, lab is not None,
+               tgt_dir is not None, jit)
+        if key not in self._jit:
+            def run(params, x, lab, tgt_dir):
+                def tgt(xx):
+                    out = fwd(params, cfg, xx, composite)
+                    if callable(target):
+                        return target(out)
+                    if tgt_dir is not None:
+                        return (out * tgt_dir).sum()
+                    if lab is not None:
+                        return jnp.take_along_axis(
+                            out, lab.reshape(-1, 1), axis=-1).sum()
+                    return out.max(axis=-1).sum()
+                value, grad = jax.value_and_grad(tgt)(x)
+                return value, patch_relevance(x, grad)
+            self._jit[key] = jax.jit(run) if jit else run
+        return self._jit[key](self.params, images, lab, tgt_dir)
+
+
+def _to_numpy_sd(model_or_sd):
+    if isinstance(model_or_sd, dict):
+        return model_or_sd, model_or_sd
+    return model_or_sd.state_dict(), model_or_sd
+
+
+def _shape(sd, key):
+    return tuple(sd[key].shape)
+
+
+def from_torchvision(model_or_state_dict, *, num_heads: int = None,
+                     composite: composites.Composite = None,
+                     dtype=None) -> VisionAttributionModel:
+    """One-call conversion of a torchvision ``VisionTransformer`` (the
+    reference's ``monkey_patch(vision_transformer_module)`` equivalent,
+    lxt/efficient/models/vit_torch.py). Geometry is inferred from the state
+    dict; ``num_heads`` comes from the module's ``nn.MultiheadAttention``
+    when a model object is passed (a bare state dict needs it explicitly).
+    Default composite is CP-LRP — the only map the reference exports for
+    ViTs; compose with ``.with_gamma(...)`` for denoised heatmaps."""
+    import numpy as np
+
+    from lxt_tpu.models import vit
+
+    sd, model = _to_numpy_sd(model_or_state_dict)
+    if num_heads is None:
+        try:
+            num_heads = int(
+                model.encoder.layers[0].self_attention.num_heads)
+        except AttributeError:
+            raise ValueError(
+                "num_heads is not recoverable from a bare state dict — "
+                "pass num_heads=... or the model object") from None
+    D, _, P, _ = _shape(sd, "conv_proj.weight")
+    n_tokens = _shape(sd, "encoder.pos_embedding")[1]
+    side = int(round((n_tokens - 1) ** 0.5))
+    L = sum(1 for k in sd
+            if k.startswith("encoder.layers.encoder_layer_")
+            and k.endswith(".ln_1.weight"))
+    cfg = vit.ViTConfig(
+        image_size=side * P, patch_size=P, hidden_size=D,
+        intermediate_size=_shape(sd, "encoder.layers.encoder_layer_0."
+                                     "mlp.0.weight")[0],
+        num_layers=L, num_heads=num_heads,
+        num_classes=_shape(sd, "heads.head.weight")[0],
+        act="gelu_exact")
+    params = vit.params_from_torchvision(sd, cfg, dtype=dtype or np.float32)
+    return VisionAttributionModel(kind="vit", cfg=cfg, params=params,
+                                  composite=composite or composites.cp_lrp)
+
+
+def from_openclip(model_or_state_dict, *, num_heads: int = None,
+                  composite: composites.Composite = None,
+                  act: str = "quick_gelu", ln_eps: float = 1e-5,
+                  dtype=None) -> VisionAttributionModel:
+    """One-call conversion of an OpenCLIP ``VisualTransformer`` (the
+    ``visual.`` subtree of a CLIP checkpoint). OpenCLIP's stock activation
+    is QuickGELU; pass ``act='gelu_exact'`` for nn.GELU variants."""
+    import numpy as np
+
+    from lxt_tpu.models import vit
+
+    sd, model = _to_numpy_sd(model_or_state_dict)
+    if num_heads is None:
+        try:
+            num_heads = int(model.transformer.resblocks[0].attn.num_heads)
+        except AttributeError:
+            raise ValueError(
+                "num_heads is not recoverable from a bare state dict — "
+                "pass num_heads=... or the model object") from None
+    D, _, P, _ = _shape(sd, "conv1.weight")
+    n_tokens = _shape(sd, "positional_embedding")[0]
+    side = int(round((n_tokens - 1) ** 0.5))
+    L = sum(1 for k in sd if k.startswith("transformer.resblocks.")
+            and k.endswith(".ln_1.weight"))
+    cfg = vit.ViTConfig(
+        image_size=side * P, patch_size=P, hidden_size=D,
+        intermediate_size=_shape(
+            sd, "transformer.resblocks.0.mlp.c_fc.weight")[0],
+        num_layers=L, num_heads=num_heads, ln_eps=ln_eps, act=act,
+        openclip=True, proj_dim=_shape(sd, "proj")[1])
+    params = vit.params_from_openclip(sd, cfg, dtype=dtype or np.float32)
+    return VisionAttributionModel(kind="openclip", cfg=cfg, params=params,
+                                  composite=composite or composites.cp_lrp)
+
+
+def from_siglip(hf_model, composite: composites.Composite = None,
+                dtype=None) -> VisionAttributionModel:
+    """Convert an HF SigLIP vision tower (SiglipVisionModel, or the
+    ``vision_model`` of a full SiglipModel)."""
+    import numpy as np
+
+    from lxt_tpu.models import siglip
+
+    hf_config = hf_model.config
+    if hasattr(hf_config, "vision_config"):
+        hf_config = hf_config.vision_config
+    cfg = siglip.SiglipConfig.from_hf(hf_config)
+    sd = hf_model.state_dict()
+    prefix = ("vision_model." if any(
+        k.startswith("vision_model.") for k in sd) else "")
+    params = siglip.params_from_hf(sd, cfg, dtype=dtype or np.float32,
+                                   prefix=prefix)
+    return VisionAttributionModel(kind="siglip", cfg=cfg, params=params,
+                                  composite=composite or composites.cp_lrp)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (Gemma3ForConditionalGeneration — joint pixel+token relevance)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MultimodalAttributionModel:
+    """Gemma 3 image+text model: ``attribute(input_ids, pixel_values)``
+    returns joint relevance over prompt tokens AND pixels from ONE vjp
+    (beyond the reference, which attributes Gemma 3 text only)."""
+
+    cfg: Any          # gemma3.Gemma3MultimodalConfig
+    params: Any
+    composite: composites.Composite
+    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    family: str = "gemma3_multimodal"
+
+    def logits(self, input_ids, pixel_values, composite=None):
+        from lxt_tpu.models import gemma3
+        composite = composite or self.composite
+        ids = jnp.asarray(input_ids)
+        pix = _canon_images(pixel_values)
+        mask = ids == self.cfg.image_token_id
+        embeds = gemma3.embed(self.params["text"], ids, self.cfg.text)
+        key = ("logits", embeds.shape, pix.shape, embeds.dtype.name,
+               composite)
+        if key not in self._jit:
+            cfg = self.cfg
+            self._jit[key] = jax.jit(
+                lambda params, e, p, m: gemma3.multimodal_forward(
+                    params, cfg, e, p, m, composite).logits)
+        return self._jit[key](self.params, embeds, pix, mask)
+
+    def attribute(self, input_ids, pixel_values, *,
+                  target: Optional[Callable] = None, position: int = -1,
+                  token=None, composite=None, jit=True):
+        """Joint attribution: returns ``(value, token_relevance [B, T],
+        image_heatmap [B, H, W])`` — token relevance at image-placeholder
+        positions is complementary to the pixel heatmap (relevance entering
+        through the projected image tokens lands on the pixels)."""
+        from lxt_tpu.models import gemma3
+
+        composite = composite or self.composite
+        ids = jnp.asarray(input_ids)
+        pix = _canon_images(pixel_values)
+        mask = ids == self.cfg.image_token_id
+        embeds = gemma3.embed(self.params["text"], ids, self.cfg.text)
+        tok = None if token is None else jnp.asarray(token)
+        key = ("attribute", embeds.shape, pix.shape, embeds.dtype.name,
+               composite, position, target, tok is not None, jit)
+        if key not in self._jit:
+            cfg = self.cfg
+
+            def run(params, e, p, m, tok):
+                def tgt(ee, pp):
+                    logits = gemma3.multimodal_forward(
+                        params, cfg, ee, pp, m, composite).logits
+                    if target is not None:
+                        return target(logits)
+                    return select_logit(logits, position=position, token=tok)
+                value, (ge, gp) = jax.value_and_grad(
+                    tgt, argnums=(0, 1))(e, p)
+                rel_tok = (e.astype(jnp.float32)
+                           * ge.astype(jnp.float32)).sum(-1)
+                rel_pix = (p.astype(jnp.float32)
+                           * gp.astype(jnp.float32)).sum(-1)
+                return value, rel_tok, rel_pix
+            self._jit[key] = jax.jit(run) if jit else run
+        return self._jit[key](self.params, embeds, pix, mask, tok)
+
+
+def _convert_multimodal(state_dict, hf_config, composite,
+                        dtype) -> MultimodalAttributionModel:
+    import numpy as np
+
+    from lxt_tpu.models import gemma3
+
+    mmcfg = gemma3.Gemma3MultimodalConfig.from_hf(hf_config)
+    params = gemma3.multimodal_params_from_hf(state_dict, mmcfg,
+                                              dtype=dtype or np.float32)
+    return MultimodalAttributionModel(
+        cfg=mmcfg, params=params,
+        composite=composite or composites.attnlrp)
