@@ -180,11 +180,16 @@ def load_safetensors(path, dtype=np.float32, threads=None):
     try:
         lib = _lib()
     except (OSError, subprocess.CalledProcessError):
-        # only a failure to BUILD/LOAD the native library falls back;
-        # checkpoint problems (missing file, truncation) raise from either
-        # reader with the same exception types
+        # failure to BUILD/LOAD the native library falls back outright
         return _load_safetensors_numpy(path, dtype)
-    return _load_safetensors_native(path, dtype, threads, lib)
+    try:
+        return _load_safetensors_native(path, dtype, threads, lib)
+    except ValueError:
+        # the native reader can reject an EXISTING file for reasons beyond
+        # corruption (e.g. an mmap-hostile filesystem failing sl_open) —
+        # give the pure-numpy reader a try; a genuinely truncated/malformed
+        # checkpoint raises the same ValueError from it
+        return _load_safetensors_numpy(path, dtype)
 
 
 def load_checkpoint_state_dict(model_dir, dtype=np.float32):

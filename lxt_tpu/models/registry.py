@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from lxt_tpu import composites
 from lxt_tpu.attribution import input_relevance, latent_relevance, select_logit
+from lxt_tpu.utils.cache import JitCache
 
 
 def _llama_like(mod):
@@ -94,7 +95,10 @@ class AttributionModel:
     params: Any
     composite: composites.Composite
     _fns: dict
-    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
+    #: bounded LRU of compiled entry points (ad-hoc lambda targets /
+    #: shape churn must not leak programs; pass a STABLE callable as
+    #: ``target`` to get cache hits across calls)
+    _jit: Any = dataclasses.field(default_factory=JitCache, repr=False)
 
     def embed(self, input_ids):
         return self._fns["embed"](self.params, jnp.asarray(input_ids), self.cfg)
@@ -306,7 +310,10 @@ class VisionAttributionModel:
     cfg: Any
     params: Any
     composite: composites.Composite
-    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
+    #: bounded LRU of compiled entry points (ad-hoc lambda targets /
+    #: shape churn must not leak programs; pass a STABLE callable as
+    #: ``target`` to get cache hits across calls)
+    _jit: Any = dataclasses.field(default_factory=JitCache, repr=False)
 
     def _forward(self):
         """Uniform (params, cfg, images, composite) -> output array:
@@ -501,7 +508,10 @@ class MultimodalAttributionModel:
     cfg: Any          # gemma3.Gemma3MultimodalConfig
     params: Any
     composite: composites.Composite
-    _jit: dict = dataclasses.field(default_factory=dict, repr=False)
+    #: bounded LRU of compiled entry points (ad-hoc lambda targets /
+    #: shape churn must not leak programs; pass a STABLE callable as
+    #: ``target`` to get cache hits across calls)
+    _jit: Any = dataclasses.field(default_factory=JitCache, repr=False)
 
     family: str = "gemma3_multimodal"
 

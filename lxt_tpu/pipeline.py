@@ -44,7 +44,9 @@ class AttributionPipeline:
 
     def __init__(self, model, tokenizer, composite=None, mesh=None,
                  pad_multiple: Optional[int] = None,
-                 bucket_batch: bool = False):
+                 bucket_batch: bool = False, jit_cache_size: int = 64):
+        from lxt_tpu.utils.cache import JitCache
+
         self.model = model
         self.tokenizer = tokenizer
         self.composite = composite or model.composite
@@ -57,7 +59,10 @@ class AttributionPipeline:
         #: (7, then 3, then 8...) and every distinct batch size is
         #: otherwise a fresh XLA compile
         self.bucket_batch = bucket_batch
-        self._jitted = {}
+        #: bounded LRU: pad_multiple/bucket_batch keep the key space small
+        #: in practice, but a long-running server fed adversarial length
+        #: diversity must not accumulate compiled programs without limit
+        self._jitted = JitCache(maxsize=jit_cache_size)
 
     def _pad_id(self):
         pad = getattr(self.tokenizer, "pad_token_id", None)

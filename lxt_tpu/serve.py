@@ -46,24 +46,41 @@ class _Request:
     future: "concurrent.futures.Future"
 
 
+class ServerOverloadedError(RuntimeError):
+    """The request queue is full — shed load (HTTP 503)."""
+
+
+class PromptTooLongError(ValueError):
+    """The prompt exceeds ``max_prompt_tokens`` (HTTP 400) — an unbounded
+    prompt length would otherwise trigger an unbounded XLA compile."""
+
+
 class AttributionServer:
     """Micro-batching front of an :class:`AttributionPipeline`.
 
     ``max_batch``: largest coalesced batch (match it to the throughput
     sweet spot of the chip — the bench uses 8). ``max_wait_ms``: how long
     the worker holds the FIRST request of a batch waiting for company;
-    the latency cost of batching is bounded by this.
+    the latency cost of batching is bounded by this. ``max_queue``: pending
+    requests beyond this are rejected with :class:`ServerOverloadedError`
+    (backpressure instead of unbounded handler-thread pileup).
+    ``max_prompt_tokens``: prompts tokenizing past this raise
+    :class:`PromptTooLongError` at submit time.
     """
 
     def __init__(self, pipeline: AttributionPipeline, max_batch: int = 8,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_queue: int = 256,
+                 max_prompt_tokens: int = 4096):
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self.max_prompt_tokens = int(max_prompt_tokens)
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
+            maxsize=int(max_queue))
         # bounded: a long-running server must not leak one int per batch
         self.batch_sizes = collections.deque(maxlen=1024)
         self.requests_served = 0
+        self.requests_rejected = 0
         self._closed = False
         self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
@@ -73,14 +90,32 @@ class AttributionServer:
     # -- client side --------------------------------------------------------
 
     def submit(self, prompt: str, composite=None) -> "concurrent.futures.Future":
-        """Enqueue one prompt; the Future resolves to a :class:`Heatmap`."""
+        """Enqueue one prompt; the Future resolves to a :class:`Heatmap`.
+
+        Raises :class:`PromptTooLongError` (compile-size guard) or
+        :class:`ServerOverloadedError` (queue full) without enqueuing.
+        """
+        tokenizer = getattr(self.pipeline, "tokenizer", None)
+        if tokenizer is not None:   # bare-callable pipelines skip the guard
+            n_tok = len(tokenizer(prompt)["input_ids"])
+            if n_tok > self.max_prompt_tokens:
+                self.requests_rejected += 1
+                raise PromptTooLongError(
+                    f"prompt is {n_tok} tokens; server limit is "
+                    f"{self.max_prompt_tokens}")
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
         # lock so no request can land BEHIND the shutdown sentinel (it
         # would never resolve); close() takes the same lock
         with self._submit_lock:
             if self._closed:
                 raise RuntimeError("AttributionServer is closed")
-            self._queue.put(_Request(prompt, composite, fut))
+            try:
+                self._queue.put_nowait(_Request(prompt, composite, fut))
+            except queue.Full:
+                self.requests_rejected += 1
+                raise ServerOverloadedError(
+                    f"request queue full ({self._queue.maxsize} pending)"
+                ) from None
         return fut
 
     def attribute(self, prompt: str, composite=None) -> Heatmap:
@@ -182,15 +217,17 @@ def _heatmap_json(hm: Heatmap):
 
 
 def http_server(server: AttributionServer, host: str = "127.0.0.1",
-                port: int = 0):
+                port: int = 0, request_timeout_s: Optional[float] = None):
     """Build a ``ThreadingHTTPServer`` frontend for ``server``.
 
     Routes:
       - ``POST /v1/attribute`` body ``{"prompt": str}`` or
         ``{"prompts": [str, ...]}`` -> ``{"heatmaps": [...]}``. Prompts in
         one request are submitted individually, so they coalesce with OTHER
-        concurrent requests too.
-      - ``GET /healthz`` -> ``{"ok": true, "served": N, "batches": [...]}``
+        concurrent requests too. 400 on over-long prompts, 503 when the
+        queue is full, 504 when ``request_timeout_s`` elapses first.
+      - ``GET /healthz`` -> ``{"ok": true, "served": N, "rejected": N,
+        "batches": [...], "jit_cache": {"programs": N, "evictions": N}}``
 
     Returns the ``http.server.ThreadingHTTPServer`` (call
     ``serve_forever()`` — typically in a thread — and ``shutdown()``).
@@ -209,9 +246,15 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._reply(200, {"ok": True,
-                                  "served": server.requests_served,
-                                  "batches": list(server.batch_sizes)[-32:]})
+                cache = server.pipeline._jitted
+                self._reply(200, {
+                    "ok": True,
+                    "served": server.requests_served,
+                    "rejected": server.requests_rejected,
+                    "batches": list(server.batch_sizes)[-32:],
+                    "jit_cache": {"programs": len(cache),
+                                  "evictions": getattr(cache, "evictions", 0)},
+                })
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -233,9 +276,29 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
-            futures = [server.submit(p) for p in prompts]
+            futures = []
             try:
-                heatmaps = [f.result() for f in futures]
+                for p in prompts:
+                    futures.append(server.submit(p))
+            except PromptTooLongError as e:
+                self._reply(400, {"error": str(e)})
+                return
+            except ServerOverloadedError as e:
+                self._reply(503, {"error": str(e)})
+                return
+            finally:
+                if len(futures) != len(prompts):   # partial submit: cancel
+                    for f in futures:
+                        f.cancel()
+            try:
+                heatmaps = [f.result(timeout=request_timeout_s)
+                            for f in futures]
+            except concurrent.futures.TimeoutError:
+                for f in futures:
+                    f.cancel()
+                self._reply(504, {"error": "attribution timed out after "
+                                           f"{request_timeout_s}s"})
+                return
             except Exception as e:  # noqa: BLE001 — surface as 500
                 self._reply(500, {"error": str(e)})
                 return
@@ -279,7 +342,9 @@ def build_server(args) -> AttributionServer:
         mesh = make_mesh(data=args.data_parallel)
     pipeline = AttributionPipeline(model, tokenizer, mesh=mesh)
     return AttributionServer(pipeline, max_batch=args.max_batch,
-                             max_wait_ms=args.max_wait_ms)
+                             max_wait_ms=args.max_wait_ms,
+                             max_queue=args.max_queue,
+                             max_prompt_tokens=args.max_prompt_tokens)
 
 
 def _parse_args(argv=None):
@@ -299,6 +364,12 @@ def _parse_args(argv=None):
                     help="weight-only quantization (fit big models on one chip)")
     ap.add_argument("--max-batch", type=int, default=8)
     ap.add_argument("--max-wait-ms", type=float, default=10.0)
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="pending-request bound; beyond it requests get 503")
+    ap.add_argument("--max-prompt-tokens", type=int, default=4096,
+                    help="reject longer prompts with 400 (compile-size guard)")
+    ap.add_argument("--request-timeout-s", type=float, default=None,
+                    help="per-request deadline; 504 when exceeded")
     ap.add_argument("--data-parallel", type=int, default=1,
                     help="shard request batches over this many chips")
     return ap.parse_args(argv)
@@ -307,7 +378,8 @@ def _parse_args(argv=None):
 def main(argv=None):
     args = _parse_args(argv)
     server = build_server(args)
-    httpd = http_server(server, args.host, args.port)
+    httpd = http_server(server, args.host, args.port,
+                        request_timeout_s=args.request_timeout_s)
     print(f"lxt_tpu attribution server on "
           f"http://{args.host}:{httpd.server_address[1]} "
           f"(POST /v1/attribute, GET /healthz)")
