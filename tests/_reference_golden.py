@@ -84,6 +84,15 @@ def build_tiny_explicit(family):
             max_position_embeddings=128, tie_word_embeddings=False,
             pad_token_id=0, attn_implementation="eager")
         return vm.LlamaForCausalLM(cfg).eval(), vm.attnlrp
+    if family == "bert":
+        from transformers.models.bert.configuration_bert import BertConfig
+        import lxt.explicit.models.bert as vm
+        cfg = BertConfig(
+            hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+            num_attention_heads=4, vocab_size=256,
+            max_position_embeddings=128, type_vocab_size=2, num_labels=3,
+            attn_implementation="eager")
+        return vm.BertForSequenceClassification(cfg).eval(), vm.attnlrp
     raise ValueError(family)
 
 
@@ -98,8 +107,12 @@ def golden_explicit(family):
     ids = torch.randint(0, 256, (1, 12),
                         generator=torch.Generator().manual_seed(1))
     emb = model.get_input_embeddings()(ids).detach().requires_grad_()
-    logits = model(inputs_embeds=emb, use_cache=False).logits
-    max_logit = logits[0, -1, :].max()
+    if family == "bert":   # encoder classification head: logits [B, labels]
+        logits = model(inputs_embeds=emb).logits
+        max_logit = logits[0, :].max()
+    else:
+        logits = model(inputs_embeds=emb, use_cache=False).logits
+        max_logit = logits[0, -1, :].max()
     max_logit.backward(max_logit)
     rel = emb.grad.float().sum(-1)
     return ids, logits, rel
