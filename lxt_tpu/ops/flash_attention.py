@@ -840,6 +840,11 @@ def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
         scale = 1.0 / math.sqrt(q.shape[-1])
     if window is None:
         window = max(Tq, Tk) + 2**20  # effectively no window
+    # clamp runtime windows to >= 1 (each row sees at least its own
+    # position): window <= 0 would fully mask rows inside visible blocks,
+    # which the online kernel only guards against when kv padding is
+    # present (guard_empty) — p=exp2(0)=1 uniform garbage otherwise
+    window = jnp.maximum(jnp.asarray(window, jnp.int32), 1)
     sc = jnp.stack([jnp.asarray(window, jnp.int32).reshape(()),
                     jnp.asarray(q_start, jnp.int32).reshape(()),
                     jnp.asarray(k_start, jnp.int32).reshape(())])
