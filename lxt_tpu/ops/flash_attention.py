@@ -161,8 +161,11 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         p = jnp.exp2(s - m_cur)
         if guard_empty:
             # a row fully masked SO FAR has m_cur=-1e30 and would get
-            # p = exp2(0) = 1 on its masked entries; force those rows to 0
-            # (only kv_begin padding can produce such rows mid-block)
+            # p = exp2(0) = 1 on its masked entries; force those rows to 0.
+            # Reachable via kv_begin padding AND via window/offset regimes
+            # (ring: a q row whose window excludes the whole k slice), so
+            # guard_empty covers all three — the matching backward guard
+            # zeroes p where lse=-1e30 (exp2(s - lse) would overflow).
             p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
         l_scr[:, :1] = l_scr[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
@@ -354,7 +357,8 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
     out, lse = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
+                          flags=flags),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
@@ -701,7 +705,8 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dqp, dk, dv = pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags,
+                          guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
+                          flags=flags,
                           delta_inline=delta_inline),
         grid_spec=spec,
         out_shape=[
@@ -766,7 +771,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
+                          flags=flags),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -804,7 +810,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
-                          guard_empty=sc.shape[0] > 3, flags=flags),
+                          guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
+                          flags=flags),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),

@@ -66,7 +66,11 @@ def main():
 
     import lxt_tpu
     from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import common as jcommon
     from lxt_tpu.models import llama as jllama
+
+    # mirror bench.py's step exactly (unrolled driver + static flash opts)
+    attn_impl = os.environ.get("LXT_PROF_ATTN", "auto+split")
 
     cfg = jllama.LlamaConfig(
         vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -81,6 +85,7 @@ def main():
         def target(x):
             return select_logit(jllama.forward(
                 params, cfg, x, lxt_tpu.attnlrp, remat=False,
+                attn_impl=attn_impl, layer_driver=jcommon.unrolled,
                 logits_at=-1).logits)
         return input_relevance(target, e)
 

@@ -401,3 +401,38 @@ def test_attention_impl_suffix_options():
     for a, b, name in zip(g_f, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_window_offsets_fully_masked_rows_backward_finite():
+    """Ring regime regression: with window + global offsets, a q row whose
+    window excludes the ENTIRE k slice gets out=0/lse=-1e30 from the
+    forward; the backward must zero those rows' probabilities instead of
+    computing exp2(s - lse) = inf -> NaN (the guard_empty condition must
+    cover window/offset regimes, not just kv padding)."""
+    from lxt_tpu.ops.flash_attention import NEG_INF, flash_attention_lse
+
+    B, H, T, D = 1, 2, 128, 64
+    q, k, v = _qkv(jax.random.PRNGKey(20), B=B, H=H, T=T, D=D)
+    do = jax.random.normal(jax.random.PRNGKey(21), q.shape)
+    # q slice at global [128, 256), k slice at [0, 128), window 96:
+    # q rows >= 224 see no key in [0, 128) at all
+    window, q_start, k_start = 96, 128, 0
+
+    def f(q, k, v):
+        out, lse = flash_attention_lse(q, k, v, window,
+                                       q_start=q_start, k_start=k_start,
+                                       causal=True)
+        return (out * do).sum() + (jnp.maximum(lse, NEG_INF) * 0.0).sum(), (out, lse)
+
+    (_, (out, lse)), grads = jax.value_and_grad(
+        f, argnums=(0, 1, 2), has_aux=True)(q, k, v)
+
+    masked = np.arange(T) + q_start - window >= k_start + T  # fully masked rows
+    assert masked.any() and not masked.all()
+    np.testing.assert_array_equal(
+        np.asarray(out)[:, :, masked, :], 0.0)
+    assert (np.asarray(lse)[:, :, masked] <= NEG_INF / 2).all()
+    for g, name in zip(grads, "qkv"):
+        assert np.isfinite(np.asarray(g)).all(), f"NaN/inf in d{name}"
+    # masked q rows contribute nothing
+    np.testing.assert_array_equal(np.asarray(grads[0])[:, :, masked, :], 0.0)
