@@ -22,7 +22,7 @@ import numpy as np
 
 from lxt_tpu import composites
 from lxt_tpu.models import common
-from lxt_tpu.models.common import ACTIVATIONS, ModelOutputs, apply_rope
+from lxt_tpu.models.common import ACTIVATIONS, ModelOutputs
 from lxt_tpu.ops.attention import attention
 
 
@@ -250,9 +250,12 @@ def forward(
         if cfg.qk_norm:
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        q, k = apply_rope(q, k, cos, sin)
+        # rope is passed INTO the dispatcher: the flash path fuses the
+        # rotation into the kernels (apply_rope between the projections and
+        # the custom call cost ~25 ms/step — XLA folded it into the q/k
+        # matmuls at ~50% MXU efficiency); non-flash paths apply it there
         attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
-                         bias=bias, composite=composite,
+                         bias=bias, composite=composite, rope=(cos, sin),
                          scale=scale, impl=attn_impl, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)

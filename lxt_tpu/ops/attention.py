@@ -85,13 +85,22 @@ def attention(
     softcap: Optional[float] = None,
     kv_begin=None,
     kv_end=None,
+    rope=None,
 ):
     """LRP-aware scaled dot-product attention.
 
     Parameters
     ----------
     q, k, v : [B, H, Tq, D] / [B, Hkv, Tk, D]
-        After projections and RoPE; ``Hkv`` may divide ``H``.
+        After projections (and RoPE, unless ``rope`` is passed);
+        ``Hkv`` may divide ``H``.
+    rope : optional ``(cos, sin)`` rotary tables ([T, D], or [B, T, D] for
+        per-example positions). On the flash path with 2-D tables and a
+        native head dim the rotation fuses INTO the kernels (~25 ms/step
+        saved on the bench config); every other path applies
+        ``common.apply_rope`` here — either way the semantics equal
+        rotating q/k before the call (rope commutes with the composite's
+        q/k gradient scaling: both are linear).
     bias : optional additive array broadcastable to [B, H, Tq, Tk]
         (padding masks etc.) — forces the einsum path.
     causal : static causal flag (structural mask, flash-compatible).
@@ -117,11 +126,15 @@ def attention(
         additive bias. Fully-padded query rows return zeros with zero grads
         on the flash path.
     """
+    from lxt_tpu.models import common as _mcommon
+
     if impl.startswith("ring:"):
         from lxt_tpu.parallel.ring import ring_flash_attention
         assert (bias is None and softcap is None and kv_begin is None
                 and kv_end is None), \
             "ring attention supports structural masks only"
+        if rope is not None:   # per-shard global offsets preclude in-kernel
+            q, k = _mcommon.apply_rope(q, k, *rope)
         q, k, v = composite.qkv(q, k, v)
         return ring_flash_attention(q, k, v, impl.split(":", 1)[1],
                                     scale=scale, causal=causal, window=window)
@@ -154,6 +167,13 @@ def attention(
     if impl == "flash":
         from lxt_tpu.ops.flash_attention import flash_attention
         D = q.shape[-1]
+        # in-kernel rope needs native-width 2-D tables (padding would break
+        # the rotate-half split; 3-D = per-example positions); otherwise
+        # apply the rotation here, exactly as the models used to
+        rope_in_kernel = (rope is not None and rope[0].ndim == 2
+                          and D in (64, 128, 256))
+        if rope is not None and not rope_in_kernel:
+            q, k = _mcommon.apply_rope(q, k, *rope)
         # hd=64/128/256 run natively (measured faster than lane-padding on
         # v5e: 64-wide tiles beat padded-128 by 1.2-4x, scripts/bench_flash);
         # other head dims zero-pad to the next supported width (exact: padded
@@ -165,8 +185,11 @@ def attention(
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         out = flash_attention(q, k, v, window, scale=scale, causal=causal,
                               kv_begin=kv_begin, kv_end=kv_end,
-                              inline_delta=inline_delta, split_fwd=split_fwd)
+                              inline_delta=inline_delta, split_fwd=split_fwd,
+                              rope=(rope if rope_in_kernel else None))
         return out[..., :D] if Dp != D else out
+    if rope is not None:
+        q, k = _mcommon.apply_rope(q, k, *rope)
     if kv_begin is not None or kv_end is not None:
         Tk_ = k.shape[2]
         k_idx = jax.lax.broadcasted_iota(jnp.int32, (Tk_,), 0)[None]

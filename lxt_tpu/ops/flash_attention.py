@@ -114,6 +114,48 @@ def _interior_block(iq, ik, sc, blk_q, blk_k, causal):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel rotary embedding
+# ---------------------------------------------------------------------------
+
+def _rope_block(x, c, s, inverse=False):
+    """Apply rotary embedding to a loaded ``[blk, D]`` block (HF
+    half-frequency-duplicated tables). ``inverse=True`` applies the
+    TRANSPOSE rotation — rope is linear, so the vjp of ``rope(q)`` w.r.t.
+    ``q`` is exactly the transpose, used to back-rotate dq/dk cotangents
+    computed against roped values.
+
+    Fusing rope into the kernels (instead of separate XLA ops between the
+    projections and the custom call) removes ~25 ms/step on the bench
+    config: XLA was folding the rotation into the q/k projection matmuls,
+    dragging them to ~50% MXU efficiency, and un-rotating dq in a separate
+    pass (profiled 2026-08-17)."""
+    if c.dtype != x.dtype:
+        c = c.astype(x.dtype)
+        s = s.astype(x.dtype)
+    h = x.shape[-1] // 2
+    if not inverse:
+        rot = jnp.concatenate([-x[:, h:], x[:, :h]], axis=-1)
+        return x * c + rot * s
+    y = x * s
+    rot = jnp.concatenate([y[:, h:], -y[:, :h]], axis=-1)
+    return x * c + rot
+
+
+def _rope_load(refs):
+    """(cq, sq, ck, sk) table blocks from the 4 rope refs, or Nones."""
+    if refs is None:
+        return None
+    return tuple(r[...] for r in refs)
+
+
+def _maybe_rope_qk(q, k, tabs):
+    if tabs is None:
+        return q, k
+    cq, sq, ck, sk = tabs
+    return _rope_block(q, cq, sq), _rope_block(k, ck, sk)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -130,12 +172,19 @@ def _scalars(w_ref):
     return (w_ref[0], w_ref[1], w_ref[2], w_ref[3 + b], w_ref[3 + B + b])
 
 
-def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                acc, m_scr, l_scr, *, scale, causal, blk_q, blk_k,
-                guard_empty, flags):
+def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
+                guard_empty, flags, has_rope=False):
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         o_ref, lse_ref, acc, m_scr, l_scr) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_scr, l_scr = refs
+        rope_refs = None
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
 
     @pl.when(ik == 0)
     def _init():
@@ -144,8 +193,7 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
 
     def _step(apply_mask):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
         # scores in the exp2 domain: log2(e) folded into the scale, so every
         # exp below is a native exp2 with no per-element multiply
         s = jax.lax.dot_general(
@@ -195,17 +243,24 @@ def _fwd_kernel(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
 
 
-def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                       *, scale, causal, blk_q, blk_k, guard_empty, flags):
+def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
+                       guard_empty, flags, has_rope=False):
     """nk==1 specialization: the whole kv span sits in this one block, so
     the softmax is exact in one shot — no online-softmax running state, no
     f32 accumulator scratch, no alpha rescale."""
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         o_ref, lse_ref) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        rope_refs = None
     iq, ik = pl.program_id(2), jnp.int32(0)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
 
     def _body(apply_mask):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
@@ -240,15 +295,21 @@ def _fwd_kernel_single(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
 
 
-def _fwd_kernel_single_split(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                             *, scale, causal, blk_q, blk_k, guard_empty,
-                             flags):
+def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
+                             guard_empty, flags, has_rope=False):
     """Diagonal-split variant of the nk==1 forward: the single block IS the
     causal diagonal, so the masked upper-right quarter is never computed —
     6 quarter-matmuls instead of 8 and 3/4 of the exp2/mask elementwise
     work (the hd=64 forward is structure-bound on exactly that, VERDICT r2).
     Row half 1 sees only k1; row half 2 sees k1 (full) + k2 (diagonal).
     Safe only OUTSIDE grad-of-lax.scan (see flash_attention docstring)."""
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         o_ref, lse_ref) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+        rope_refs = None
     sc = _scalars(w_ref)
     h = blk_q // 2
     s2 = scale * LOG2E
@@ -261,8 +322,7 @@ def _fwd_kernel_single_split(w_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], _rope_load(rope_refs))
     v = v_ref[0, 0]
     q1, q2 = q[:h], q[h:]
     k1, k2 = k[:h], k[h:]
@@ -316,7 +376,30 @@ def _split_eligible(causal, flags, nq, nk, Tq, Tk):
             and Tq == Tk and Tq % 256 == 0)
 
 
-def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
+def _rope_specs(blk_q, blk_k, D, grid_kind):
+    """BlockSpecs for the 4 rope-table inputs (cos_q, sin_q, cos_k, sin_k —
+    the same two [T, D] arrays passed twice, once indexed by the q block
+    and once by the k block). ``grid_kind``: 'fwd' (b, h, iq, ik) or 'kv'
+    (b, hk, ik, iq, r)."""
+    if grid_kind == "fwd":
+        qmap = lambda b, h, iq, ik, w: (iq, 0)      # noqa: E731
+        kmap = lambda b, h, iq, ik, w: (ik, 0)      # noqa: E731
+    else:
+        qmap = lambda b, hk, ik, iq, r, w: (iq, 0)  # noqa: E731
+        kmap = lambda b, hk, ik, iq, r, w: (ik, 0)  # noqa: E731
+    return [pl.BlockSpec((blk_q, D), qmap), pl.BlockSpec((blk_q, D), qmap),
+            pl.BlockSpec((blk_k, D), kmap), pl.BlockSpec((blk_k, D), kmap)]
+
+
+def _rope_args(rope):
+    if rope is None:
+        return ()
+    cos, sin = rope
+    return (cos, sin, cos, sin)
+
+
+def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
+         rope=None):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
@@ -332,7 +415,7 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
                          lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
             pl.BlockSpec((1, 1, blk_k, D),
                          lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
-        ],
+        ] + ( _rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []),
         out_specs=[
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
@@ -358,7 +441,7 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags),
+                          flags=flags, has_rope=rope is not None),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
@@ -367,7 +450,7 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v)
+    )(sc, q, k, v, *_rope_args(rope))
     return out, lse
 
 
@@ -395,19 +478,27 @@ def _delta_block(delta_ref, do, delta_inline):
     return delta_ref[0, 0][:, :1]
 
 
-def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale, causal, blk_q, blk_k, guard_empty, flags):
+def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
+               flags, has_rope=False):
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         do_ref, lse_ref, delta_ref, dq_ref, dq_acc) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+         dq_acc) = refs
+        rope_refs = None
     iq, ik = pl.program_id(2), pl.program_id(3)
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
 
     @pl.when(ik == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     def _step(apply_mask):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
@@ -435,18 +526,31 @@ def _dq_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
     @pl.when(ik == nk - 1)
     def _epilogue():
-        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+        dq = dq_acc[:]
+        if tabs is not None:
+            # dq was accumulated w.r.t. ROPED q; rope is linear, so the raw
+            # cotangent is the transpose rotation
+            dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc,
-                *, scale, causal, blk_q, blk_k, guard_empty, flags):
+def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
+                flags, has_rope=False):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = None
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -454,8 +558,7 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
@@ -485,14 +588,16 @@ def _dkv_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dk = dk_acc[:]
+        if tabs is not None:
+            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                      dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                      *, scale, causal, blk_q, blk_k, guard_empty, flags,
-                      delta_inline=False):
+def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
+                      guard_empty, flags, delta_inline=False,
+                      has_rope=False):
     """One pass per (ik, iq) block pair producing dq, dk AND dv: the score
     matmul and the dp matmul are computed once instead of once per kernel
     (7 -> 5 matmul passes, one p-exp2 instead of two). dq cannot accumulate
@@ -500,9 +605,19 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     partials go to ``dqp`` [nk, B, H, T, D] and are summed outside — one
     XLA pass, profitable while nk stays small (the split kernels remain for
     long sequences)."""
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         do_ref, lse_ref, delta_ref,
+         dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = None
     ik, iq, r = pl.program_id(2), pl.program_id(3), pl.program_id(4)
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -510,8 +625,7 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q = q_ref[0, 0]
-        k = k_ref[0, 0]
+        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
@@ -534,9 +648,13 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
-        dqp_ref[0, 0, 0] = (jax.lax.dot_general(
+        dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(dqp_ref.dtype)
+            preferred_element_type=jnp.float32) * scale
+        if tabs is not None:
+            # each dq partial back-rotates independently (rope is linear)
+            dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+        dqp_ref[0, 0, 0] = dq.astype(dqp_ref.dtype)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -551,21 +669,33 @@ def _fused_bwd_kernel(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dk = dk_acc[:]
+        if tabs is not None:
+            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                            delta_ref, dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc,
-                            *, scale, causal, blk_q, blk_k, guard_empty,
-                            flags, delta_inline=False):
+def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
+                            guard_empty, flags, delta_inline=False,
+                            has_rope=False):
     """Diagonal-split variant of the fused nk==1 backward (see
     ``_fwd_kernel_single_split``): all five matmuls skip the masked
     upper-right quarter — 15 quarter-matmuls instead of 5 full ones, and
     3/4 of the p/ds elementwise work."""
+    if has_rope:
+        (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+         do_ref, lse_ref, delta_ref,
+         dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = (cq_ref, sq_ref, ck_ref, sk_ref)
+    else:
+        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+         dqp_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        rope_refs = None
     r = pl.program_id(4)
     n_rep = pl.num_programs(4)
     sc = _scalars(w_ref)
+    tabs = _rope_load(rope_refs)
     h = blk_q // 2
     s2 = scale * LOG2E
 
@@ -586,8 +716,7 @@ def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
+    q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
     v = v_ref[0, 0]
     do = do_ref[0, 0]
     q1, q2 = q[:h], q[h:]
@@ -633,11 +762,17 @@ def _fused_bwd_kernel_split(w_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
 
     dq1 = dot_nn(ds11, k1) * scale
     dq2 = (dot_nn(ds21, k1) + dot_nn(ds22, k2)) * scale
-    dqp_ref[0, 0, 0] = jnp.concatenate([dq1, dq2], axis=0).astype(dqp_ref.dtype)
+    dq = jnp.concatenate([dq1, dq2], axis=0)
+    if tabs is not None:
+        dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+    dqp_ref[0, 0, 0] = dq.astype(dqp_ref.dtype)
 
     @pl.when(r == n_rep - 1)
     def _epilogue():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dk = dk_acc[:]
+        if tabs is not None:
+            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -651,7 +786,7 @@ FUSED_BWD_MAX_NK = 1
 
 
 def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-               dlse=None, inline_delta=False):
+               dlse=None, inline_delta=False, rope=None):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     Hkv = k.shape[1]
@@ -680,6 +815,7 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                          lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
             pl.BlockSpec((1, 1, blk_k, D),
                          lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+        ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
             pl.BlockSpec((1, 1, blk_q, D),
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
@@ -707,7 +843,8 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
                           flags=flags,
-                          delta_inline=delta_inline),
+                          delta_inline=delta_inline,
+                          has_rope=rope is not None),
         grid_spec=spec,
         out_shape=[
             # nk==1 needs no cross-partial sum: write dq in its final dtype
@@ -720,24 +857,24 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, do, lse, delta)
+    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
     dq = dqp.sum(axis=0).astype(q.dtype) if nk > 1 else \
         dqp[0].astype(q.dtype)
     return dq, dk, dv
 
 
 def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-              dlse=None, inline_delta=False):
+              dlse=None, inline_delta=False, rope=None):
     if pl.cdiv(k.shape[2], blk_k) <= FUSED_BWD_MAX_NK:
         return _fused_bwd(q, k, v, out, lse, do, sc, scale, causal,
                           blk_q, blk_k, flags, dlse=dlse,
-                          inline_delta=inline_delta)
+                          inline_delta=inline_delta, rope=rope)
     return _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
-                      flags, dlse=dlse)
+                      flags, dlse=dlse, rope=rope)
 
 
 def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-               dlse=None):
+               dlse=None, rope=None):
     B, H, T, D = q.shape
     Tk = k.shape[2]
     Hkv = k.shape[1]
@@ -760,6 +897,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                          lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
             pl.BlockSpec((1, 1, blk_k, D),
                          lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
+        ] + (_rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []) + [
             pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
                          lambda b, h, iq, ik, w: (b, h, iq, 0)),
@@ -772,13 +910,13 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags),
+                          flags=flags, has_rope=rope is not None),
         grid_spec=dq_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, do, lse, delta)
+    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -790,6 +928,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                          lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
             pl.BlockSpec((1, 1, blk_k, D),
                          lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+        ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
             pl.BlockSpec((1, 1, blk_q, D),
                          lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
             pl.BlockSpec((1, 1, blk_q, LSE_LANES),
@@ -811,7 +950,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags),
+                          flags=flags, has_rope=rope is not None),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
@@ -821,7 +960,7 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, do, lse, delta)
+    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
 
     return dq, dk, dv
 
@@ -869,7 +1008,11 @@ def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
     return sc, scale, _pick_block(Tq, block_q), _pick_block(Tk, block_k)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def _rope_pair(cos, sin):
+    return None if cos is None else (cos, sin)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def _flash_lse(
     q, k, v,
     window,
@@ -877,6 +1020,8 @@ def _flash_lse(
     k_start,
     kv_begin,
     kv_end,
+    rope_cos,   # optional [T, D] tables: rope applied IN-KERNEL to q and k
+    rope_sin,   # (and transposed onto dq/dk in backward)
     scale: Optional[float],
     causal: bool,
     block_q: int,
@@ -888,28 +1033,31 @@ def _flash_lse(
     sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                                kv_end, scale, block_q, block_k)
     out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk, flags,
-                    split_fwd=opts[1])
+                    split_fwd=opts[1], rope=_rope_pair(rope_cos, rope_sin))
     return out, lse[..., 0]
 
 
 def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-                   scale, causal, block_q, block_k, flags, opts):
+                   rope_cos, rope_sin, scale, causal, block_q, block_k,
+                   flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])
-    return (out, lse[..., 0]), (q, k, v, sc, out, lse)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
+                    rope=_rope_pair(rope_cos, rope_sin))
+    return (out, lse[..., 0]), (q, k, v, sc, out, lse, rope_cos, rope_sin)
 
 
 def _flash_lse_bwd(scale, causal, block_q, block_k, flags, opts, res, cts):
     do, dlse = cts
-    q, k, v, sc, out, lse = res
+    q, k, v, sc, out, lse, rope_cos, rope_sin = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     bq = _pick_block(q.shape[2], block_q)
     bk = _pick_block(k.shape[2], block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
-                           flags, dlse=dlse, inline_delta=opts[0])
-    return dq, dk, dv, None, None, None, None, None
+                           flags, dlse=dlse, inline_delta=opts[0],
+                           rope=_rope_pair(rope_cos, rope_sin))
+    return dq, dk, dv, None, None, None, None, None, None, None
 
 
 _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
@@ -920,31 +1068,35 @@ _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 # ZEROS array, which both wastes a subtract and — more importantly — makes
 # `dlse is None` false, disabling the backward's in-kernel delta
 # computation. This variant's bwd statically has no lse cotangent.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
 def _flash(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-           scale, causal, block_q, block_k, flags, opts):
+           rope_cos, rope_sin, scale, causal, block_q, block_k, flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    return _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])[0]
+    return _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
+                rope=_rope_pair(rope_cos, rope_sin))[0]
 
 
 def _flash_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-               scale, causal, block_q, block_k, flags, opts):
+               rope_cos, rope_sin, scale, causal, block_q, block_k, flags,
+               opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
                            kv_end, scale, block_q, block_k)
-    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1])
-    return out, (q, k, v, sc, out, lse)
+    out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
+                    rope=_rope_pair(rope_cos, rope_sin))
+    return out, (q, k, v, sc, out, lse, rope_cos, rope_sin)
 
 
 def _flash_bwd(scale, causal, block_q, block_k, flags, opts, res, do):
-    q, k, v, sc, out, lse = res
+    q, k, v, sc, out, lse, rope_cos, rope_sin = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     bq = _pick_block(q.shape[2], block_q)
     bk = _pick_block(k.shape[2], block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
-                           flags, dlse=None, inline_delta=opts[0])
-    return dq, dk, dv, None, None, None, None, None
+                           flags, dlse=None, inline_delta=opts[0],
+                           rope=_rope_pair(rope_cos, rope_sin))
+    return dq, dk, dv, None, None, None, None, None, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -955,6 +1107,27 @@ def _static_zero(x):
     lets plain (non-ring) callers skip the global-offset arithmetic in the
     kernels' elementwise mask."""
     return isinstance(x, int) and x == 0
+
+
+def _check_rope(rope, q, k, q_start, k_start):
+    """Validate in-kernel rope tables; cast to the activation dtype (HF
+    apply_rotary_pos_emb semantics — the rotation runs in x.dtype)."""
+    if rope is None:
+        return None
+    cos, sin = rope
+    Tq, Tk, D = q.shape[2], k.shape[2], q.shape[3]
+    if Tq != Tk:
+        raise ValueError("in-kernel rope requires Tq == Tk")
+    if not (_static_zero(q_start) and _static_zero(k_start)):
+        raise ValueError("in-kernel rope is incompatible with global "
+                         "q_start/k_start offsets (ring) — apply rope "
+                         "outside instead")
+    cos = jnp.asarray(cos)
+    sin = jnp.asarray(sin)
+    if cos.shape != (Tq, D) or sin.shape != (Tq, D):
+        raise ValueError(
+            f"rope tables must be [T={Tq}, D={D}], got {cos.shape}")
+    return cos.astype(q.dtype), sin.astype(q.dtype)
 
 
 def flash_attention_lse(
@@ -971,6 +1144,7 @@ def flash_attention_lse(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     split_fwd: bool = False,
+    rope=None,
 ):
     """Fused attention returning ``(out, lse)`` with a full VJP.
 
@@ -1000,12 +1174,22 @@ def flash_attention_lse(
     eligible (plain-causal, nq==nk==1). Faster per step, but compiles
     pathologically slowly when the residuals are stacked by grad-of-
     ``lax.scan`` — enable only with non-scan layer drivers.
+
+    ``rope``: optional ``(cos, sin)`` [T, D] rotary tables (HF
+    half-frequency-duplicated convention): the rotation is applied to q/k
+    INSIDE the kernels (and its transpose onto dq/dk in the backward) —
+    fusing it here instead of between the projections and the custom call
+    removed ~25 ms/step on the bench config (see ``_rope_block``).
+    Requires Tq == Tk and no q_start/k_start offsets (tables are indexed
+    by in-call block position).
     """
+    rope = _check_rope(rope, q, k, q_start, k_start)
     flags = (window is not None,
              not (_static_zero(q_start) and _static_zero(k_start)),
              kv_begin is not None or kv_end is not None)
+    cos, sin = rope if rope is not None else (None, None)
     return _flash_lse(q, k, v, window, q_start, k_start, kv_begin, kv_end,
-                      scale, causal, block_q, block_k, flags,
+                      cos, sin, scale, causal, block_q, block_k, flags,
                       (False, split_fwd))
 
 
@@ -1021,6 +1205,7 @@ def flash_attention(
     kv_end=None,
     inline_delta: bool = False,
     split_fwd: bool = False,
+    rope=None,
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this has no lse output (so its
@@ -1036,9 +1221,14 @@ def flash_attention(
     (~10s -> ~500s) under grad-of-``lax.scan`` — a backward custom call
     consuming the forward OUT / stacked split-forward residuals — so
     enable them only with non-scan layer drivers
-    (``models.common.unrolled``; bench.py does)."""
+    (``models.common.unrolled``; bench.py does).
+
+    ``rope``: optional ``(cos, sin)`` [T, D] tables applied in-kernel (see
+    :func:`flash_attention_lse`)."""
+    rope = _check_rope(rope, q, k, 0, 0)
     flags = (window is not None, False,
              kv_begin is not None or kv_end is not None)
-    return _flash(q, k, v, window, 0, 0, kv_begin, kv_end,
+    cos, sin = rope if rope is not None else (None, None)
+    return _flash(q, k, v, window, 0, 0, kv_begin, kv_end, cos, sin,
                   scale, causal, block_q, block_k, flags,
                   (inline_delta, split_fwd))

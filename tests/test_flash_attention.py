@@ -436,3 +436,126 @@ def test_window_offsets_fully_masked_rows_backward_finite():
         assert np.isfinite(np.asarray(g)).all(), f"NaN/inf in d{name}"
     # masked q rows contribute nothing
     np.testing.assert_array_equal(np.asarray(grads[0])[:, :, masked, :], 0.0)
+
+
+def _rope_tables(T, D, key=30):
+    import lxt_tpu.models.common as mcommon
+    return mcommon.rope_tables(jnp.arange(T), D)
+
+
+@pytest.mark.parametrize("config", [
+    dict(B=2, H=4, Hkv=4, T=256, D=64),
+    dict(B=1, H=8, Hkv=2, T=256, D=64),     # GQA
+    dict(B=1, H=2, Hkv=2, T=256, D=128),
+])
+def test_in_kernel_rope_matches_outside(config):
+    """flash(rope=(cos,sin)) == flash(apply_rope(q,k)) — forward AND vjp
+    (the backward recomputes roped scores and back-rotates dq/dk with the
+    transpose rotation)."""
+    from lxt_tpu.models.common import apply_rope
+
+    B, H, Hkv, T, D = (config[x] for x in ("B", "H", "Hkv", "T", "D"))
+    ks = jax.random.split(jax.random.PRNGKey(31), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, Hkv, T, D))
+    v = jax.random.normal(ks[2], (B, Hkv, T, D))
+    cos, sin = _rope_tables(T, D)
+    do = jax.random.normal(jax.random.PRNGKey(32), q.shape)
+
+    def f_inside(q, k, v):
+        return (flash_attention(q, k, v, causal=True,
+                                rope=(cos, sin)) * do).sum()
+
+    def f_outside(q, k, v):
+        qr, kr = apply_rope(q, k, cos, sin)
+        return (flash_attention(qr, kr, v, causal=True) * do).sum()
+
+    v_in, g_in = jax.value_and_grad(f_inside, argnums=(0, 1, 2))(q, k, v)
+    v_out, g_out = jax.value_and_grad(f_outside, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v_in), float(v_out), rtol=1e-5)
+    for a, b, name in zip(g_in, g_out, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_in_kernel_rope_with_split_and_delta():
+    """rope composes with the static split_fwd/inline_delta perf options."""
+    from lxt_tpu.models.common import apply_rope
+
+    q, k, v = _qkv(jax.random.PRNGKey(33), B=1, H=2, T=256, D=64)
+    cos, sin = _rope_tables(256, 64)
+    do = jax.random.normal(jax.random.PRNGKey(34), q.shape)
+
+    def f_opt(q, k, v):
+        return (flash_attention(q, k, v, causal=True, rope=(cos, sin),
+                                split_fwd=True, inline_delta=True)
+                * do).sum()
+
+    def f_ref(q, k, v):
+        qr, kr = apply_rope(q, k, cos, sin)
+        return (flash_attention(qr, kr, v, causal=True) * do).sum()
+
+    v_o, g_o = jax.value_and_grad(f_opt, argnums=(0, 1, 2))(q, k, v)
+    v_r, g_r = jax.value_and_grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v_o), float(v_r), rtol=1e-5)
+    for a, b, name in zip(g_o, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_in_kernel_rope_multiblock_and_window():
+    """rope through the ONLINE kernel (nk > 1, forced small blocks) and the
+    split backward, with a sliding window."""
+    from lxt_tpu.models.common import apply_rope
+    import lxt_tpu.ops.flash_attention as fa
+
+    q, k, v = _qkv(jax.random.PRNGKey(35), B=1, H=2, T=512, D=64)
+    cos, sin = _rope_tables(512, 64)
+    do = jax.random.normal(jax.random.PRNGKey(36), q.shape)
+
+    def f_inside(q, k, v):
+        return (flash_attention(q, k, v, 192, causal=True, rope=(cos, sin),
+                                block_q=128, block_k=128) * do).sum()
+
+    def f_outside(q, k, v):
+        qr, kr = apply_rope(q, k, cos, sin)
+        return (flash_attention(qr, kr, v, 192, causal=True,
+                                block_q=128, block_k=128) * do).sum()
+
+    v_in, g_in = jax.value_and_grad(f_inside, argnums=(0, 1, 2))(q, k, v)
+    v_out, g_out = jax.value_and_grad(f_outside, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(v_in), float(v_out), rtol=1e-5)
+    for a, b, name in zip(g_in, g_out, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=2e-5, err_msg=f"d{name}")
+
+
+def test_dispatcher_rope_flash_vs_einsum():
+    """attention(rope=...) relevance equality between the flash path (forced,
+    in-kernel rope) and the einsum path (dispatcher-applied rope), under the
+    attnlrp composite."""
+    q, k, v = _qkv(jax.random.PRNGKey(37), B=1, H=2, T=256, D=64)
+    cos, sin = _rope_tables(256, 64)
+    rel = jax.random.normal(jax.random.PRNGKey(38), q.shape)
+
+    def run(impl):
+        def f(q, k, v):
+            out = attention(q, k, v, causal=True, composite=lxt_tpu.attnlrp,
+                            rope=(cos, sin), impl=impl)
+            return (out * rel).sum()
+        return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+    g_f = run("flash")
+    g_e = run("einsum")
+    for a, b, name in zip(g_f, g_e, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_rope_rejects_offsets():
+    from lxt_tpu.ops.flash_attention import flash_attention_lse
+
+    q, k, v = _qkv(jax.random.PRNGKey(39), T=128)
+    cos, sin = _rope_tables(128, 64)
+    with pytest.raises(ValueError, match="offsets"):
+        flash_attention_lse(q, k, v, q_start=128, rope=(cos, sin))
