@@ -244,6 +244,11 @@ def forward(
         q = composite.linear(x, lp["wq"], lp.get("bq"))
         k = composite.linear(x, lp["wk"], lp.get("bk"))
         v = composite.linear(x, lp["wv"], lp.get("bv"))
+        # identity barrier between the projections and the [B,T,H,hd]
+        # head-split: without it XLA folds the transpose into the q/k/v
+        # matmuls (and their transposes in the relevance backward), dropping
+        # them to ~50% MXU efficiency; measured +1.6% end-to-end on v5e
+        q, k, v = jax.lax.optimization_barrier((q, k, v))
         q = common.split_heads(q, H, hd)
         k = common.split_heads(k, Hkv, hd)
         v = common.split_heads(v, Hkv, hd)
@@ -257,7 +262,10 @@ def forward(
         attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
                          bias=bias, composite=composite, rope=(cos, sin),
                          scale=scale, impl=attn_impl, kv_begin=kv_begin)
-        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        # same barrier on the merge-heads/wo boundary (the wo backward fuses
+        # the merge transpose identically); measured +1.9% end-to-end on v5e
+        merged = jax.lax.optimization_barrier(common.merge_heads(attn))
+        h = h + composite.linear(merged, lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
                                 composite.linear(x, lp["wu"]))
