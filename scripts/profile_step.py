@@ -95,6 +95,18 @@ def main():
     print(f"device total: {total / 1e6:.2f} ms across {len(per_op)} ops")
     for name, dur in per_op.most_common(top_n):
         print(f"{dur / 1e6:9.3f} ms  {100 * dur / max(total, 1):5.1f}%  {name}")
+    # aggregate by op family (strip trailing .N / _N instance suffixes) so
+    # the 22-layer repetition reads as one line per op kind
+    fam = collections.Counter()
+    counts = collections.Counter()
+    for name, dur in per_op.items():
+        base = name.rstrip("0123456789").rstrip("._-")
+        fam[base] += dur
+        counts[base] += 1
+    print("\nby op family:")
+    for name, dur in fam.most_common(top_n):
+        print(f"{dur / 1e6:9.3f} ms  {100 * dur / max(total, 1):5.1f}%  "
+              f"x{counts[name]:<4d} {name}")
 
 
 if __name__ == "__main__":
