@@ -216,3 +216,22 @@ cp_lrp = Composite(name="cp_lrp", attention="cp", gate="cp")
 vanilla_gradient = Composite(
     name="vanilla_gradient", activation="vanilla", gate="vanilla",
     attention="vanilla", norm="vanilla")
+
+
+def resolve(composite) -> Composite:
+    """Accept a :class:`Composite` or one of the predefined names
+    ('attnlrp', 'cp_lrp', 'vanilla_gradient'); reject anything else with a
+    clear error instead of a deep trace-time AttributeError."""
+    if isinstance(composite, Composite):
+        return composite
+    by_name = {"attnlrp": attnlrp, "cp_lrp": cp_lrp,
+               "vanilla_gradient": vanilla_gradient}
+    if isinstance(composite, str):
+        if composite in by_name:
+            return by_name[composite]
+        raise ValueError(
+            f"unknown composite name {composite!r}; predefined names are "
+            f"{sorted(by_name)} (or pass a lxt_tpu.Composite instance)")
+    raise TypeError(
+        f"composite must be a lxt_tpu.Composite or one of {sorted(by_name)}, "
+        f"got {type(composite).__name__}")

@@ -104,7 +104,7 @@ class AttributionModel:
         return self._fns["embed"](self.params, jnp.asarray(input_ids), self.cfg)
 
     def logits(self, input_ids, composite=None):
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         key = ("logits", embeds.shape, embeds.dtype.name, composite)
@@ -121,7 +121,7 @@ class AttributionModel:
         canonical flow, examples/quantized_llama.py:39-47). Returns
         ``(target_value, relevance [B, T])``.
         """
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         tok = None if token is None else jnp.asarray(token)
@@ -144,7 +144,7 @@ class AttributionModel:
                          position: int = -1, composite=None):
         """Input relevance + per-layer latent relevance in ONE backward
         (reference docs/latent-feature-attribution-efficient.rst)."""
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         L = cfg.num_layers
@@ -211,6 +211,7 @@ def _convert(state_dict, hf_config, composite, dtype, text_only=False):
     params = table["from_hf"](state_dict, cfg, dtype=dtype or np.float32)
     if composite is None:
         composite = composites.cp_lrp if family == "gpt2" else composites.attnlrp
+    composite = composites.resolve(composite)
     return AttributionModel(family=family, cfg=cfg, params=params,
                             composite=composite, _fns=table)
 
@@ -329,7 +330,7 @@ class VisionAttributionModel:
     def logits(self, images, composite=None):
         """Class logits ('vit'), CLIP embedding ('openclip') or patch
         embeddings ('siglip')."""
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         images = _canon_images(images)
         fwd, cfg = self._forward(), self.cfg
         key = ("logits", images.shape, images.dtype.name, composite)
@@ -353,7 +354,7 @@ class VisionAttributionModel:
         """
         from lxt_tpu.models.vit import patch_relevance
 
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         images = _canon_images(images)
         fwd, cfg, kind = self._forward(), self.cfg, self.kind
         if kind == "siglip" and target is None:
@@ -436,7 +437,7 @@ def from_torchvision(model_or_state_dict, *, num_heads: int = None,
         act="gelu_exact")
     params = vit.params_from_torchvision(sd, cfg, dtype=dtype or np.float32)
     return VisionAttributionModel(kind="vit", cfg=cfg, params=params,
-                                  composite=composite or composites.cp_lrp)
+                                  composite=composites.resolve(composite or composites.cp_lrp))
 
 
 def from_openclip(model_or_state_dict, *, num_heads: int = None,
@@ -471,7 +472,7 @@ def from_openclip(model_or_state_dict, *, num_heads: int = None,
         openclip=True, proj_dim=_shape(sd, "proj")[1])
     params = vit.params_from_openclip(sd, cfg, dtype=dtype or np.float32)
     return VisionAttributionModel(kind="openclip", cfg=cfg, params=params,
-                                  composite=composite or composites.cp_lrp)
+                                  composite=composites.resolve(composite or composites.cp_lrp))
 
 
 def from_siglip(hf_model, composite: composites.Composite = None,
@@ -492,7 +493,7 @@ def from_siglip(hf_model, composite: composites.Composite = None,
     params = siglip.params_from_hf(sd, cfg, dtype=dtype or np.float32,
                                    prefix=prefix)
     return VisionAttributionModel(kind="siglip", cfg=cfg, params=params,
-                                  composite=composite or composites.cp_lrp)
+                                  composite=composites.resolve(composite or composites.cp_lrp))
 
 
 # ---------------------------------------------------------------------------
@@ -517,7 +518,7 @@ class MultimodalAttributionModel:
 
     def logits(self, input_ids, pixel_values, composite=None):
         from lxt_tpu.models import gemma3
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         ids = jnp.asarray(input_ids)
         pix = _canon_images(pixel_values)
         mask = ids == self.cfg.image_token_id
@@ -540,7 +541,7 @@ class MultimodalAttributionModel:
         through the projected image tokens lands on the pixels)."""
         from lxt_tpu.models import gemma3
 
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         ids = jnp.asarray(input_ids)
         pix = _canon_images(pixel_values)
         mask = ids == self.cfg.image_token_id
@@ -580,4 +581,4 @@ def _convert_multimodal(state_dict, hf_config, composite,
                                               dtype=dtype or np.float32)
     return MultimodalAttributionModel(
         cfg=mmcfg, params=params,
-        composite=composite or composites.attnlrp)
+        composite=composites.resolve(composite or composites.attnlrp))

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lxt_tpu import composites
+
 
 
 @dataclasses.dataclass
@@ -49,7 +51,7 @@ class AttributionPipeline:
 
         self.model = model
         self.tokenizer = tokenizer
-        self.composite = composite or model.composite
+        self.composite = composites.resolve(composite or model.composite)
         self.mesh = mesh
         if pad_multiple is None:
             pad_multiple = 128 if jax.default_backend() == "tpu" else 1
@@ -130,7 +132,7 @@ class AttributionPipeline:
         return self._jitted[key]
 
     def __call__(self, prompts, composite=None) -> List[Heatmap]:
-        composite = composite or self.composite
+        composite = composites.resolve(composite or self.composite)
         ids, kv_begin, seqs = self._encode(prompts)
         embeds = self.model.embed(ids)
         value, rel = self._step((ids.shape, embeds.dtype.name), composite)(

@@ -181,3 +181,34 @@ def test_attribution_model_jit_cache_reuse():
     v2, r2 = model.attribute(ids2, composite=lxt_tpu.cp_lrp)
     assert len(model._jit) == n + 1  # distinct composite -> one new program
     assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_composite_by_name():
+    """Entry points accept predefined composite names as strings and reject
+    unknown names/types with clear errors (instead of a deep trace-time
+    AttributeError)."""
+    import pytest
+    import torch
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    from lxt_tpu import composites
+
+    torch.manual_seed(4)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf, composite="cp_lrp")
+    assert model.composite == composites.cp_lrp
+
+    ids = np.random.RandomState(5).randint(0, 256, (1, 8))
+    # name and object must select the same compiled program / result
+    _, r_name = model.attribute(ids, composite="attnlrp")
+    _, r_obj = model.attribute(ids, composite=composites.attnlrp)
+    assert np.array_equal(np.asarray(r_name), np.asarray(r_obj))
+
+    with pytest.raises(ValueError, match="unknown composite name"):
+        model.logits(ids, composite="nope")
+    with pytest.raises(TypeError, match="must be a lxt_tpu.Composite"):
+        model.logits(ids, composite=42)
