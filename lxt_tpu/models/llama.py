@@ -237,6 +237,16 @@ def forward(
                                   rope_scaling=cfg.rope_scaling, seq_len=T)
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+    # '+bthd' (static attn_impl option): keep q/k/v in the projection-native
+    # [B, T, H, hd] layout — a FREE reshape — and let the flash kernels tile
+    # it directly (ops/flash_attention layout='bthd'). The canonical path
+    # instead pays two materialized [B,H,T,hd] transposes per layer, fenced
+    # by identity barriers so XLA cannot fold them into the projections
+    # (folding drops the matmuls to ~50% MXU efficiency; measured on v5e).
+    # hd <= 64 stays canonical: the packed per-head lane block would violate
+    # Mosaic's 128-lane rule (flash_attention._act_spec), and the barrier-
+    # free dispatcher fallback would reintroduce the folded transposes
+    bthd = "bthd" in attn_impl.split("+") and hd > 64
 
     def layer_fn(h, xs):
         lp, probe = xs
@@ -244,14 +254,15 @@ def forward(
         q = composite.linear(x, lp["wq"], lp.get("bq"))
         k = composite.linear(x, lp["wk"], lp.get("bk"))
         v = composite.linear(x, lp["wv"], lp.get("bv"))
-        # identity barrier between the projections and the [B,T,H,hd]
-        # head-split: without it XLA folds the transpose into the q/k/v
-        # matmuls (and their transposes in the relevance backward), dropping
-        # them to ~50% MXU efficiency; measured +1.6% end-to-end on v5e
-        q, k, v = jax.lax.optimization_barrier((q, k, v))
-        q = common.split_heads(q, H, hd)
-        k = common.split_heads(k, Hkv, hd)
-        v = common.split_heads(v, Hkv, hd)
+        if bthd:
+            q = q.reshape(B, T, H, hd)
+            k = k.reshape(B, T, Hkv, hd)
+            v = v.reshape(B, T, Hkv, hd)
+        else:
+            q, k, v = jax.lax.optimization_barrier((q, k, v))
+            q = common.split_heads(q, H, hd)
+            k = common.split_heads(k, Hkv, hd)
+            v = common.split_heads(v, Hkv, hd)
         if cfg.qk_norm:
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
@@ -261,10 +272,12 @@ def forward(
         # matmuls at ~50% MXU efficiency); non-flash paths apply it there
         attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
                          bias=bias, composite=composite, rope=(cos, sin),
-                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
-        # same barrier on the merge-heads/wo boundary (the wo backward fuses
-        # the merge transpose identically); measured +1.9% end-to-end on v5e
-        merged = jax.lax.optimization_barrier(common.merge_heads(attn))
+                         scale=scale, impl=attn_impl, kv_begin=kv_begin,
+                         layout="bthd" if bthd else "bhtd")
+        if bthd:
+            merged = attn.reshape(B, T, H * hd)
+        else:
+            merged = jax.lax.optimization_barrier(common.merge_heads(attn))
         h = h + composite.linear(merged, lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),

@@ -86,6 +86,7 @@ def attention(
     kv_begin=None,
     kv_end=None,
     rope=None,
+    layout: str = "bhtd",
 ):
     """LRP-aware scaled dot-product attention.
 
@@ -93,7 +94,11 @@ def attention(
     ----------
     q, k, v : [B, H, Tq, D] / [B, Hkv, Tk, D]
         After projections (and RoPE, unless ``rope`` is passed);
-        ``Hkv`` may divide ``H``.
+        ``Hkv`` may divide ``H``. With ``layout="bthd"`` the activations are
+        projection-native ``[B, T, H, D]`` instead: the flash kernels tile
+        that layout DIRECTLY (no head split/merge transposes anywhere in the
+        program — the strided gather rides the kernel DMA pipeline), while
+        every other path transposes to the canonical layout here.
     rope : optional ``(cos, sin)`` rotary tables ([T, D], or [B, T, D] for
         per-example positions). On the flash path with 2-D tables and a
         native head dim the rotation fuses INTO the kernels (~25 ms/step
@@ -128,17 +133,26 @@ def attention(
     """
     from lxt_tpu.models import common as _mcommon
 
+    if layout not in ("bhtd", "bthd"):
+        raise ValueError(f"layout must be 'bhtd' or 'bthd', got {layout!r}")
+    _sw = lambda x: x.swapaxes(1, 2)  # noqa: E731 — layout flip
+
     if impl.startswith("ring:"):
         from lxt_tpu.parallel.ring import ring_flash_attention
         assert (bias is None and softcap is None and kv_begin is None
                 and kv_end is None), \
             "ring attention supports structural masks only"
+        if layout == "bthd":   # ring shards over the canonical layout
+            q, k, v = _sw(q), _sw(k), _sw(v)
         if rope is not None:   # per-shard global offsets preclude in-kernel
             q, k = _mcommon.apply_rope(q, k, *rope)
         q, k, v = composite.qkv(q, k, v)
-        return ring_flash_attention(q, k, v, impl.split(":", 1)[1],
-                                    scale=scale, causal=causal, window=window)
-    n_rep = q.shape[1] // k.shape[1]
+        out = ring_flash_attention(q, k, v, impl.split(":", 1)[1],
+                                   scale=scale, causal=causal, window=window)
+        return _sw(out) if layout == "bthd" else out
+
+    h_ax, t_ax = (1, 2) if layout == "bhtd" else (2, 1)
+    n_rep = q.shape[h_ax] // k.shape[h_ax]
 
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
@@ -147,7 +161,7 @@ def attention(
     # over the group), so apply it on the unrepeated kv
     q, k, v = composite.qkv(q, k, v)
 
-    Tq, Tk = q.shape[2], k.shape[2]
+    Tq, Tk = q.shape[t_ax], k.shape[t_ax]
     # static flash perf options encoded as impl suffixes ('flash+split',
     # 'auto+split+delta', ...) so they thread through every model's
     # hashable attn_impl argument without new plumbing
@@ -172,22 +186,32 @@ def attention(
         # apply the rotation here, exactly as the models used to
         rope_in_kernel = (rope is not None and rope[0].ndim == 2
                           and D in (64, 128, 256))
-        if rope is not None and not rope_in_kernel:
-            q, k = _mcommon.apply_rope(q, k, *rope)
         # hd=64/128/256 run natively (measured faster than lane-padding on
         # v5e: 64-wide tiles beat padded-128 by 1.2-4x, scripts/bench_flash);
         # other head dims zero-pad to the next supported width (exact: padded
         # q/k columns add 0 to scores, padded v columns are sliced off)
         Dp = D if D in (64, 128, 256) else min(
             p for p in (64, 128, 256, -(-D // 128) * 128) if p >= D)
+        transpose_out = False
+        if layout == "bthd" and (
+                Dp % 128 != 0                 # packed lane-block illegal
+                or (rope is not None and not rope_in_kernel)):  # apply_rope
+            q, k, v = _sw(q), _sw(k), _sw(v)  # is canonical-layout-only
+            layout, transpose_out = "bhtd", True
+        if rope is not None and not rope_in_kernel:
+            q, k = _mcommon.apply_rope(q, k, *rope)
         if Dp != D:
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         out = flash_attention(q, k, v, window, scale=scale, causal=causal,
                               kv_begin=kv_begin, kv_end=kv_end,
                               inline_delta=inline_delta, split_fwd=split_fwd,
-                              rope=(rope if rope_in_kernel else None))
-        return out[..., :D] if Dp != D else out
+                              rope=(rope if rope_in_kernel else None),
+                              layout=layout)
+        out = out[..., :D] if Dp != D else out
+        return _sw(out) if transpose_out else out
+    if layout == "bthd":           # einsum reference path is canonical-only
+        q, k, v = _sw(q), _sw(k), _sw(v)
     if rope is not None:
         q, k = _mcommon.apply_rope(q, k, *rope)
     if kv_begin is not None or kv_end is not None:
@@ -202,4 +226,6 @@ def attention(
         bias = pad_bias if bias is None else bias + pad_bias
     k = repeat_kv(k, n_rep)
     v = repeat_kv(v, n_rep)
-    return _einsum_attention(q, k, v, bias, causal, window, scale, softcap=softcap)
+    out = _einsum_attention(q, k, v, bias, causal, window, scale,
+                            softcap=softcap)
+    return _sw(out) if layout == "bthd" else out

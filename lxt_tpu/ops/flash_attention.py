@@ -193,7 +193,7 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         l_scr[:] = jnp.zeros_like(l_scr)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
+        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
         # scores in the exp2 domain: log2(e) folded into the scale, so every
         # exp below is a native exp2 with no per-element multiply
         s = jax.lax.dot_general(
@@ -217,7 +217,7 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
             p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
         l_scr[:, :1] = l_scr[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
         acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:, :1] = m_cur
 
@@ -234,13 +234,13 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         # get out=0 and lse=-inf-ish, so their merge weight is exactly zero
         empty = l <= 0.0
         l_safe = jnp.where(empty, 1.0, l)
-        o_ref[0, 0] = jnp.where(empty, 0.0, acc[:] / l_safe).astype(o_ref.dtype)
+        o_ref[...] = jnp.where(empty, 0.0, acc[:] / l_safe).astype(o_ref.dtype)
         # back to natural-log lse for the external contract (ring merge)
         lse = jnp.where(empty, NEG_INF,
                         (m_scr[:, :1] + jnp.log2(l_safe)) * LN2)
         # TPU block tiling needs >=2 trailing dims with sublane%8==0, so the
         # [blk_q] logsumexp is broadcast into LSE_LANES lanes
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
+        lse_ref[...] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
 
 
 def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -260,7 +260,7 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
     tabs = _rope_load(rope_refs)
 
     def _body(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
+        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
@@ -278,11 +278,11 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
         empty = l <= 0.0
         l_safe = jnp.where(empty, 1.0, l)
         acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0, 0] = jnp.where(empty, 0.0, acc / l_safe).astype(o_ref.dtype)
+        o_ref[...] = jnp.where(empty, 0.0, acc / l_safe).astype(o_ref.dtype)
         lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
-        lse_ref[0, 0] = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
+        lse_ref[...] = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -291,8 +291,8 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     @pl.when(jnp.logical_not(visible))
     def _zeros():
-        o_ref[0, 0] = jnp.zeros_like(o_ref[0, 0])
-        lse_ref[0, 0] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
+        o_ref[...] = jnp.zeros_like(o_ref[...])
+        lse_ref[...] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
 
 
 def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -322,8 +322,8 @@ def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], _rope_load(rope_refs))
-    v = v_ref[0, 0]
+    q, k = _maybe_rope_qk(q_ref[...], k_ref[...], _rope_load(rope_refs))
+    v = v_ref[...]
     q1, q2 = q[:h], q[h:]
     k1, k2 = k[:h], k[h:]
     v1, v2 = v[:h], v[h:]
@@ -359,13 +359,70 @@ def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
     e2 = l2 <= 0.0
     l1s = jnp.where(e1, 1.0, l1)
     l2s = jnp.where(e2, 1.0, l2)
-    o_ref[0, 0] = jnp.concatenate(
+    o_ref[...] = jnp.concatenate(
         [jnp.where(e1, 0.0, acc1 / l1s), jnp.where(e2, 0.0, acc2 / l2s)],
         axis=0).astype(o_ref.dtype)
     lse1 = jnp.where(e1, NEG_INF, (m1 + jnp.log2(l1s)) * LN2)
     lse2 = jnp.where(e2, NEG_INF, (m2 + jnp.log2(l2s)) * LN2)
-    lse_ref[0, 0] = jnp.broadcast_to(
+    lse_ref[...] = jnp.broadcast_to(
         jnp.concatenate([lse1, lse2], axis=0), (blk_q, LSE_LANES))
+
+
+def _dims(q, k, layout):
+    """(B, H, Hkv, Tq, Tk, D) for either activation layout."""
+    if layout == "bhtd":
+        B, H, Tq, D = q.shape
+        Hkv, Tk = k.shape[1], k.shape[2]
+    else:  # "bthd": projection-native [B, T, H, D]
+        B, Tq, H, D = q.shape
+        Tk, Hkv = k.shape[1], k.shape[2]
+    return B, H, Hkv, Tq, Tk, D
+
+
+def _act_spec(layout, blk, D, hm, tm):
+    """BlockSpec yielding one squeezed [blk, D] ACTIVATION tile. ``hm``/
+    ``tm`` map the grid indices to the head index and T-block index; batch
+    is always the first grid coordinate.
+
+    bhtd mode consumes the canonical [B, H, T, D] layout. bthd mode is how
+    the kernels consume projection-native activations DIRECTLY — the model
+    passes [B, T, H, D] (a free reshape off the projection), ``_flat``
+    reshapes it to the PACKED [B, T, H*D] view (also free: minor-dim merge),
+    and the per-head tile is a lane-dim block at index ``hm`` — so the head
+    split/merge transposes (and their ~14 ms/step of barrier-materialized
+    copies on the bench config) never exist; the strided tile gather rides
+    the kernel's double-buffered DMA pipeline instead. Mosaic's block rule
+    (last two block dims divisible by (8, 128) or equal to the array dims)
+    makes this legal exactly when D %% 128 == 0 — a squeezed head axis in
+    a 4-D [B, T, H, D] BlockSpec is NOT lowerable, hence the packed view."""
+    if layout == "bhtd":
+        return pl.BlockSpec((None, None, blk, D),
+                            lambda *g: (g[0], hm(*g), tm(*g), 0))
+    return pl.BlockSpec((None, blk, D),
+                        lambda *g: (g[0], tm(*g), hm(*g)))
+
+
+def _stat_spec(blk, hm, tm):
+    """BlockSpec for [blk, LSE_LANES] statistics (lse / delta) tiles. Stats
+    always live in the canonical [B, H, T, LSE_LANES] layout regardless of
+    the activation layout: an 8-lane block inside a packed [B, T, H*8]
+    array would violate the Mosaic lane-divisibility rule, and transposing
+    the tiny [B, H, T] stats outside the kernel is ~free."""
+    return pl.BlockSpec((None, None, blk, LSE_LANES),
+                        lambda *g: (g[0], hm(*g), tm(*g), 0))
+
+
+def _flat(layout, *xs):
+    """bthd: [B, T, H, D] -> packed [B, T, H*D] (free minor-dim merge)."""
+    if layout == "bhtd":
+        return xs if len(xs) > 1 else xs[0]
+    out = tuple(x.reshape(*x.shape[:2], -1) for x in xs)
+    return out if len(out) > 1 else out[0]
+
+
+def _act_shape(layout, B, H, T, D, dtype):
+    shape = (B, H, T, D) if layout == "bhtd" else (B, T, H * D)
+    return jax.ShapeDtypeStruct(shape, dtype)
 
 
 def _split_eligible(causal, flags, nq, nk, Tq, Tk):
@@ -399,27 +456,28 @@ def _rope_args(rope):
 
 
 def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
-         rope=None):
-    B, H, T, D = q.shape
-    Tk = k.shape[2]
-    n_rep = H // k.shape[1]  # GQA: kv blocks indexed by h // n_rep, never
+         rope=None, layout="bhtd"):
+    B, H, Hkv, T, Tk, D = _dims(q, k, layout)
+    n_rep = H // Hkv  # GQA: kv blocks indexed by h // n_rep, never
     # materialized per-query-head
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
+    # grid (b, h, iq, ik) + trailing scalar-prefetch ref
+    q_hm = lambda b, h, iq, ik, w: h           # noqa: E731
+    q_tm = lambda b, h, iq, ik, w: iq          # noqa: E731
+    kv_hm = lambda b, h, iq, ik, w: h // n_rep  # noqa: E731
+    kv_tm = lambda b, h, iq, ik, w: ik         # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
         ] + ( _rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []),
         out_specs=[
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, h, iq, ik, w: (b, h, iq, 0)),
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm),
         ],
         scratch_shapes=[] if nk == 1 else [
             pltpu.VMEM((blk_q, D), jnp.float32),
@@ -444,13 +502,15 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
                           flags=flags, has_rope=rope is not None),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+            _act_shape(layout, B, H, T, D, q.dtype),
             jax.ShapeDtypeStruct((B, H, T, LSE_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, *_rope_args(rope))
+    )(sc, *_flat(layout, q, k, v), *_rope_args(rope))
+    if layout == "bthd":
+        out = out.reshape(B, T, H, D)   # free minor-dim split
     return out, lse
 
 
@@ -458,13 +518,15 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
 # backward
 # ---------------------------------------------------------------------------
 
-def _make_delta(out, do, dlse):
-    """[B, H, T, LSE_LANES] delta for the backward kernels. The lse
-    cotangent (ring path) folds in exactly like -delta:
-    ds = p * (dp - (delta - dlse))."""
+def _make_delta(out, do, dlse, layout="bhtd"):
+    """Canonical [B, H, T, LSE_LANES] delta for the backward kernels (stats
+    are always canonical — see :func:`_stat_spec`). The lse cotangent (ring
+    path) folds in exactly like -delta: ds = p * (dp - (delta - dlse))."""
     delta = (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(-1)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
+    if layout == "bthd":            # [B, T, H] -> [B, H, T]: tiny transpose
+        delta = delta.swapaxes(1, 2)
     return jnp.broadcast_to(delta[..., None], (*delta.shape, LSE_LANES))
 
 
@@ -473,9 +535,9 @@ def _delta_block(delta_ref, do, delta_inline):
     buffer, or (``inline_delta`` opt) computed in VMEM from the forward OUT
     block that ``delta_ref`` then carries."""
     if delta_inline:
-        return (delta_ref[0, 0].astype(jnp.float32)
+        return (delta_ref[...].astype(jnp.float32)
                 * do.astype(jnp.float32)).sum(axis=-1, keepdims=True)
-    return delta_ref[0, 0][:, :1]
+    return delta_ref[...][:, :1]
 
 
 def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
@@ -498,23 +560,23 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
+        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
                                            flags))
-        lse = lse_ref[0, 0][:, :1]  # natural-log; rescale into exp2 domain
+        lse = lse_ref[...][:, :1]  # natural-log; rescale into exp2 domain
         p = jnp.exp2(s - lse * LOG2E)
         if guard_empty:
             # rows with NO visible keys (left-padding) carry lse=-1e30;
             # exp2(s - lse) would overflow — their probabilities are 0
             p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
         dp = jax.lax.dot_general(
-            do_ref[0, 0], v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, :1])
+        ds = p * (dp - delta_ref[...][:, :1])
         dq_acc[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -531,7 +593,7 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
             # dq was accumulated w.r.t. ROPED q; rope is linear, so the raw
             # cotangent is the transpose rotation
             dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-        dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+        dq_ref[...] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
@@ -558,25 +620,25 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
+        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
                                            flags))
-        lse = lse_ref[0, 0][:, :1]
+        lse = lse_ref[...][:, :1]
         p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
         if guard_empty:
             p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        do = do_ref[0, 0]
+        do = do_ref[...]
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do, v_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[0, 0][:, :1])
+        ds = p * (dp - delta_ref[...][:, :1])
         dk_acc[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -591,8 +653,8 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
         dk = dk_acc[:]
         if tabs is not None:
             dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[...] = dk.astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -625,23 +687,23 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
+        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * (scale * LOG2E)
         if apply_mask:
             s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
                                            flags))
-        lse = lse_ref[0, 0][:, :1]
+        lse = lse_ref[...][:, :1]
         p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
         if guard_empty:
             p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        do = do_ref[0, 0]
+        do = do_ref[...]
         dv_acc[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         dp = jax.lax.dot_general(
-            do, v_ref[0, 0], (((1,), (1,)), ((), ())),
+            do, v_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         ds = (p * (dp - _delta_block(delta_ref, do, delta_inline))
               ).astype(q.dtype)
@@ -654,7 +716,7 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         if tabs is not None:
             # each dq partial back-rotates independently (rope is linear)
             dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-        dqp_ref[0, 0, 0] = dq.astype(dqp_ref.dtype)
+        dqp_ref[...] = dq.astype(dqp_ref.dtype)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -665,15 +727,15 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
     def _zero_dq():
         # every (ik, iq) partial block is written exactly once; skipped
         # pairs must still clear their slot
-        dqp_ref[0, 0, 0] = jnp.zeros_like(dqp_ref[0, 0, 0])
+        dqp_ref[...] = jnp.zeros_like(dqp_ref[...])
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
         dk = dk_acc[:]
         if tabs is not None:
             dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[...] = dk.astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -716,14 +778,14 @@ def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q, k = _maybe_rope_qk(q_ref[0, 0], k_ref[0, 0], tabs)
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
+    v = v_ref[...]
+    do = do_ref[...]
     q1, q2 = q[:h], q[h:]
     k1, k2 = k[:h], k[h:]
     v1, v2 = v[:h], v[h:]
     do1, do2 = do[:h], do[h:]
-    lse = lse_ref[0, 0][:, :1]
+    lse = lse_ref[...][:, :1]
     lse1, lse2 = lse[:h], lse[h:]
     delta = _delta_block(delta_ref, do, delta_inline)
     delta1, delta2 = delta[:h], delta[h:]
@@ -765,15 +827,15 @@ def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
     dq = jnp.concatenate([dq1, dq2], axis=0)
     if tabs is not None:
         dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-    dqp_ref[0, 0, 0] = dq.astype(dqp_ref.dtype)
+    dqp_ref[...] = dq.astype(dqp_ref.dtype)
 
     @pl.when(r == n_rep - 1)
     def _epilogue():
         dk = dk_acc[:]
         if tabs is not None:
             dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[...] = dk.astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
 
 
 #: Tuning CONSTANT (fixed at import; not a runtime toggle): the fused
@@ -786,49 +848,52 @@ FUSED_BWD_MAX_NK = 1
 
 
 def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-               dlse=None, inline_delta=False, rope=None):
-    B, H, T, D = q.shape
-    Tk = k.shape[2]
-    Hkv = k.shape[1]
+               dlse=None, inline_delta=False, rope=None, layout="bhtd"):
+    B, H, Hkv, T, Tk, D = _dims(q, k, layout)
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
+    # grid (b, hk, ik, iq, r) + trailing scalar-prefetch ref
+    q_hm = lambda b, hk, ik, iq, r, w: hk * n_rep + r  # noqa: E731
+    q_tm = lambda b, hk, ik, iq, r, w: iq              # noqa: E731
+    kv_hm = lambda b, hk, ik, iq, r, w: hk             # noqa: E731
+    kv_tm = lambda b, hk, ik, iq, r, w: ik             # noqa: E731
+
     delta_inline = inline_delta and dlse is None
     if delta_inline:
-        delta = out
-        delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, D),
-            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+        delta = _flat(layout, out)
+        delta_spec = _act_spec(layout, blk_q, D, q_hm, q_tm)
     else:
-        delta = _make_delta(out, do, dlse)
-        delta_spec = pl.BlockSpec(
-            (1, 1, blk_q, LSE_LANES),
-            lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+        delta = _make_delta(out, do, dlse, layout)
+        delta_spec = _stat_spec(blk_q, q_hm, q_tm)
+
+    if layout == "bhtd":
+        dqp_spec = pl.BlockSpec(
+            (None, None, None, blk_q, D),
+            lambda b, hk, ik, iq, r, w: (ik, b, hk * n_rep + r, iq, 0))
+        dqp_shape = (nk, B, H, T, D)
+    else:
+        dqp_spec = pl.BlockSpec(
+            (None, None, blk_q, D),
+            lambda b, hk, ik, iq, r, w: (ik, b, iq, hk * n_rep + r))
+        dqp_shape = (nk, B, T, H * D)
 
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, nk, nq, n_rep),
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
-            pl.BlockSpec((1, 1, blk_q, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm),
             delta_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, blk_q, D),
-                         lambda b, hk, ik, iq, r, w: (ik, b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            dqp_spec,
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk_k, D), jnp.float32),
@@ -848,98 +913,98 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         grid_spec=spec,
         out_shape=[
             # nk==1 needs no cross-partial sum: write dq in its final dtype
-            jax.ShapeDtypeStruct((nk, B, H, T, D),
+            jax.ShapeDtypeStruct(dqp_shape,
                                  q.dtype if nk == 1 else jnp.float32),
-            jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Tk, D), v.dtype),
+            _act_shape(layout, B, Hkv, Tk, D, k.dtype),
+            _act_shape(layout, B, Hkv, Tk, D, v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
                                  "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
+    )(sc, *_flat(layout, q, k, v), *_rope_args(rope),
+      _flat(layout, do), lse, delta)
     dq = dqp.sum(axis=0).astype(q.dtype) if nk > 1 else \
         dqp[0].astype(q.dtype)
+    if layout == "bthd":
+        dq = dq.reshape(B, T, H, D)
+        dk = dk.reshape(B, Tk, Hkv, D)
+        dv = dv.reshape(B, Tk, Hkv, D)
     return dq, dk, dv
 
 
 def _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-              dlse=None, inline_delta=False, rope=None):
-    if pl.cdiv(k.shape[2], blk_k) <= FUSED_BWD_MAX_NK:
+              dlse=None, inline_delta=False, rope=None, layout="bhtd"):
+    Tk = _dims(q, k, layout)[4]
+    if pl.cdiv(Tk, blk_k) <= FUSED_BWD_MAX_NK:
         return _fused_bwd(q, k, v, out, lse, do, sc, scale, causal,
                           blk_q, blk_k, flags, dlse=dlse,
-                          inline_delta=inline_delta, rope=rope)
+                          inline_delta=inline_delta, rope=rope, layout=layout)
     return _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k,
-                      flags, dlse=dlse, rope=rope)
+                      flags, dlse=dlse, rope=rope, layout=layout)
 
 
 def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
-               dlse=None, rope=None):
-    B, H, T, D = q.shape
-    Tk = k.shape[2]
-    Hkv = k.shape[1]
+               dlse=None, rope=None, layout="bhtd"):
+    B, H, Hkv, T, Tk, D = _dims(q, k, layout)
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
 
-    delta = _make_delta(out, do, dlse)
-    dq_delta_spec = pl.BlockSpec(
-        (1, 1, blk_q, LSE_LANES), lambda b, h, iq, ik, w: (b, h, iq, 0))
-    dkv_delta_spec = pl.BlockSpec(
-        (1, 1, blk_q, LSE_LANES),
-        lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0))
+    delta = _make_delta(out, do, dlse, layout)
+    # fwd-shaped grid (b, h, iq, ik) for dq; kv grid (b, hk, ik, iq, r)
+    q_hm = lambda b, h, iq, ik, w: h            # noqa: E731
+    q_tm = lambda b, h, iq, ik, w: iq           # noqa: E731
+    kv_hm = lambda b, h, iq, ik, w: h // n_rep  # noqa: E731
+    kv_tm = lambda b, h, iq, ik, w: ik          # noqa: E731
+    g_q_hm = lambda b, hk, ik, iq, r, w: hk * n_rep + r  # noqa: E731
+    g_q_tm = lambda b, hk, ik, iq, r, w: iq              # noqa: E731
+    g_kv_hm = lambda b, hk, ik, iq, r, w: hk             # noqa: E731
+    g_kv_tm = lambda b, hk, ik, iq, r, w: ik             # noqa: E731
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, H, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, h, iq, ik, w: (b, h // n_rep, ik, 0)),
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []) + [
-            pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, h, iq, ik, w: (b, h, iq, 0)),
-            dq_delta_spec,
+            _act_spec(layout, blk_q, D, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm),
         ],
-        out_specs=pl.BlockSpec((1, 1, blk_q, D), lambda b, h, iq, ik, w: (b, h, iq, 0)),
+        out_specs=_act_spec(layout, blk_q, D, q_hm, q_tm),
         scratch_shapes=[pltpu.VMEM((blk_q, D), jnp.float32)],
     )
+    fq, fk, fv = _flat(layout, q, k, v)
+    fdo = _flat(layout, do)
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
                           flags=flags, has_rope=rope is not None),
         grid_spec=dq_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        out_shape=_act_shape(layout, B, H, T, D, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
+    )(sc, fq, fk, fv, *_rope_args(rope), fdo, lse, delta)
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv, nk, nq, n_rep),
         in_specs=[
-            pl.BlockSpec((1, 1, blk_q, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            _act_spec(layout, blk_q, D, g_q_hm, g_q_tm),
+            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
-            pl.BlockSpec((1, 1, blk_q, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            pl.BlockSpec((1, 1, blk_q, LSE_LANES),
-                         lambda b, hk, ik, iq, r, w: (b, hk * n_rep + r, iq, 0)),
-            dkv_delta_spec,
+            _act_spec(layout, blk_q, D, g_q_hm, g_q_tm),
+            _stat_spec(blk_q, g_q_hm, g_q_tm),
+            _stat_spec(blk_q, g_q_hm, g_q_tm),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
-            pl.BlockSpec((1, 1, blk_k, D),
-                         lambda b, hk, ik, iq, r, w: (b, hk, ik, 0)),
+            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
         ],
         scratch_shapes=[
             pltpu.VMEM((blk_k, D), jnp.float32),
@@ -953,15 +1018,19 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                           flags=flags, has_rope=rope is not None),
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hkv, Tk, D), k.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, Tk, D), v.dtype),
+            _act_shape(layout, B, Hkv, Tk, D, k.dtype),
+            _act_shape(layout, B, Hkv, Tk, D, v.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary", "arbitrary")),
         interpret=_interpret(),
-    )(sc, q, k, v, *_rope_args(rope), do, lse, delta)
+    )(sc, fq, fk, fv, *_rope_args(rope), fdo, lse, delta)
 
+    if layout == "bthd":
+        dq = dq.reshape(B, T, H, D)
+        dk = dk.reshape(B, Tk, Hkv, D)
+        dv = dv.reshape(B, Tk, Hkv, D)
     return dq, dk, dv
 
 
@@ -979,9 +1048,8 @@ def _pick_block(T, want):
 
 
 def _canon(q, k, window, q_start, k_start, kv_begin, kv_end, scale,
-           block_q, block_k):
-    Tq, Tk = q.shape[2], k.shape[2]
-    B = q.shape[0]
+           block_q, block_k, layout="bhtd"):
+    B, _, _, Tq, Tk, _ = _dims(q, k, layout)
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if window is None:
@@ -1031,20 +1099,26 @@ def _flash_lse(
            # here — the lse cotangent always needs the external delta
 ):
     sc, scale, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                               kv_end, scale, block_q, block_k)
+                               kv_end, scale, block_q, block_k,
+                               layout=opts[2])
     out, lse = _fwd(q, k, v, sc, scale, causal, bq, bk, flags,
-                    split_fwd=opts[1], rope=_rope_pair(rope_cos, rope_sin))
-    return out, lse[..., 0]
+                    split_fwd=opts[1], rope=_rope_pair(rope_cos, rope_sin),
+                    layout=opts[2])
+    lse0 = lse[..., 0]  # internal stats are canonical [B, H, T]; the public
+    # lse follows the activation layout ([B, T, H] for bthd — tiny transpose)
+    return out, (lse0.swapaxes(1, 2) if opts[2] == "bthd" else lse0)
 
 
 def _flash_lse_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
                    rope_cos, rope_sin, scale, causal, block_q, block_k,
                    flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                           kv_end, scale, block_q, block_k)
+                           kv_end, scale, block_q, block_k, layout=opts[2])
     out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
-                    rope=_rope_pair(rope_cos, rope_sin))
-    return (out, lse[..., 0]), (q, k, v, sc, out, lse, rope_cos, rope_sin)
+                    rope=_rope_pair(rope_cos, rope_sin), layout=opts[2])
+    lse0 = lse[..., 0]
+    return ((out, lse0.swapaxes(1, 2) if opts[2] == "bthd" else lse0),
+            (q, k, v, sc, out, lse, rope_cos, rope_sin))
 
 
 def _flash_lse_bwd(scale, causal, block_q, block_k, flags, opts, res, cts):
@@ -1052,11 +1126,13 @@ def _flash_lse_bwd(scale, causal, block_q, block_k, flags, opts, res, cts):
     q, k, v, sc, out, lse, rope_cos, rope_sin = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
+    _, _, _, Tq, Tk, _ = _dims(q, k, opts[2])
+    bq = _pick_block(Tq, block_q)
+    bk = _pick_block(Tk, block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
                            flags, dlse=dlse, inline_delta=opts[0],
-                           rope=_rope_pair(rope_cos, rope_sin))
+                           rope=_rope_pair(rope_cos, rope_sin),
+                           layout=opts[2])
     return dq, dk, dv, None, None, None, None, None, None, None
 
 
@@ -1072,18 +1148,18 @@ _flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 def _flash(q, k, v, window, q_start, k_start, kv_begin, kv_end,
            rope_cos, rope_sin, scale, causal, block_q, block_k, flags, opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                           kv_end, scale, block_q, block_k)
+                           kv_end, scale, block_q, block_k, layout=opts[2])
     return _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
-                rope=_rope_pair(rope_cos, rope_sin))[0]
+                rope=_rope_pair(rope_cos, rope_sin), layout=opts[2])[0]
 
 
 def _flash_fwd(q, k, v, window, q_start, k_start, kv_begin, kv_end,
                rope_cos, rope_sin, scale, causal, block_q, block_k, flags,
                opts):
     sc, s, bq, bk = _canon(q, k, window, q_start, k_start, kv_begin,
-                           kv_end, scale, block_q, block_k)
+                           kv_end, scale, block_q, block_k, layout=opts[2])
     out, lse = _fwd(q, k, v, sc, s, causal, bq, bk, flags, split_fwd=opts[1],
-                    rope=_rope_pair(rope_cos, rope_sin))
+                    rope=_rope_pair(rope_cos, rope_sin), layout=opts[2])
     return out, (q, k, v, sc, out, lse, rope_cos, rope_sin)
 
 
@@ -1091,15 +1167,29 @@ def _flash_bwd(scale, causal, block_q, block_k, flags, opts, res, do):
     q, k, v, sc, out, lse, rope_cos, rope_sin = res
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    bq = _pick_block(q.shape[2], block_q)
-    bk = _pick_block(k.shape[2], block_k)
+    _, _, _, Tq, Tk, _ = _dims(q, k, opts[2])
+    bq = _pick_block(Tq, block_q)
+    bk = _pick_block(Tk, block_k)
     dq, dk, dv = _bwd_impl(q, k, v, out, lse, do, sc, scale, causal, bq, bk,
                            flags, dlse=None, inline_delta=opts[0],
-                           rope=_rope_pair(rope_cos, rope_sin))
+                           rope=_rope_pair(rope_cos, rope_sin),
+                           layout=opts[2])
     return dq, dk, dv, None, None, None, None, None, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _check_layout(layout, q):
+    if layout not in ("bhtd", "bthd"):
+        raise ValueError(f"layout must be 'bhtd' or 'bthd', got {layout!r}")
+    if layout == "bthd" and q.shape[-1] % 128 != 0:
+        # the packed [B, T, H*D] view's per-head lane block must satisfy
+        # Mosaic's 128-lane divisibility rule (see _act_spec) — head dims
+        # like 64 cannot tile the projection-native layout
+        raise ValueError(
+            f"layout='bthd' requires head_dim % 128 == 0 (got "
+            f"{q.shape[-1]}); use the canonical 'bhtd' layout instead")
 
 
 def _static_zero(x):
@@ -1109,13 +1199,13 @@ def _static_zero(x):
     return isinstance(x, int) and x == 0
 
 
-def _check_rope(rope, q, k, q_start, k_start):
+def _check_rope(rope, q, k, q_start, k_start, layout="bhtd"):
     """Validate in-kernel rope tables; cast to the activation dtype (HF
     apply_rotary_pos_emb semantics — the rotation runs in x.dtype)."""
     if rope is None:
         return None
     cos, sin = rope
-    Tq, Tk, D = q.shape[2], k.shape[2], q.shape[3]
+    _, _, _, Tq, Tk, D = _dims(q, k, layout)
     if Tq != Tk:
         raise ValueError("in-kernel rope requires Tq == Tk")
     if not (_static_zero(q_start) and _static_zero(k_start)):
@@ -1145,6 +1235,7 @@ def flash_attention_lse(
     block_k: int = DEFAULT_BLOCK_K,
     split_fwd: bool = False,
     rope=None,
+    layout: str = "bhtd",
 ):
     """Fused attention returning ``(out, lse)`` with a full VJP.
 
@@ -1182,15 +1273,26 @@ def flash_attention_lse(
     removed ~25 ms/step on the bench config (see ``_rope_block``).
     Requires Tq == Tk and no q_start/k_start offsets (tables are indexed
     by in-call block position).
+
+    ``layout`` (static): ``"bhtd"`` (canonical, above) or ``"bthd"`` —
+    projection-native ``[B, T, H, D]`` / ``[B, T, Hkv, D]`` activations
+    (out and lse follow: out ``[B, T, H, D]``, lse ``[B, T, H]``). The
+    kernels tile the packed ``[B, T, H*D]`` view of that layout directly
+    (``_act_spec``), so models skip the materialized head split/merge
+    transposes entirely — the 4-D reshape off the projection is free.
+    Requires ``D % 128 == 0`` (Mosaic's lane rule; hd=64 models must use
+    the canonical layout). Verified Mosaic-compiled on real TPU:
+    TPU_KERNEL_PARITY.json ``bthd_*`` cases.
     """
-    rope = _check_rope(rope, q, k, q_start, k_start)
+    _check_layout(layout, q)
+    rope = _check_rope(rope, q, k, q_start, k_start, layout)
     flags = (window is not None,
              not (_static_zero(q_start) and _static_zero(k_start)),
              kv_begin is not None or kv_end is not None)
     cos, sin = rope if rope is not None else (None, None)
     return _flash_lse(q, k, v, window, q_start, k_start, kv_begin, kv_end,
                       cos, sin, scale, causal, block_q, block_k, flags,
-                      (False, split_fwd))
+                      (False, split_fwd, layout))
 
 
 def flash_attention(
@@ -1206,6 +1308,7 @@ def flash_attention(
     inline_delta: bool = False,
     split_fwd: bool = False,
     rope=None,
+    layout: str = "bhtd",
 ):
     """Fused attention: softmax(q k^T * scale + mask) v, O(T) memory.
     See :func:`flash_attention_lse` — this has no lse output (so its
@@ -1225,10 +1328,11 @@ def flash_attention(
 
     ``rope``: optional ``(cos, sin)`` [T, D] tables applied in-kernel (see
     :func:`flash_attention_lse`)."""
-    rope = _check_rope(rope, q, k, 0, 0)
+    _check_layout(layout, q)
+    rope = _check_rope(rope, q, k, 0, 0, layout)
     flags = (window is not None, False,
              kv_begin is not None or kv_end is not None)
     cos, sin = rope if rope is not None else (None, None)
     return _flash(q, k, v, window, 0, 0, kv_begin, kv_end, cos, sin,
                   scale, causal, block_q, block_k, flags,
-                  (inline_delta, split_fwd))
+                  (inline_delta, split_fwd, layout))

@@ -14,6 +14,7 @@ Run on the TPU host:  python scripts/tpu_kernel_parity.py
 """
 
 import json
+import zlib
 import os
 import sys
 
@@ -59,12 +60,27 @@ CASES = [
     ("inline_delta", (2, 4, 4, 1024, 64), {"inline_delta": True}),
     ("split_and_delta", (2, 4, 4, 1024, 64),
      {"split_fwd": True, "inline_delta": True}),
+    # layout='bthd': projection-native packed tiling ([B,T,H*D] lane
+    # blocks) — interpreter mode cannot validate the Mosaic block-mapping
+    # legality of these specs, so the on-chip record is the load-bearing
+    # evidence for the layout
+    ("bthd_hd128", (2, 4, 4, 1024, 128), {"layout": "bthd"}),
+    ("bthd_gqa_window", (1, 8, 2, 1024, 128),
+     {"layout": "bthd", "window": 128}),
+    ("bthd_split_delta", (2, 4, 4, 1024, 128),
+     {"layout": "bthd", "split_fwd": True, "inline_delta": True}),
+    ("bthd_multiblock", (1, 4, 4, 2048, 128), {"layout": "bthd"}),
+    ("bthd_hd256", (1, 2, 2, 512, 256), {"layout": "bthd"}),
 ]
 
 
 def run_case(name, shape, kw):
     B, H, Hkv, T, D = shape
-    q, k, v, do = _mk(B, H, Hkv, T, D, seed=hash(name) % (2 ** 31))
+    # crc32, not hash(): PYTHONHASHSEED randomizes str hashes per process,
+    # which made the record non-reproducible (borderline GQA dv diffs
+    # flapped across runs on fresh data)
+    q, k, v, do = _mk(B, H, Hkv, T, D,
+                      seed=zlib.crc32(name.encode()) % (2 ** 31))
     causal = kw.pop("causal", True)
     window = kw.pop("window", None)
     kv_begin = kw.pop("kv_begin", None)
@@ -83,11 +99,20 @@ def run_case(name, shape, kw):
     else:
         row_mask = None
 
+    bthd = kw.pop("layout", None) == "bthd"
+
     @jax.jit
     def flash_val_grads(q, k, v):
         def f(q, k, v):
-            out = flash_attention(q, k, v, window, causal=causal,
-                                  kv_begin=kvb, kv_end=kve, **kw)
+            if bthd:   # canonical-layout inputs, bthd kernels: transpose at
+                # the test boundary only (models never pay this transpose)
+                out = flash_attention(
+                    q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+                    window, causal=causal, kv_begin=kvb, kv_end=kve,
+                    layout="bthd", **kw).swapaxes(1, 2)
+            else:
+                out = flash_attention(q, k, v, window, causal=causal,
+                                      kv_begin=kvb, kv_end=kve, **kw)
             return (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(), out
         (_, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2),
                                              has_aux=True)(q, k, v)

@@ -559,3 +559,149 @@ def test_rope_rejects_offsets():
     cos, sin = _rope_tables(128, 64)
     with pytest.raises(ValueError, match="offsets"):
         flash_attention_lse(q, k, v, q_start=128, rope=(cos, sin))
+
+
+# ---------------------------------------------------------------------------
+# layout="bthd": projection-native [B, T, H, D] activations, no transposes
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("config", [
+    # fused single-block backward (nk == 1)
+    dict(B=2, H=4, Hkv=4, T=256, D=128, kw=dict()),
+    # multiblock: _fwd_kernel scan + _split_bwd (nk=2 > FUSED_BWD_MAX_NK)
+    dict(B=1, H=4, Hkv=4, T=256, D=128, kw=dict(block_q=128, block_k=128)),
+    # GQA: lane-strided kv head gather in the packed view
+    dict(B=1, H=8, Hkv=2, T=256, D=128, kw=dict()),
+    # window + GQA, multiblock
+    dict(B=1, H=4, Hkv=2, T=256, D=128,
+         kw=dict(window=96, block_q=128, block_k=128)),
+    # diagonal-split forward + in-kernel delta
+    dict(B=1, H=2, Hkv=2, T=256, D=128,
+         kw=dict(split_fwd=True, inline_delta=True)),
+    # hd=256 (Gemma-2/3 width): double-lane blocks
+    dict(B=1, H=2, Hkv=2, T=256, D=256, kw=dict()),
+    # kv_begin left padding
+    dict(B=2, H=2, Hkv=2, T=256, D=128, kw=dict(), kv_begin=True),
+])
+def test_layout_bthd_matches_bhtd(config):
+    """flash_attention(layout='bthd') on [B, T, H, D] activations ==
+    transposed flash_attention on the [B, H, T, D] layout, forward and vjp
+    (same kernels, only the BlockSpec tiling maps differ)."""
+    B, H, Hkv, T, D = (config[x] for x in ("B", "H", "Hkv", "T", "D"))
+    kw = dict(config["kw"])
+    ks = jax.random.split(jax.random.PRNGKey(50), 4)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, Hkv, T, D))
+    v = jax.random.normal(ks[2], (B, Hkv, T, D))
+    if config.get("kv_begin"):
+        kw["kv_begin"] = jnp.array([37, 0], dtype=jnp.int32)[:B]
+    do = jax.random.normal(ks[3], (B, H, T, D))
+
+    def f_ref(q, k, v):
+        return (flash_attention(q, k, v, causal=True, **kw) * do).sum()
+
+    def f_bthd(q, k, v):
+        t = lambda x: x.swapaxes(1, 2)  # noqa: E731
+        out = flash_attention(t(q), t(k), t(v), causal=True,
+                              layout="bthd", **kw)
+        return (t(out) * do).sum()
+
+    out_r = flash_attention(q, k, v, causal=True, **kw)
+    out_b = flash_attention(q.swapaxes(1, 2), k.swapaxes(1, 2),
+                            v.swapaxes(1, 2), causal=True,
+                            layout="bthd", **kw).swapaxes(1, 2)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_r),
+                               rtol=0, atol=2e-5)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_b = jax.grad(f_bthd, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_b, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_layout_bthd_lse_and_rope():
+    """flash_attention_lse(layout='bthd') with in-kernel rope: out AND lse
+    (and the lse cotangent) match the bhtd layout."""
+    from lxt_tpu.ops.flash_attention import flash_attention_lse
+
+    B, H, T, D = 1, 4, 256, 128
+    ks = jax.random.split(jax.random.PRNGKey(51), 5)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, H, T, D))
+    v = jax.random.normal(ks[2], (B, H, T, D))
+    do = jax.random.normal(ks[3], (B, H, T, D))
+    dl = jax.random.normal(ks[4], (B, H, T))
+    cos, sin = _rope_tables(T, D)
+    t = lambda x: x.swapaxes(1, 2)  # noqa: E731
+
+    def f_ref(q, k, v):
+        out, lse = flash_attention_lse(q, k, v, causal=True, rope=(cos, sin))
+        return (out * do).sum() + (lse * dl).sum()
+
+    def f_bthd(q, k, v):
+        out, lse = flash_attention_lse(t(q), t(k), t(v), causal=True,
+                                       rope=(cos, sin), layout="bthd")
+        return (t(out) * do).sum() + (lse.swapaxes(1, 2) * dl).sum()
+
+    (out_r, lse_r) = flash_attention_lse(q, k, v, causal=True,
+                                         rope=(cos, sin))
+    (out_b, lse_b) = flash_attention_lse(t(q), t(k), t(v), causal=True,
+                                         rope=(cos, sin), layout="bthd")
+    np.testing.assert_allclose(np.asarray(t(out_b)), np.asarray(out_r),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lse_b.swapaxes(1, 2)),
+                               np.asarray(lse_r), rtol=0, atol=2e-5)
+    g_r = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    g_b = jax.grad(f_bthd, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_b, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_layout_rejects_unknown():
+    q, k, v = _qkv(jax.random.PRNGKey(52), T=128)
+    with pytest.raises(ValueError, match="layout"):
+        flash_attention(q, k, v, layout="tbhd")
+    # hd=64 cannot lane-tile the packed [B, T, H*D] view (Mosaic 128-lane
+    # rule) — flash_attention must refuse rather than emit an unlowerable
+    # kernel (the dispatcher transposes to canonical instead)
+    with pytest.raises(ValueError, match="head_dim"):
+        flash_attention(q.swapaxes(1, 2), k.swapaxes(1, 2),
+                        v.swapaxes(1, 2), layout="bthd")
+
+
+@pytest.mark.parametrize("hidden", [
+    192,   # hd=96 > 64: bthd engaged, rope not in-kernel -> dispatcher
+           # transposes to canonical inside attention()
+    256,   # hd=128: rope fused in-kernel, native packed bthd tiling
+])
+def test_llama_bthd_matches_canonical(hidden):
+    """Model-level: the '+bthd' static option (projection-native layout, no
+    head split/merge transposes) changes NOTHING numerically — relevance on
+    the flash path equals the canonical-layout flash path, and the einsum
+    fallback transposes internally."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=hidden, intermediate_size=96, num_layers=2,
+        num_heads=2, num_kv_heads=1)  # GQA: strided bthd kv gather
+    params = jllama.init_params(cfg, jax.random.PRNGKey(2))
+    ids = np.random.RandomState(2).randint(1, 64, (1, 128))
+    e = jllama.embed(params, jnp.asarray(ids))
+
+    def run(impl):
+        def t(x):
+            return select_logit(jllama.forward(
+                params, cfg, x, lxt_tpu.attnlrp, attn_impl=impl).logits)
+        return input_relevance(t, e)
+
+    _, rel_flash = run("flash")
+    _, rel_bthd = run("flash+bthd")
+    np.testing.assert_allclose(np.asarray(rel_bthd), np.asarray(rel_flash),
+                               rtol=0, atol=3e-5)
+    _, rel_e = run("einsum")
+    _, rel_eb = run("einsum+bthd")
+    np.testing.assert_allclose(np.asarray(rel_eb), np.asarray(rel_e),
+                               rtol=0, atol=1e-6)
