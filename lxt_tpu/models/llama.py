@@ -243,10 +243,12 @@ def forward(
     # instead pays two materialized [B,H,T,hd] transposes per layer, fenced
     # by identity barriers so XLA cannot fold them into the projections
     # (folding drops the matmuls to ~50% MXU efficiency; measured on v5e).
-    # hd <= 64 stays canonical: the packed per-head lane block would violate
-    # Mosaic's 128-lane rule (flash_attention._act_spec), and the barrier-
-    # free dispatcher fallback would reintroduce the folded transposes
-    bthd = "bthd" in attn_impl.split("+") and hd > 64
+    # hd=64 rides the pair-packed tiling (two heads per 128-lane block,
+    # flash_attention.pair_eligible); unsupported geometries stay canonical
+    # — the barrier-free dispatcher fallback would otherwise reintroduce
+    # the folded transposes
+    from lxt_tpu.ops.flash_attention import bthd_supported
+    bthd = "bthd" in attn_impl.split("+") and bthd_supported(H, Hkv, hd)
 
     def layer_fn(h, xs):
         lp, probe = xs

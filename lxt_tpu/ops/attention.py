@@ -192,9 +192,12 @@ def attention(
         # q/k columns add 0 to scores, padded v columns are sliced off)
         Dp = D if D in (64, 128, 256) else min(
             p for p in (64, 128, 256, -(-D // 128) * 128) if p >= D)
+        from lxt_tpu.ops.flash_attention import bthd_supported
         transpose_out = False
         if layout == "bthd" and (
-                Dp % 128 != 0                 # packed lane-block illegal
+                # packed lane-block illegal (D % 128 != 0 and not hd=64
+                # pair-eligible — see flash_attention.pair_eligible)
+                not bthd_supported(q.shape[2], k.shape[2], Dp)
                 or (rope is not None and not rope_in_kernel)):  # apply_rope
             q, k, v = _sw(q), _sw(k), _sw(v)  # is canonical-layout-only
             layout, transpose_out = "bhtd", True

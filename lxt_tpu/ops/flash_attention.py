@@ -173,7 +173,7 @@ def _scalars(w_ref):
 
 
 def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
-                guard_empty, flags, has_rope=False):
+                guard_empty, flags, has_rope=False, pair_mode=None):
     if has_rope:
         (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
          o_ref, lse_ref, acc, m_scr, l_scr) = refs
@@ -185,6 +185,8 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
     tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     @pl.when(ik == 0)
     def _init():
@@ -193,33 +195,51 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         l_scr[:] = jnp.zeros_like(l_scr)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-        # scores in the exp2 domain: log2(e) folded into the scale, so every
-        # exp below is a native exp2 with no per-element multiply
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
-        if apply_mask:
-            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
-                                           flags))
+        # the block mask depends only on (iq, ik) — shared across pair halves
+        allowed = (_block_mask(iq, ik, sc, blk_q, blk_k, causal, flags)
+                   if apply_mask else None)
+        qf, kf, vf = q_ref[...], k_ref[...], v_ref[...]
+        for i in _halves(pair_mode):
+            if pairs:
+                sel = psel
+                q, k = _h64(qf, i), _kv_take(kf, i, sel)
+                v = _kv_take(vf, i, sel)
+            else:
+                q, k, v = qf, kf, vf
+            q, k = _maybe_rope_qk(q, k, tabs)
+            # scores in the exp2 domain: log2(e) folded into the scale, so
+            # every exp below is a native exp2 with no per-element multiply
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            if apply_mask:
+                s = _apply_mask(s, allowed)
 
-        m_prev = m_scr[:, :1]
-        m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-        alpha = jnp.exp2(m_prev - m_cur)
-        p = jnp.exp2(s - m_cur)
-        if guard_empty:
-            # a row fully masked SO FAR has m_cur=-1e30 and would get
-            # p = exp2(0) = 1 on its masked entries; force those rows to 0.
-            # Reachable via kv_begin padding AND via window/offset regimes
-            # (ring: a q row whose window excludes the whole k slice), so
-            # guard_empty covers all three — the matching backward guard
-            # zeroes p where lse=-1e30 (exp2(s - lse) would overflow).
-            p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
-        l_scr[:, :1] = l_scr[:, :1] * alpha + p.sum(axis=-1, keepdims=True)
-        acc[:] = acc[:] * alpha + jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:, :1] = m_cur
+            m_prev = m_scr[i, :, :1] if pairs else m_scr[:, :1]
+            m_cur = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+            alpha = jnp.exp2(m_prev - m_cur)
+            p = jnp.exp2(s - m_cur)
+            if guard_empty:
+                # a row fully masked SO FAR has m_cur=-1e30 and would get
+                # p = exp2(0) = 1 on its masked entries; force those rows to
+                # 0. Reachable via kv_begin padding AND via window/offset
+                # regimes (ring: a q row whose window excludes the whole k
+                # slice), so guard_empty covers all three — the matching
+                # backward guard zeroes p where lse=-1e30 (exp2(s - lse)
+                # would overflow).
+                p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            lsum = p.sum(axis=-1, keepdims=True)
+            if pairs:
+                l_scr[i, :, :1] = l_scr[i, :, :1] * alpha + lsum
+                acc[i] = acc[i] * alpha + pv
+                m_scr[i, :, :1] = m_cur
+            else:
+                l_scr[:, :1] = l_scr[:, :1] * alpha + lsum
+                acc[:] = acc[:] * alpha + pv
+                m_scr[:, :1] = m_cur
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -228,23 +248,33 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     @pl.when(ik == nk - 1)
     def _epilogue():
-        l = l_scr[:, :1]
-        # rows with NO visible keys (ring steps where this device's kv slice
-        # is entirely in the query's future, or fully-padded kv_begin rows)
-        # get out=0 and lse=-inf-ish, so their merge weight is exactly zero
-        empty = l <= 0.0
-        l_safe = jnp.where(empty, 1.0, l)
-        o_ref[...] = jnp.where(empty, 0.0, acc[:] / l_safe).astype(o_ref.dtype)
-        # back to natural-log lse for the external contract (ring merge)
-        lse = jnp.where(empty, NEG_INF,
-                        (m_scr[:, :1] + jnp.log2(l_safe)) * LN2)
-        # TPU block tiling needs >=2 trailing dims with sublane%8==0, so the
-        # [blk_q] logsumexp is broadcast into LSE_LANES lanes
-        lse_ref[...] = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
+        outs = []
+        for i in _halves(pair_mode):
+            l = l_scr[i, :, :1] if pairs else l_scr[:, :1]
+            m = m_scr[i, :, :1] if pairs else m_scr[:, :1]
+            a = acc[i] if pairs else acc[:]
+            # rows with NO visible keys (ring steps where this device's kv
+            # slice is entirely in the query's future, or fully-padded
+            # kv_begin rows) get out=0 and lse=-inf-ish, so their merge
+            # weight is exactly zero
+            empty = l <= 0.0
+            l_safe = jnp.where(empty, 1.0, l)
+            outs.append(jnp.where(empty, 0.0, a / l_safe))
+            # back to natural-log lse for the external contract (ring merge)
+            lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
+            # TPU block tiling needs >=2 trailing dims with sublane%8==0, so
+            # the [blk_q] logsumexp is broadcast into LSE_LANES lanes
+            bcast = jnp.broadcast_to(lse, (l.shape[0], LSE_LANES))
+            if pairs:
+                lse_ref[i] = bcast
+            else:
+                lse_ref[...] = bcast
+        o_ref[...] = (jnp.concatenate(outs, axis=-1) if pairs
+                      else outs[0]).astype(o_ref.dtype)
 
 
 def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
-                       guard_empty, flags, has_rope=False):
+                       guard_empty, flags, has_rope=False, pair_mode=None):
     """nk==1 specialization: the whole kv span sits in this one block, so
     the softmax is exact in one shot — no online-softmax running state, no
     f32 accumulator scratch, no alpha rescale."""
@@ -258,31 +288,50 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
     iq, ik = pl.program_id(2), jnp.int32(0)
     sc = _scalars(w_ref)
     tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     def _body(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
-        if apply_mask:
-            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
-                                           flags))
-        m = s.max(axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        # unconditional (unlike the online kernel, there is no running-state
-        # cost here): a row fully masked inside a visible block would get
-        # p = exp2(0) = 1 on every masked entry otherwise — reachable not
-        # just via kv padding but via degenerate windows/offsets
-        p = jnp.where(m <= NEG_INF / 2, 0.0, p)
-        l = p.sum(axis=-1, keepdims=True)
-        empty = l <= 0.0
-        l_safe = jnp.where(empty, 1.0, l)
-        acc = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        o_ref[...] = jnp.where(empty, 0.0, acc / l_safe).astype(o_ref.dtype)
-        lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
-        lse_ref[...] = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
+        allowed = (_block_mask(iq, ik, sc, blk_q, blk_k, causal, flags)
+                   if apply_mask else None)
+        qf, kf, vf = q_ref[...], k_ref[...], v_ref[...]
+        outs = []
+        for i in _halves(pair_mode):
+            if pairs:
+                sel = psel
+                q, k = _h64(qf, i), _kv_take(kf, i, sel)
+                v = _kv_take(vf, i, sel)
+            else:
+                q, k, v = qf, kf, vf
+            q, k = _maybe_rope_qk(q, k, tabs)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            if apply_mask:
+                s = _apply_mask(s, allowed)
+            m = s.max(axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            # unconditional (unlike the online kernel, there is no running-
+            # state cost here): a row fully masked inside a visible block
+            # would get p = exp2(0) = 1 on every masked entry otherwise —
+            # reachable not just via kv padding but via degenerate
+            # windows/offsets
+            p = jnp.where(m <= NEG_INF / 2, 0.0, p)
+            l = p.sum(axis=-1, keepdims=True)
+            empty = l <= 0.0
+            l_safe = jnp.where(empty, 1.0, l)
+            acc = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            outs.append(jnp.where(empty, 0.0, acc / l_safe))
+            lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
+            bcast = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
+            if pairs:
+                lse_ref[i] = bcast
+            else:
+                lse_ref[...] = bcast
+        o_ref[...] = (jnp.concatenate(outs, axis=-1) if pairs
+                      else outs[0]).astype(o_ref.dtype)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -292,11 +341,12 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
     @pl.when(jnp.logical_not(visible))
     def _zeros():
         o_ref[...] = jnp.zeros_like(o_ref[...])
-        lse_ref[...] = jnp.full((blk_q, LSE_LANES), NEG_INF, jnp.float32)
+        lse_ref[...] = jnp.full(lse_ref.shape, NEG_INF, jnp.float32)
 
 
 def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
-                             guard_empty, flags, has_rope=False):
+                             guard_empty, flags, has_rope=False,
+                             pair_mode=None):
     """Diagonal-split variant of the nk==1 forward: the single block IS the
     causal diagonal, so the masked upper-right quarter is never computed —
     6 quarter-matmuls instead of 8 and 3/4 of the exp2/mask elementwise
@@ -313,6 +363,9 @@ def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
     sc = _scalars(w_ref)
     h = blk_q // 2
     s2 = scale * LOG2E
+    tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     def dot_nt(a, b):  # [m, D] x [n, D] -> [m, n]
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
@@ -322,50 +375,68 @@ def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
-    q, k = _maybe_rope_qk(q_ref[...], k_ref[...], _rope_load(rope_refs))
-    v = v_ref[...]
-    q1, q2 = q[:h], q[h:]
-    k1, k2 = k[:h], k[h:]
-    v1, v2 = v[:h], v[h:]
-
+    # the three quarter-block masks are shared across pair halves
     sub_flags = (flags[0], False, flags[2])
-    s11 = _apply_mask(dot_nt(q1, k1) * s2,
-                      _block_mask(0, 0, sc, h, h, True, sub_flags))
-    s22 = _apply_mask(dot_nt(q2, k2) * s2,
-                      _block_mask(1, 1, sc, h, h, True, sub_flags))
-    s21 = dot_nt(q2, k1) * s2
-    if flags[0] or flags[2]:
-        s21 = _apply_mask(s21, _block_mask(1, 0, sc, h, h, False, sub_flags))
+    mask11 = _block_mask(0, 0, sc, h, h, True, sub_flags)
+    mask22 = _block_mask(1, 1, sc, h, h, True, sub_flags)
+    mask21 = (_block_mask(1, 0, sc, h, h, False, sub_flags)
+              if (flags[0] or flags[2]) else None)
 
-    m1 = s11.max(axis=-1, keepdims=True)
-    m2 = jnp.maximum(s21.max(axis=-1, keepdims=True),
-                     s22.max(axis=-1, keepdims=True))
-    p11 = jnp.exp2(s11 - m1)
-    p21 = jnp.exp2(s21 - m2)
-    p22 = jnp.exp2(s22 - m2)
-    # unconditional fully-masked-row guard (see _fwd_kernel_single)
-    p11 = jnp.where(m1 <= NEG_INF / 2, 0.0, p11)
-    empty2 = m2 <= NEG_INF / 2
-    p21 = jnp.where(empty2, 0.0, p21)
-    p22 = jnp.where(empty2, 0.0, p22)
+    qf, kf, vf = q_ref[...], k_ref[...], v_ref[...]
+    outs = []
+    for i in _halves(pair_mode):
+        if pairs:
+            sel = psel
+            q, k = _h64(qf, i), _kv_take(kf, i, sel)
+            v = _kv_take(vf, i, sel)
+        else:
+            q, k, v = qf, kf, vf
+        q, k = _maybe_rope_qk(q, k, tabs)
+        q1, q2 = q[:h], q[h:]
+        k1, k2 = k[:h], k[h:]
+        v1, v2 = v[:h], v[h:]
 
-    l1 = p11.sum(axis=-1, keepdims=True)
-    l2 = p21.sum(axis=-1, keepdims=True) + p22.sum(axis=-1, keepdims=True)
-    dt = v_ref.dtype
-    acc1 = dot_nn(p11.astype(dt), v1)
-    acc2 = dot_nn(p21.astype(dt), v1) + dot_nn(p22.astype(dt), v2)
+        s11 = _apply_mask(dot_nt(q1, k1) * s2, mask11)
+        s22 = _apply_mask(dot_nt(q2, k2) * s2, mask22)
+        s21 = dot_nt(q2, k1) * s2
+        if mask21 is not None:
+            s21 = _apply_mask(s21, mask21)
 
-    e1 = l1 <= 0.0
-    e2 = l2 <= 0.0
-    l1s = jnp.where(e1, 1.0, l1)
-    l2s = jnp.where(e2, 1.0, l2)
-    o_ref[...] = jnp.concatenate(
-        [jnp.where(e1, 0.0, acc1 / l1s), jnp.where(e2, 0.0, acc2 / l2s)],
-        axis=0).astype(o_ref.dtype)
-    lse1 = jnp.where(e1, NEG_INF, (m1 + jnp.log2(l1s)) * LN2)
-    lse2 = jnp.where(e2, NEG_INF, (m2 + jnp.log2(l2s)) * LN2)
-    lse_ref[...] = jnp.broadcast_to(
-        jnp.concatenate([lse1, lse2], axis=0), (blk_q, LSE_LANES))
+        m1 = s11.max(axis=-1, keepdims=True)
+        m2 = jnp.maximum(s21.max(axis=-1, keepdims=True),
+                         s22.max(axis=-1, keepdims=True))
+        p11 = jnp.exp2(s11 - m1)
+        p21 = jnp.exp2(s21 - m2)
+        p22 = jnp.exp2(s22 - m2)
+        # unconditional fully-masked-row guard (see _fwd_kernel_single)
+        p11 = jnp.where(m1 <= NEG_INF / 2, 0.0, p11)
+        empty2 = m2 <= NEG_INF / 2
+        p21 = jnp.where(empty2, 0.0, p21)
+        p22 = jnp.where(empty2, 0.0, p22)
+
+        l1 = p11.sum(axis=-1, keepdims=True)
+        l2 = p21.sum(axis=-1, keepdims=True) + p22.sum(axis=-1, keepdims=True)
+        dt = v.dtype
+        acc1 = dot_nn(p11.astype(dt), v1)
+        acc2 = dot_nn(p21.astype(dt), v1) + dot_nn(p22.astype(dt), v2)
+
+        e1 = l1 <= 0.0
+        e2 = l2 <= 0.0
+        l1s = jnp.where(e1, 1.0, l1)
+        l2s = jnp.where(e2, 1.0, l2)
+        outs.append(jnp.concatenate(
+            [jnp.where(e1, 0.0, acc1 / l1s), jnp.where(e2, 0.0, acc2 / l2s)],
+            axis=0))
+        lse1 = jnp.where(e1, NEG_INF, (m1 + jnp.log2(l1s)) * LN2)
+        lse2 = jnp.where(e2, NEG_INF, (m2 + jnp.log2(l2s)) * LN2)
+        bcast = jnp.broadcast_to(
+            jnp.concatenate([lse1, lse2], axis=0), (blk_q, LSE_LANES))
+        if pairs:
+            lse_ref[i] = bcast
+        else:
+            lse_ref[...] = bcast
+    o_ref[...] = (jnp.concatenate(outs, axis=-1) if pairs
+                  else outs[0]).astype(o_ref.dtype)
 
 
 def _dims(q, k, layout):
@@ -402,14 +473,91 @@ def _act_spec(layout, blk, D, hm, tm):
                         lambda *g: (g[0], tm(*g), hm(*g)))
 
 
-def _stat_spec(blk, hm, tm):
+def _stat_spec(blk, hm, tm, pairs=False):
     """BlockSpec for [blk, LSE_LANES] statistics (lse / delta) tiles. Stats
     always live in the canonical [B, H, T, LSE_LANES] layout regardless of
     the activation layout: an 8-lane block inside a packed [B, T, H*8]
     array would violate the Mosaic lane-divisibility rule, and transposing
-    the tiny [B, H, T] stats outside the kernel is ~free."""
+    the tiny [B, H, T] stats outside the kernel is ~free.
+
+    ``pairs`` (hd=64 pair-packed mode, see ``_pair_mode``): one grid step
+    covers TWO heads, so the block spans 2 on the H axis ([2, blk,
+    LSE_LANES] in-kernel, indexed ``ref[i]`` per half) and ``hm`` yields
+    the PAIR index (H-axis block units of 2)."""
+    if pairs:
+        return pl.BlockSpec((None, 2, blk, LSE_LANES),
+                            lambda *g: (g[0], hm(*g), tm(*g), 0))
     return pl.BlockSpec((None, None, blk, LSE_LANES),
                         lambda *g: (g[0], hm(*g), tm(*g), 0))
+
+
+# --- hd=64 pair-packed bthd mode -------------------------------------------
+#
+# The packed-lane-block bthd layout (_act_spec) requires D % 128 == 0. For
+# D == 64 — the single most common head dim — a head is HALF a lane block,
+# so the kernels instead process head PAIRS: the grid runs over H/2, every
+# activation block is the [blk, 128] pair block (two heads side by side in
+# lanes), and the per-head math runs twice over static 64-lane halves. This
+# removes the canonical path's materialized head split/merge transposes AND
+# its 2x DMA inflation (XLA lane-pads [.., T, 64] buffers to 128-lane tiles;
+# the packed [B, T, H*64] view is dense).
+#
+# GQA mapping: q pair p = heads (2p, 2p+1).
+#   n_rep == 1      : kv pair block = p, kv half = q half i        (static)
+#   n_rep even      : both q halves share kv head g = p // (n_rep/2); the
+#                     kv PAIR block index is p // n_rep, and the half parity
+#                     g & 1 is a RUNTIME grid-index function — selected with
+#                     a scalar jnp.where over the two static lane halves.
+#   n_rep odd  > 1  : a q pair can straddle two kv pair blocks — not
+#                     representable; the dispatcher falls back to bhtd.
+#
+# ``pair_mode`` (static kernel param): None (single-head mode), or
+#   ("byhalf",)      kv half = q half (n_rep == 1)
+#   ("bysel_p", g2)  parity from program_id(1) // g2   (fwd/dq grids)
+#   ("bysel_r", g2)  parity from program_id(4) >= g2   (kv-major grids)
+# with g2 = n_rep // 2.
+
+def pair_eligible(H, Hkv, D):
+    """True when hd=64 pair-packed bthd tiling supports this geometry."""
+    n_rep = H // Hkv
+    return (D == 64 and H % 2 == 0
+            and (n_rep == 1 or (n_rep % 2 == 0 and Hkv % 2 == 0)))
+
+
+def bthd_supported(H, Hkv, D):
+    """True when the projection-native bthd layout is kernel-supported."""
+    return D % 128 == 0 or pair_eligible(H, Hkv, D)
+
+
+def _h64(x, i):
+    """Static 64-lane half ``i`` of a [rows, 128] pair block."""
+    return x[:, 64 * i:64 * (i + 1)]
+
+
+def _pair_sel(pair_mode):
+    """kv-half selector: None for byhalf mode (each q half uses its own
+    static kv half) or a traced scalar bool (True -> upper half; the SAME
+    for both q halves — a q pair maps to exactly one kv head in bysel
+    modes). MUST be called at kernel TOP LEVEL: ``pl.program_id`` has no
+    lowering inside ``pl.when`` branches in interpreter mode."""
+    if pair_mode is None or pair_mode[0] == "byhalf":
+        return None
+    kind, g2 = pair_mode
+    if kind == "bysel_r":
+        return pl.program_id(4) >= g2
+    return ((pl.program_id(1) // g2) % 2) == 1
+
+
+def _kv_take(kv, i, sel):
+    """kv half for q half ``i``: static slice (sel None) or runtime scalar
+    select between the two static lane halves."""
+    if sel is None:
+        return _h64(kv, i)
+    return jnp.where(sel, kv[:, 64:128], kv[:, :64])
+
+
+def _halves(pair_mode):
+    return (0, 1) if pair_mode is not None else (0,)
 
 
 def _flat(layout, *xs):
@@ -461,29 +609,44 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
     n_rep = H // Hkv  # GQA: kv blocks indexed by h // n_rep, never
     # materialized per-query-head
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
+    # hd=64 pair-packed bthd mode (see the _pair_mode block comment): the
+    # head grid runs over pairs, activation blocks are [blk, 128]
+    pairs = layout == "bthd" and D == 64
+    pair_mode = None
+    if pairs:
+        pair_mode = ("byhalf",) if n_rep == 1 else ("bysel_p", n_rep // 2)
 
     # grid (b, h, iq, ik) + trailing scalar-prefetch ref
     q_hm = lambda b, h, iq, ik, w: h           # noqa: E731
     q_tm = lambda b, h, iq, ik, w: iq          # noqa: E731
-    kv_hm = lambda b, h, iq, ik, w: h // n_rep  # noqa: E731
+    if pairs:  # h is the q PAIR index; kv pair block = h // n_rep
+        kv_hm = (lambda b, h, iq, ik, w: h) if n_rep == 1 else \
+            (lambda b, h, iq, ik, w: h // n_rep)
+    else:
+        kv_hm = lambda b, h, iq, ik, w: h // n_rep  # noqa: E731
     kv_tm = lambda b, h, iq, ik, w: ik         # noqa: E731
+    Db = 2 * D if pairs else D
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nq, nk),
+        grid=(B, H // 2 if pairs else H, nq, nk),
         in_specs=[
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
         ] + ( _rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []),
         out_specs=[
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _stat_spec(blk_q, q_hm, q_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm, pairs=pairs),
         ],
-        scratch_shapes=[] if nk == 1 else [
+        scratch_shapes=[] if nk == 1 else ([
+            pltpu.VMEM((2, blk_q, D), jnp.float32),
+            pltpu.VMEM((2, blk_q, 128), jnp.float32),
+            pltpu.VMEM((2, blk_q, 128), jnp.float32),
+        ] if pairs else [
             pltpu.VMEM((blk_q, D), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
             pltpu.VMEM((blk_q, 128), jnp.float32),
-        ],
+        ]),
     )
 
     # The diagonal-split forward is opt-in (split_fwd): measurably faster
@@ -499,7 +662,8 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
         functools.partial(kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags, has_rope=rope is not None),
+                          flags=flags, has_rope=rope is not None,
+                          pair_mode=pair_mode),
         grid_spec=grid_spec,
         out_shape=[
             _act_shape(layout, B, H, T, D, q.dtype),
@@ -541,7 +705,7 @@ def _delta_block(delta_ref, do, delta_inline):
 
 
 def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
-               flags, has_rope=False):
+               flags, has_rope=False, pair_mode=None):
     if has_rope:
         (q_ref, k_ref, v_ref, cq_ref, sq_ref, ck_ref, sk_ref,
          do_ref, lse_ref, delta_ref, dq_ref, dq_acc) = refs
@@ -554,32 +718,50 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
     nk = pl.num_programs(3)
     sc = _scalars(w_ref)
     tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     @pl.when(ik == 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
-        if apply_mask:
-            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
-                                           flags))
-        lse = lse_ref[...][:, :1]  # natural-log; rescale into exp2 domain
-        p = jnp.exp2(s - lse * LOG2E)
-        if guard_empty:
-            # rows with NO visible keys (left-padding) carry lse=-1e30;
-            # exp2(s - lse) would overflow — their probabilities are 0
-            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        dp = jax.lax.dot_general(
-            do_ref[...], v_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[...][:, :1])
-        dq_acc[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        allowed = (_block_mask(iq, ik, sc, blk_q, blk_k, causal, flags)
+                   if apply_mask else None)
+        qf, kf, vf, dof = q_ref[...], k_ref[...], v_ref[...], do_ref[...]
+        for i in _halves(pair_mode):
+            if pairs:
+                sel = psel
+                q, k = _h64(qf, i), _kv_take(kf, i, sel)
+                v, do = _kv_take(vf, i, sel), _h64(dof, i)
+                lse = lse_ref[i][:, :1]
+                delta = delta_ref[i][:, :1]
+            else:
+                q, k, v, do = qf, kf, vf, dof
+                lse = lse_ref[...][:, :1]  # natural-log; rescale to exp2
+                delta = delta_ref[...][:, :1]
+            q, k = _maybe_rope_qk(q, k, tabs)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            if apply_mask:
+                s = _apply_mask(s, allowed)
+            p = jnp.exp2(s - lse * LOG2E)
+            if guard_empty:
+                # rows with NO visible keys (left-padding) carry lse=-1e30;
+                # exp2(s - lse) would overflow — their probabilities are 0
+                p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            dq_i = jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if pairs:
+                dq_acc[i] += dq_i
+            else:
+                dq_acc[:] += dq_i
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -588,16 +770,20 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
 
     @pl.when(ik == nk - 1)
     def _epilogue():
-        dq = dq_acc[:]
-        if tabs is not None:
-            # dq was accumulated w.r.t. ROPED q; rope is linear, so the raw
-            # cotangent is the transpose rotation
-            dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-        dq_ref[...] = dq.astype(dq_ref.dtype)
+        dqs = []
+        for i in _halves(pair_mode):
+            dq = dq_acc[i] if pairs else dq_acc[:]
+            if tabs is not None:
+                # dq was accumulated w.r.t. ROPED q; rope is linear, so the
+                # raw cotangent is the transpose rotation
+                dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+            dqs.append(dq)
+        dq_ref[...] = (jnp.concatenate(dqs, axis=-1) if pairs
+                       else dqs[0]).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
-                flags, has_rope=False):
+                flags, has_rope=False, pair_mode=None):
     # grid (B, Hkv, nk, nq, n_rep): for each kv block, accumulate over all
     # query blocks AND all query heads in the GQA group (r innermost keeps
     # the dk/dv output block resident across the whole reduction)
@@ -613,6 +799,8 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
     tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -620,28 +808,61 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
-        if apply_mask:
-            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
-                                           flags))
-        lse = lse_ref[...][:, :1]
-        p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
-        if guard_empty:
-            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        do = do_ref[...]
-        dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = p * (dp - delta_ref[...][:, :1])
-        dk_acc[:] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
+        allowed = (_block_mask(iq, ik, sc, blk_q, blk_k, causal, flags)
+                   if apply_mask else None)
+        qf, kf, vf, dof = q_ref[...], k_ref[...], v_ref[...], do_ref[...]
+        dks, dvs = [], []
+        for i in _halves(pair_mode):
+            if pairs:
+                sel = psel
+                q, k = _h64(qf, i), _kv_take(kf, i, sel)
+                v, do = _kv_take(vf, i, sel), _h64(dof, i)
+                lse = lse_ref[i][:, :1]
+                delta = delta_ref[i][:, :1]
+            else:
+                q, k, v, do = qf, kf, vf, dof
+                lse = lse_ref[...][:, :1]
+                delta = delta_ref[...][:, :1]
+            q, k = _maybe_rope_qk(q, k, tabs)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            if apply_mask:
+                s = _apply_mask(s, allowed)
+            p = jnp.exp2(s - lse * LOG2E)               # [blk_q, blk_k]
+            if guard_empty:
+                p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
+            dv_i = jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta)
+            dk_i = jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dks.append(dk_i)
+            dvs.append(dv_i)
+        if not pairs:
+            dk_acc[:] += dks[0]
+            dv_acc[:] += dvs[0]
+        elif pair_mode[0] == "byhalf":
+            # kv pair == q pair: each q half owns its kv half
+            dk_acc[0] += dks[0]
+            dk_acc[1] += dks[1]
+            dv_acc[0] += dvs[0]
+            dv_acc[1] += dvs[1]
+        else:
+            # both q halves hit the SAME kv head; route the summed
+            # contribution into the runtime-selected half
+            sel = psel
+            dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
+            z = jnp.zeros_like(dk_s)
+            dk_acc[0] += jnp.where(sel, z, dk_s)
+            dk_acc[1] += jnp.where(sel, dk_s, z)
+            dv_acc[0] += jnp.where(sel, z, dv_s)
+            dv_acc[1] += jnp.where(sel, dv_s, z)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -650,16 +871,22 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk = dk_acc[:]
-        if tabs is not None:
-            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[...] = dk.astype(dk_ref.dtype)
-        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
+        dk_hs, dv_hs = [], []
+        for i in _halves(pair_mode):
+            dk = dk_acc[i] if pairs else dk_acc[:]
+            if tabs is not None:
+                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+            dk_hs.append(dk)
+            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
+        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
+                       else dk_hs[0]).astype(dk_ref.dtype)
+        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
+                       else dv_hs[0]).astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
                       guard_empty, flags, delta_inline=False,
-                      has_rope=False):
+                      has_rope=False, pair_mode=None):
     """One pass per (ik, iq) block pair producing dq, dk AND dv: the score
     matmul and the dp matmul are computed once instead of once per kernel
     (7 -> 5 matmul passes, one p-exp2 instead of two). dq cannot accumulate
@@ -680,6 +907,8 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
     nq, n_rep = pl.num_programs(3), pl.num_programs(4)
     sc = _scalars(w_ref)
     tabs = _rope_load(rope_refs)
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
 
     @pl.when((iq == 0) & (r == 0))
     def _init():
@@ -687,36 +916,73 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
     def _step(apply_mask):
-        q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * (scale * LOG2E)
-        if apply_mask:
-            s = _apply_mask(s, _block_mask(iq, ik, sc, blk_q, blk_k, causal,
-                                           flags))
-        lse = lse_ref[...][:, :1]
-        p = jnp.exp2(s - lse * LOG2E)                   # [blk_q, blk_k]
-        if guard_empty:
-            p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
-        do = do_ref[...]
-        dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(
-            do, v_ref[...], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - _delta_block(delta_ref, do, delta_inline))
-              ).astype(q.dtype)
-        dk_acc[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        if tabs is not None:
-            # each dq partial back-rotates independently (rope is linear)
-            dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-        dqp_ref[...] = dq.astype(dqp_ref.dtype)
+        allowed = (_block_mask(iq, ik, sc, blk_q, blk_k, causal, flags)
+                   if apply_mask else None)
+        qf, kf, vf, dof = q_ref[...], k_ref[...], v_ref[...], do_ref[...]
+        deltaf = delta_ref[...] if (pairs and delta_inline) else None
+        dks, dvs, dqs = [], [], []
+        for i in _halves(pair_mode):
+            if pairs:
+                sel = psel
+                q, k = _h64(qf, i), _kv_take(kf, i, sel)
+                v, do = _kv_take(vf, i, sel), _h64(dof, i)
+                lse = lse_ref[i][:, :1]
+                if delta_inline:  # deltaf is the fwd OUT pair block
+                    delta = (_h64(deltaf, i).astype(jnp.float32)
+                             * do.astype(jnp.float32)).sum(axis=-1,
+                                                           keepdims=True)
+                else:
+                    delta = delta_ref[i][:, :1]
+            else:
+                q, k, v, do = qf, kf, vf, dof
+                lse = lse_ref[...][:, :1]
+                delta = _delta_block(delta_ref, do, delta_inline)
+            q, k = _maybe_rope_qk(q, k, tabs)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * (scale * LOG2E)
+            if apply_mask:
+                s = _apply_mask(s, allowed)
+            p = jnp.exp2(s - lse * LOG2E)               # [blk_q, blk_k]
+            if guard_empty:
+                p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
+            dv_i = jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta)).astype(q.dtype)
+            dk_i = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            dq = jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            if tabs is not None:
+                # each dq partial back-rotates independently (rope linear)
+                dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+            dks.append(dk_i)
+            dvs.append(dv_i)
+            dqs.append(dq)
+        dqp_ref[...] = (jnp.concatenate(dqs, axis=-1) if pairs
+                        else dqs[0]).astype(dqp_ref.dtype)
+        if not pairs:
+            dk_acc[:] += dks[0]
+            dv_acc[:] += dvs[0]
+        elif pair_mode[0] == "byhalf":
+            dk_acc[0] += dks[0]
+            dk_acc[1] += dks[1]
+            dv_acc[0] += dvs[0]
+            dv_acc[1] += dvs[1]
+        else:
+            sel = psel
+            dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
+            z = jnp.zeros_like(dk_s)
+            dk_acc[0] += jnp.where(sel, z, dk_s)
+            dk_acc[1] += jnp.where(sel, dk_s, z)
+            dv_acc[0] += jnp.where(sel, z, dv_s)
+            dv_acc[1] += jnp.where(sel, dv_s, z)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -731,16 +997,22 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk = dk_acc[:]
-        if tabs is not None:
-            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[...] = dk.astype(dk_ref.dtype)
-        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
+        dk_hs, dv_hs = [], []
+        for i in _halves(pair_mode):
+            dk = dk_acc[i] if pairs else dk_acc[:]
+            if tabs is not None:
+                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+            dk_hs.append(dk)
+            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
+        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
+                       else dk_hs[0]).astype(dk_ref.dtype)
+        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
+                       else dv_hs[0]).astype(dv_ref.dtype)
 
 
 def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
                             guard_empty, flags, delta_inline=False,
-                            has_rope=False):
+                            has_rope=False, pair_mode=None):
     """Diagonal-split variant of the fused nk==1 backward (see
     ``_fwd_kernel_single_split``): all five matmuls skip the masked
     upper-right quarter — 15 quarter-matmuls instead of 5 full ones, and
@@ -773,69 +1045,121 @@ def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
 
+    pairs = pair_mode is not None
+    psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
+
     @pl.when(r == 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    q, k = _maybe_rope_qk(q_ref[...], k_ref[...], tabs)
-    v = v_ref[...]
-    do = do_ref[...]
-    q1, q2 = q[:h], q[h:]
-    k1, k2 = k[:h], k[h:]
-    v1, v2 = v[:h], v[h:]
-    do1, do2 = do[:h], do[h:]
-    lse = lse_ref[...][:, :1]
-    lse1, lse2 = lse[:h], lse[h:]
-    delta = _delta_block(delta_ref, do, delta_inline)
-    delta1, delta2 = delta[:h], delta[h:]
-
+    # the three quarter-block masks are shared across pair halves
     sub_flags = (flags[0], False, flags[2])
-    s11 = _apply_mask(dot_nt(q1, k1) * s2,
-                      _block_mask(0, 0, sc, h, h, True, sub_flags))
-    s22 = _apply_mask(dot_nt(q2, k2) * s2,
-                      _block_mask(1, 1, sc, h, h, True, sub_flags))
-    s21 = dot_nt(q2, k1) * s2
-    if flags[0] or flags[2]:
-        s21 = _apply_mask(s21, _block_mask(1, 0, sc, h, h, False, sub_flags))
+    mask11 = _block_mask(0, 0, sc, h, h, True, sub_flags)
+    mask22 = _block_mask(1, 1, sc, h, h, True, sub_flags)
+    mask21 = (_block_mask(1, 0, sc, h, h, False, sub_flags)
+              if (flags[0] or flags[2]) else None)
 
-    p11 = jnp.exp2(s11 - lse1 * LOG2E)
-    p21 = jnp.exp2(s21 - lse2 * LOG2E)
-    p22 = jnp.exp2(s22 - lse2 * LOG2E)
-    if guard_empty:
-        p11 = jnp.where(lse1 <= NEG_INF / 2, 0.0, p11)
-        empty2 = lse2 <= NEG_INF / 2
-        p21 = jnp.where(empty2, 0.0, p21)
-        p22 = jnp.where(empty2, 0.0, p22)
+    qf, kf, vf, dof = q_ref[...], k_ref[...], v_ref[...], do_ref[...]
+    deltaf = delta_ref[...] if (pairs and delta_inline) else None
+    dks, dvs, dqs = [], [], []
+    for i in _halves(pair_mode):
+        if pairs:
+            sel = psel
+            q, k = _h64(qf, i), _kv_take(kf, i, sel)
+            v, do = _kv_take(vf, i, sel), _h64(dof, i)
+            lse = lse_ref[i][:, :1]
+            if delta_inline:  # deltaf is the fwd OUT pair block
+                delta = (_h64(deltaf, i).astype(jnp.float32)
+                         * do.astype(jnp.float32)).sum(axis=-1, keepdims=True)
+            else:
+                delta = delta_ref[i][:, :1]
+        else:
+            q, k, v, do = qf, kf, vf, dof
+            lse = lse_ref[...][:, :1]
+            delta = _delta_block(delta_ref, do, delta_inline)
+        q, k = _maybe_rope_qk(q, k, tabs)
+        q1, q2 = q[:h], q[h:]
+        k1, k2 = k[:h], k[h:]
+        v1, v2 = v[:h], v[h:]
+        do1, do2 = do[:h], do[h:]
+        lse1, lse2 = lse[:h], lse[h:]
+        delta1, delta2 = delta[:h], delta[h:]
 
-    dt = do.dtype
-    dv_acc[:h] += dot_tn(p11.astype(dt), do1) + dot_tn(p21.astype(dt), do2)
-    dv_acc[h:] += dot_tn(p22.astype(dt), do2)
+        s11 = _apply_mask(dot_nt(q1, k1) * s2, mask11)
+        s22 = _apply_mask(dot_nt(q2, k2) * s2, mask22)
+        s21 = dot_nt(q2, k1) * s2
+        if mask21 is not None:
+            s21 = _apply_mask(s21, mask21)
 
-    dp11 = dot_nt(do1, v1)
-    dp21 = dot_nt(do2, v1)
-    dp22 = dot_nt(do2, v2)
-    ds11 = (p11 * (dp11 - delta1)).astype(dt)
-    ds21 = (p21 * (dp21 - delta2)).astype(dt)
-    ds22 = (p22 * (dp22 - delta2)).astype(dt)
+        p11 = jnp.exp2(s11 - lse1 * LOG2E)
+        p21 = jnp.exp2(s21 - lse2 * LOG2E)
+        p22 = jnp.exp2(s22 - lse2 * LOG2E)
+        if guard_empty:
+            p11 = jnp.where(lse1 <= NEG_INF / 2, 0.0, p11)
+            empty2 = lse2 <= NEG_INF / 2
+            p21 = jnp.where(empty2, 0.0, p21)
+            p22 = jnp.where(empty2, 0.0, p22)
 
-    dk_acc[:h] += (dot_tn(ds11, q1) + dot_tn(ds21, q2)) * scale
-    dk_acc[h:] += dot_tn(ds22, q2) * scale
+        dt = do.dtype
+        dv_i = jnp.concatenate(
+            [dot_tn(p11.astype(dt), do1) + dot_tn(p21.astype(dt), do2),
+             dot_tn(p22.astype(dt), do2)], axis=0)
 
-    dq1 = dot_nn(ds11, k1) * scale
-    dq2 = (dot_nn(ds21, k1) + dot_nn(ds22, k2)) * scale
-    dq = jnp.concatenate([dq1, dq2], axis=0)
-    if tabs is not None:
-        dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
-    dqp_ref[...] = dq.astype(dqp_ref.dtype)
+        dp11 = dot_nt(do1, v1)
+        dp21 = dot_nt(do2, v1)
+        dp22 = dot_nt(do2, v2)
+        ds11 = (p11 * (dp11 - delta1)).astype(dt)
+        ds21 = (p21 * (dp21 - delta2)).astype(dt)
+        ds22 = (p22 * (dp22 - delta2)).astype(dt)
+
+        dk_i = jnp.concatenate(
+            [dot_tn(ds11, q1) + dot_tn(ds21, q2),
+             dot_tn(ds22, q2)], axis=0) * scale
+
+        dq1 = dot_nn(ds11, k1) * scale
+        dq2 = (dot_nn(ds21, k1) + dot_nn(ds22, k2)) * scale
+        dq = jnp.concatenate([dq1, dq2], axis=0)
+        if tabs is not None:
+            dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
+        dqs.append(dq)
+        dks.append(dk_i)
+        dvs.append(dv_i)
+
+    dqp_ref[...] = (jnp.concatenate(dqs, axis=-1) if pairs
+                    else dqs[0]).astype(dqp_ref.dtype)
+    if not pairs:
+        dk_acc[:] += dks[0]
+        dv_acc[:] += dvs[0]
+    elif pair_mode[0] == "byhalf":
+        dk_acc[0] += dks[0]
+        dk_acc[1] += dks[1]
+        dv_acc[0] += dvs[0]
+        dv_acc[1] += dvs[1]
+    else:
+        # both q halves hit the SAME kv head; route the summed
+        # contribution into the runtime-selected half
+        sel = psel
+        dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
+        z = jnp.zeros_like(dk_s)
+        dk_acc[0] += jnp.where(sel, z, dk_s)
+        dk_acc[1] += jnp.where(sel, dk_s, z)
+        dv_acc[0] += jnp.where(sel, z, dv_s)
+        dv_acc[1] += jnp.where(sel, dv_s, z)
 
     @pl.when(r == n_rep - 1)
     def _epilogue():
-        dk = dk_acc[:]
-        if tabs is not None:
-            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-        dk_ref[...] = dk.astype(dk_ref.dtype)
-        dv_ref[...] = dv_acc[:].astype(dv_ref.dtype)
+        dk_hs, dv_hs = [], []
+        for i in _halves(pair_mode):
+            dk = dk_acc[i] if pairs else dk_acc[:]
+            if tabs is not None:
+                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+            dk_hs.append(dk)
+            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
+        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
+                       else dk_hs[0]).astype(dk_ref.dtype)
+        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
+                       else dv_hs[0]).astype(dv_ref.dtype)
 
 
 #: Tuning CONSTANT (fixed at import; not a runtime toggle): the fused
@@ -852,6 +1176,13 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     B, H, Hkv, T, Tk, D = _dims(q, k, layout)
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
+    # hd=64 pair-packed bthd mode (see the _pair_mode block comment): head
+    # grid coordinates are in PAIR units, activation blocks are [blk, 128]
+    pairs = layout == "bthd" and D == 64
+    pair_mode = None
+    if pairs:
+        pair_mode = ("byhalf",) if n_rep == 1 else ("bysel_r", n_rep // 2)
+    Db = 2 * D if pairs else D
 
     # grid (b, hk, ik, iq, r) + trailing scalar-prefetch ref
     q_hm = lambda b, hk, ik, iq, r, w: hk * n_rep + r  # noqa: E731
@@ -862,10 +1193,10 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     delta_inline = inline_delta and dlse is None
     if delta_inline:
         delta = _flat(layout, out)
-        delta_spec = _act_spec(layout, blk_q, D, q_hm, q_tm)
+        delta_spec = _act_spec(layout, blk_q, Db, q_hm, q_tm)
     else:
         delta = _make_delta(out, do, dlse, layout)
-        delta_spec = _stat_spec(blk_q, q_hm, q_tm)
+        delta_spec = _stat_spec(blk_q, q_hm, q_tm, pairs=pairs)
 
     if layout == "bhtd":
         dqp_spec = pl.BlockSpec(
@@ -874,30 +1205,30 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         dqp_shape = (nk, B, H, T, D)
     else:
         dqp_spec = pl.BlockSpec(
-            (None, None, blk_q, D),
+            (None, None, blk_q, Db),
             lambda b, hk, ik, iq, r, w: (ik, b, iq, hk * n_rep + r))
         dqp_shape = (nk, B, T, H * D)
 
     spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, nk, nq, n_rep),
+        grid=(B, Hkv // 2 if pairs else Hkv, nk, nq, n_rep),
         in_specs=[
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _stat_spec(blk_q, q_hm, q_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm, pairs=pairs),
             delta_spec,
         ],
         out_specs=[
             dqp_spec,
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
         ],
         scratch_shapes=[
-            pltpu.VMEM((blk_k, D), jnp.float32),
-            pltpu.VMEM((blk_k, D), jnp.float32),
+            pltpu.VMEM((2, blk_k, D) if pairs else (blk_k, D), jnp.float32),
+            pltpu.VMEM((2, blk_k, D) if pairs else (blk_k, D), jnp.float32),
         ],
     )
     kernel = (_fused_bwd_kernel_split
@@ -909,7 +1240,8 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
                           flags=flags,
                           delta_inline=delta_inline,
-                          has_rope=rope is not None),
+                          has_rope=rope is not None,
+                          pair_mode=pair_mode),
         grid_spec=spec,
         out_shape=[
             # nk==1 needs no cross-partial sum: write dq in its final dtype
@@ -949,6 +1281,16 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
     B, H, Hkv, T, Tk, D = _dims(q, k, layout)
     n_rep = H // Hkv
     nq, nk = pl.cdiv(T, blk_q), pl.cdiv(Tk, blk_k)
+    # hd=64 pair-packed bthd mode (see the _pair_mode block comment): the
+    # dq grid's head coordinate runs over q pairs ("bysel_p" parity from
+    # program_id(1)); the kv-major dkv grid keeps per-q-pair r steps
+    # ("bysel_r" parity from program_id(4))
+    pairs = layout == "bthd" and D == 64
+    pm_q = pm_kv = None
+    if pairs:
+        pm_q = ("byhalf",) if n_rep == 1 else ("bysel_p", n_rep // 2)
+        pm_kv = ("byhalf",) if n_rep == 1 else ("bysel_r", n_rep // 2)
+    Db = 2 * D if pairs else D
 
     delta = _make_delta(out, do, dlse, layout)
     # fwd-shaped grid (b, h, iq, ik) for dq; kv grid (b, hk, ik, iq, r)
@@ -963,18 +1305,19 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
 
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, nq, nk),
+        grid=(B, H // 2 if pairs else H, nq, nk),
         in_specs=[
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
-            _act_spec(layout, blk_k, D, kv_hm, kv_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
+            _act_spec(layout, blk_k, Db, kv_hm, kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "fwd") if rope is not None else []) + [
-            _act_spec(layout, blk_q, D, q_hm, q_tm),
-            _stat_spec(blk_q, q_hm, q_tm),
-            _stat_spec(blk_q, q_hm, q_tm),
+            _act_spec(layout, blk_q, Db, q_hm, q_tm),
+            _stat_spec(blk_q, q_hm, q_tm, pairs=pairs),
+            _stat_spec(blk_q, q_hm, q_tm, pairs=pairs),
         ],
-        out_specs=_act_spec(layout, blk_q, D, q_hm, q_tm),
-        scratch_shapes=[pltpu.VMEM((blk_q, D), jnp.float32)],
+        out_specs=_act_spec(layout, blk_q, Db, q_hm, q_tm),
+        scratch_shapes=[pltpu.VMEM((2, blk_q, D) if pairs else (blk_q, D),
+                                   jnp.float32)],
     )
     fq, fk, fv = _flat(layout, q, k, v)
     fdo = _flat(layout, do)
@@ -982,7 +1325,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         functools.partial(_dq_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags, has_rope=rope is not None),
+                          flags=flags, has_rope=rope is not None,
+                          pair_mode=pm_q),
         grid_spec=dq_spec,
         out_shape=_act_shape(layout, B, H, T, D, q.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -992,30 +1336,31 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
 
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv, nk, nq, n_rep),
+        grid=(B, Hkv // 2 if pairs else Hkv, nk, nq, n_rep),
         in_specs=[
-            _act_spec(layout, blk_q, D, g_q_hm, g_q_tm),
-            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
-            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_q, Db, g_q_hm, g_q_tm),
+            _act_spec(layout, blk_k, Db, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_k, Db, g_kv_hm, g_kv_tm),
         ] + (_rope_specs(blk_q, blk_k, D, "kv") if rope is not None else []) + [
-            _act_spec(layout, blk_q, D, g_q_hm, g_q_tm),
-            _stat_spec(blk_q, g_q_hm, g_q_tm),
-            _stat_spec(blk_q, g_q_hm, g_q_tm),
+            _act_spec(layout, blk_q, Db, g_q_hm, g_q_tm),
+            _stat_spec(blk_q, g_q_hm, g_q_tm, pairs=pairs),
+            _stat_spec(blk_q, g_q_hm, g_q_tm, pairs=pairs),
         ],
         out_specs=[
-            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
-            _act_spec(layout, blk_k, D, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_k, Db, g_kv_hm, g_kv_tm),
+            _act_spec(layout, blk_k, Db, g_kv_hm, g_kv_tm),
         ],
         scratch_shapes=[
-            pltpu.VMEM((blk_k, D), jnp.float32),
-            pltpu.VMEM((blk_k, D), jnp.float32),
+            pltpu.VMEM((2, blk_k, D) if pairs else (blk_k, D), jnp.float32),
+            pltpu.VMEM((2, blk_k, D) if pairs else (blk_k, D), jnp.float32),
         ],
     )
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
                           blk_q=blk_q, blk_k=blk_k,
                           guard_empty=sc.shape[0] > 3 or flags[0] or flags[1],
-                          flags=flags, has_rope=rope is not None),
+                          flags=flags, has_rope=rope is not None,
+                          pair_mode=pm_kv),
         grid_spec=dkv_spec,
         out_shape=[
             _act_shape(layout, B, Hkv, Tk, D, k.dtype),
@@ -1180,16 +1525,22 @@ def _flash_bwd(scale, causal, block_q, block_k, flags, opts, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def _check_layout(layout, q):
+def _check_layout(layout, q, k):
     if layout not in ("bhtd", "bthd"):
         raise ValueError(f"layout must be 'bhtd' or 'bthd', got {layout!r}")
-    if layout == "bthd" and q.shape[-1] % 128 != 0:
-        # the packed [B, T, H*D] view's per-head lane block must satisfy
-        # Mosaic's 128-lane divisibility rule (see _act_spec) — head dims
-        # like 64 cannot tile the projection-native layout
-        raise ValueError(
-            f"layout='bthd' requires head_dim % 128 == 0 (got "
-            f"{q.shape[-1]}); use the canonical 'bhtd' layout instead")
+    if layout == "bthd":
+        H, Hkv, D = q.shape[2], k.shape[2], q.shape[-1]
+        if not bthd_supported(H, Hkv, D):
+            # the packed [B, T, H*D] view's per-head lane block must satisfy
+            # Mosaic's 128-lane divisibility rule (see _act_spec): D % 128
+            # == 0 tiles per head; D == 64 tiles per head PAIR when the GQA
+            # geometry allows it (see pair_eligible); everything else can't
+            # tile the projection-native layout
+            raise ValueError(
+                f"layout='bthd' unsupported for head_dim={D}, H={H}, "
+                f"Hkv={Hkv} (needs D % 128 == 0, or D == 64 with even H "
+                f"and an even or trivial GQA ratio); use the canonical "
+                f"'bhtd' layout instead")
 
 
 def _static_zero(x):
@@ -1280,11 +1631,13 @@ def flash_attention_lse(
     kernels tile the packed ``[B, T, H*D]`` view of that layout directly
     (``_act_spec``), so models skip the materialized head split/merge
     transposes entirely — the 4-D reshape off the projection is free.
-    Requires ``D % 128 == 0`` (Mosaic's lane rule; hd=64 models must use
-    the canonical layout). Verified Mosaic-compiled on real TPU:
-    TPU_KERNEL_PARITY.json ``bthd_*`` cases.
+    Supported when ``D % 128 == 0`` (one head per lane block) or ``D ==
+    64`` with pair-eligible GQA geometry (two heads per lane block, the
+    kernels iterating static 64-lane halves — see :func:`pair_eligible`).
+    Verified Mosaic-compiled on real TPU: TPU_KERNEL_PARITY.json
+    ``bthd_*`` cases.
     """
-    _check_layout(layout, q)
+    _check_layout(layout, q, k)
     rope = _check_rope(rope, q, k, q_start, k_start, layout)
     flags = (window is not None,
              not (_static_zero(q_start) and _static_zero(k_start)),
@@ -1328,7 +1681,7 @@ def flash_attention(
 
     ``rope``: optional ``(cos, sin)`` [T, D] tables applied in-kernel (see
     :func:`flash_attention_lse`)."""
-    _check_layout(layout, q)
+    _check_layout(layout, q, k)
     rope = _check_rope(rope, q, k, 0, 0, layout)
     flags = (window is not None, False,
              kv_begin is not None or kv_end is not None)

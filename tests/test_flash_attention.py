@@ -582,6 +582,24 @@ def test_rope_rejects_offsets():
     dict(B=1, H=2, Hkv=2, T=256, D=256, kw=dict()),
     # kv_begin left padding
     dict(B=2, H=2, Hkv=2, T=256, D=128, kw=dict(), kv_begin=True),
+    # --- hd=64 pair-packed tiling (two heads per 128-lane block) ---
+    # "byhalf" (n_rep=1): fused single-block backward
+    dict(B=2, H=4, Hkv=4, T=256, D=64, kw=dict()),
+    # "byhalf" multiblock: _fwd_kernel online scan + _split_bwd
+    dict(B=1, H=4, Hkv=4, T=256, D=64, kw=dict(block_q=128, block_k=128)),
+    # "bysel" (GQA n_rep=4): runtime kv-half parity, fused backward
+    dict(B=1, H=8, Hkv=2, T=256, D=64, kw=dict()),
+    # "bysel" (n_rep=2) + window, multiblock (_dq bysel_p / _dkv bysel_r)
+    dict(B=1, H=4, Hkv=2, T=256, D=64,
+         kw=dict(window=96, block_q=128, block_k=128)),
+    # pair diagonal-split forward + split fused backward + in-kernel delta
+    dict(B=1, H=4, Hkv=4, T=256, D=64,
+         kw=dict(split_fwd=True, inline_delta=True)),
+    # pair split kernels under GQA bysel routing
+    dict(B=1, H=4, Hkv=2, T=256, D=64,
+         kw=dict(split_fwd=True, inline_delta=True)),
+    # pair mode + kv_begin left padding (guard_empty in the half loop)
+    dict(B=2, H=2, Hkv=2, T=256, D=64, kw=dict(), kv_begin=True),
 ])
 def test_layout_bthd_matches_bhtd(config):
     """flash_attention(layout='bthd') on [B, T, H, D] activations ==
@@ -619,16 +637,21 @@ def test_layout_bthd_matches_bhtd(config):
                                    rtol=0, atol=5e-5, err_msg=f"d{name}")
 
 
-def test_layout_bthd_lse_and_rope():
+@pytest.mark.parametrize("H,Hkv,D", [
+    (4, 4, 128),  # native packed lane block per head
+    (4, 4, 64),   # hd=64 pair mode, "byhalf"
+    (8, 2, 64),   # hd=64 pair mode, "bysel" GQA routing
+])
+def test_layout_bthd_lse_and_rope(H, Hkv, D):
     """flash_attention_lse(layout='bthd') with in-kernel rope: out AND lse
     (and the lse cotangent) match the bhtd layout."""
     from lxt_tpu.ops.flash_attention import flash_attention_lse
 
-    B, H, T, D = 1, 4, 256, 128
+    B, T = 1, 256
     ks = jax.random.split(jax.random.PRNGKey(51), 5)
     q = jax.random.normal(ks[0], (B, H, T, D))
-    k = jax.random.normal(ks[1], (B, H, T, D))
-    v = jax.random.normal(ks[2], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, Hkv, T, D))
+    v = jax.random.normal(ks[2], (B, Hkv, T, D))
     do = jax.random.normal(ks[3], (B, H, T, D))
     dl = jax.random.normal(ks[4], (B, H, T))
     cos, sin = _rope_tables(T, D)
@@ -662,20 +685,30 @@ def test_layout_rejects_unknown():
     q, k, v = _qkv(jax.random.PRNGKey(52), T=128)
     with pytest.raises(ValueError, match="layout"):
         flash_attention(q, k, v, layout="tbhd")
-    # hd=64 cannot lane-tile the packed [B, T, H*D] view (Mosaic 128-lane
-    # rule) — flash_attention must refuse rather than emit an unlowerable
-    # kernel (the dispatcher transposes to canonical instead)
+    # hd=96 cannot lane-tile the packed [B, T, H*D] view (Mosaic 128-lane
+    # rule; not pair-eligible either) — flash_attention must refuse rather
+    # than emit an unlowerable kernel (the dispatcher pads/transposes)
+    q96, k96, v96 = _qkv(jax.random.PRNGKey(52), T=128, D=96)
     with pytest.raises(ValueError, match="head_dim"):
-        flash_attention(q.swapaxes(1, 2), k.swapaxes(1, 2),
-                        v.swapaxes(1, 2), layout="bthd")
+        flash_attention(q96.swapaxes(1, 2), k96.swapaxes(1, 2),
+                        v96.swapaxes(1, 2), layout="bthd")
+    # hd=64 with an ODD GQA ratio > 1: a q pair would straddle two kv pair
+    # blocks — not representable in pair-packed tiling, must refuse
+    qo, _, _ = _qkv(jax.random.PRNGKey(53), H=6, T=128)
+    _, ko, vo = _qkv(jax.random.PRNGKey(53), H=2, T=128)
+    with pytest.raises(ValueError, match="head_dim"):
+        flash_attention(qo.swapaxes(1, 2), ko.swapaxes(1, 2),
+                        vo.swapaxes(1, 2), layout="bthd")
 
 
-@pytest.mark.parametrize("hidden", [
-    192,   # hd=96 > 64: bthd engaged, rope not in-kernel -> dispatcher
-           # transposes to canonical inside attention()
-    256,   # hd=128: rope fused in-kernel, native packed bthd tiling
+@pytest.mark.parametrize("hidden,heads,kv_heads", [
+    (192, 2, 1),   # hd=96 > 64: bthd engaged, rope not in-kernel ->
+                   # dispatcher transposes to canonical inside attention()
+    (256, 2, 1),   # hd=128: rope fused in-kernel, native packed bthd tiling
+    (256, 4, 2),   # hd=64: pair-packed tiling, "bysel" GQA (n_rep=2)
+    (256, 4, 4),   # hd=64: pair-packed tiling, "byhalf" (n_rep=1)
 ])
-def test_llama_bthd_matches_canonical(hidden):
+def test_llama_bthd_matches_canonical(hidden, heads, kv_heads):
     """Model-level: the '+bthd' static option (projection-native layout, no
     head split/merge transposes) changes NOTHING numerically — relevance on
     the flash path equals the canonical-layout flash path, and the einsum
@@ -686,7 +719,7 @@ def test_llama_bthd_matches_canonical(hidden):
 
     cfg = jllama.LlamaConfig(
         vocab_size=64, hidden_size=hidden, intermediate_size=96, num_layers=2,
-        num_heads=2, num_kv_heads=1)  # GQA: strided bthd kv gather
+        num_heads=heads, num_kv_heads=kv_heads)  # GQA: strided bthd kv gather
     params = jllama.init_params(cfg, jax.random.PRNGKey(2))
     ids = np.random.RandomState(2).randint(1, 64, (1, 128))
     e = jllama.embed(params, jnp.asarray(ids))
