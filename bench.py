@@ -80,6 +80,12 @@ def main():
             attn_impl += "+split"
         if os.environ.get("LXT_BENCH_INLINE_DELTA", "1") == "1":
             attn_impl += "+delta"
+    # '+bthd': projection-native [B,T,H,D] activations tiled directly by the
+    # kernels — hd=64 rides the pair-packed tiling (two heads per 128-lane
+    # block), removing the per-layer head split/merge barrier copies and the
+    # 2x DMA inflation of lane-padded [.., T, 64] buffers
+    if os.environ.get("LXT_BENCH_BTHD", "1") == "1":
+        attn_impl += "+bthd"
 
     cfg = jllama.LlamaConfig(
         vocab_size=32000, hidden_size=2048, intermediate_size=5632,

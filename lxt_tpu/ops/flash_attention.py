@@ -42,6 +42,9 @@ DEFAULT_BLOCK_Q = 1024  # v5e sweep (scripts/bench_flash.py): 1024/1024 is
 DEFAULT_BLOCK_K = 1024  # 1.6-2.1x faster than 512/512 at T=4096 (bwd 82% MFU)
 LSE_LANES = 8  # trailing lane dim for [B,H,T]-shaped stats (TPU tiling rule)
 NEG_INF = -1e30
+# Mosaic's default scoped-VMEM budget is 16MiB; the pair-packed hd=64
+# tiling at large H slightly exceeds it (v5e has 128MiB physical VMEM).
+VMEM_LIMIT = 64 * 1024 * 1024
 LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain: the 1/ln2
 LN2 = 0.6931471805599453    # factor folds into the score scale (VPU saving)
 
@@ -670,7 +673,8 @@ def _fwd(q, k, v, sc, scale, causal, blk_q, blk_k, flags, split_fwd=False,
             jax.ShapeDtypeStruct((B, H, T, LSE_LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(sc, *_flat(layout, q, k, v), *_rope_args(rope))
     if layout == "bthd":
@@ -1252,7 +1256,8 @@ def _fused_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
-                                 "arbitrary", "arbitrary")),
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(sc, *_flat(layout, q, k, v), *_rope_args(rope),
       _flat(layout, do), lse, delta)
@@ -1330,7 +1335,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         grid_spec=dq_spec,
         out_shape=_act_shape(layout, B, H, T, D, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(sc, fq, fk, fv, *_rope_args(rope), fdo, lse, delta)
 
@@ -1368,7 +1374,8 @@ def _split_bwd(q, k, v, out, lse, do, sc, scale, causal, blk_q, blk_k, flags,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary", "arbitrary")),
+                                 "arbitrary", "arbitrary"),
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=_interpret(),
     )(sc, fq, fk, fv, *_rope_args(rope), fdo, lse, delta)
 

@@ -28,11 +28,22 @@ import lxt_tpu
 from lxt_tpu.ops.attention import attention
 from lxt_tpu.ops.flash_attention import flash_attention
 
-# bf16 inputs, f32 einsum reference: one bf16 ulp at |x|~1 is 2^-8; scores
-# sum over D=64..128 bf16 products accumulated in f32, outputs are convex
-# combinations of v — 3e-2 absolute on outputs/grads is ~4 ulp headroom
-ATOL_OUT = 3e-2
-ATOL_GRAD = 3e-2
+# bf16 inputs, f32 einsum reference. One bf16 ulp at |x|~1 is 2^-8; the
+# kernel rounds p to bf16 for the p@v / p^T@do MXU matmuls while the einsum
+# reference keeps p in f32, so per-element ~2^-9 relative rounding
+# accumulates over n_rep*T terms in dk/dv (measured: dv diff grows from
+# 1.5e-2 at n_rep=4/T=512 to 3.0e-2 at n_rep=8/T=1024 with IDENTICAL diffs
+# for the pair-packed and plain layouts — accumulation noise, not kernel
+# error). With rope, the reference itself rotates q/k in bf16 (HF
+# apply_rotary_pos_emb semantics) while the kernel rotates in f32, roughly
+# doubling the dq/dk diff from the REFERENCE side. The criterion is
+# therefore scale-aware: diff <= ATOL + RTOL * absmax(reference tensor).
+# RTOL = 3 bf16 ulps (3 * 2^-8): measured worst relative diff is 1.16e-2
+# (dq under rope, where the bf16-rotating reference contributes most of
+# it); a real masking/indexing/rope bug produces O(1)-relative error, two
+# orders of magnitude above this bound.
+ATOL = 1e-2
+RTOL = 3 * 2.0 ** -8
 
 
 def _mk(B, H, Hkv, T, D, seed):
@@ -71,6 +82,21 @@ CASES = [
      {"layout": "bthd", "split_fwd": True, "inline_delta": True}),
     ("bthd_multiblock", (1, 4, 4, 2048, 128), {"layout": "bthd"}),
     ("bthd_hd256", (1, 2, 2, 512, 256), {"layout": "bthd"}),
+    # hd=64 pair-packed tiling (two heads per 128-lane block): the static
+    # 64-lane half slicing, runtime kv-half select and (2, blk, .) scratch
+    # indexing are exactly the constructs interpreter mode can't vouch for
+    ("bthd_pair_byhalf", (2, 4, 4, 1024, 64), {"layout": "bthd"}),
+    ("bthd_pair_gqa", (1, 8, 2, 1024, 64), {"layout": "bthd"}),
+    ("bthd_pair_gqa_window", (1, 8, 2, 1024, 64),
+     {"layout": "bthd", "window": 128}),
+    # the flagship bench geometry (TinyLlama: H=32, Hkv=4, n_rep=8) with
+    # the exact static options bench.py enables, incl. in-kernel rope
+    ("bthd_pair_flagship", (2, 32, 4, 1024, 64),
+     {"layout": "bthd", "split_fwd": True, "inline_delta": True,
+      "rope": True}),
+    ("bthd_pair_multiblock", (1, 4, 2, 2048, 64), {"layout": "bthd"}),
+    ("bthd_pair_kv_begin", (2, 4, 4, 512, 64),
+     {"layout": "bthd", "kv_begin": np.array([0, 128])}),
 ]
 
 
@@ -100,6 +126,10 @@ def run_case(name, shape, kw):
         row_mask = None
 
     bthd = kw.pop("layout", None) == "bthd"
+    rope = None
+    if kw.pop("rope", False):
+        from lxt_tpu.models import common as mcommon
+        rope = mcommon.rope_tables(jnp.arange(T), D)  # ([T, D], [T, D])
 
     @jax.jit
     def flash_val_grads(q, k, v):
@@ -109,10 +139,11 @@ def run_case(name, shape, kw):
                 out = flash_attention(
                     q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
                     window, causal=causal, kv_begin=kvb, kv_end=kve,
-                    layout="bthd", **kw).swapaxes(1, 2)
+                    rope=rope, layout="bthd", **kw).swapaxes(1, 2)
             else:
                 out = flash_attention(q, k, v, window, causal=causal,
-                                      kv_begin=kvb, kv_end=kve, **kw)
+                                      kv_begin=kvb, kv_end=kve, rope=rope,
+                                      **kw)
             return (out.astype(jnp.float32) * do.astype(jnp.float32)).sum(), out
         (_, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2),
                                              has_aux=True)(q, k, v)
@@ -127,7 +158,8 @@ def run_case(name, shape, kw):
         def f(q, k, v):
             out = attention(q, k, v, causal=causal, window=window,
                             composite=lxt_tpu.vanilla_gradient,
-                            impl="einsum", kv_begin=kvb, kv_end=kve)
+                            impl="einsum", kv_begin=kvb, kv_end=kve,
+                            rope=rope)
             return (out * do.astype(jnp.float32)).sum(), out
         (_, out), grads = jax.value_and_grad(f, argnums=(0, 1, 2),
                                              has_aux=True)(q, k, v)
@@ -139,13 +171,15 @@ def run_case(name, shape, kw):
     if row_mask is not None:
         m = np.asarray(row_mask, np.float32)
         out_f, out_r = np.asarray(out_f, np.float32) * m, np.asarray(out_r) * m
-    diffs = {"out": float(np.abs(np.asarray(out_f, np.float32)
-                                 - np.asarray(out_r)).max())}
-    for nm, a, b in zip(("dq", "dk", "dv"), g_f, g_r):
-        diffs[nm] = float(np.abs(np.asarray(a, np.float32)
-                                 - np.asarray(b)).max())
-    ok = (diffs["out"] <= ATOL_OUT
-          and all(diffs[nm] <= ATOL_GRAD for nm in ("dq", "dk", "dv")))
+    diffs, ok = {}, True
+    pairs = [("out", out_f, out_r)] + list(zip(("dq", "dk", "dv"), g_f, g_r))
+    for nm, a, b in pairs:
+        b = np.asarray(b, np.float32)
+        d = float(np.abs(np.asarray(a, np.float32) - b).max())
+        bound = ATOL + RTOL * float(np.abs(b).max())
+        diffs[nm] = d
+        diffs[nm + "_bound"] = round(bound, 5)
+        ok &= d <= bound
     return diffs, ok
 
 
@@ -164,8 +198,7 @@ def main():
     record = {
         "backend": backend,
         "device": device,
-        "atol_out": ATOL_OUT,
-        "atol_grad": ATOL_GRAD,
+        "criterion": f"maxdiff <= {ATOL} + {RTOL} * absmax(reference)",
         "all_ok": all_ok,
         "cases": results,
     }
