@@ -46,26 +46,35 @@ def useful_flops(B, H, T, D, window=None, bwd=False):
     return B * H * pairs * per_pair
 
 
-def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16):
-    from lxt_tpu.ops.flash_attention import flash_attention
+def bench_config(B, H, Hkv, T, D, block_q, block_k, mode, dtype=jnp.bfloat16,
+                 tuned=False):
+    """tuned=True measures the full production option set the model layer
+    uses (bench.py defaults): projection-native layout='bthd' (pair-packed
+    lane tiling for hd=64), split_fwd and inline_delta."""
+    from lxt_tpu.ops.flash_attention import flash_attention, bthd_supported
 
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.normal(ks[0], (B, H, T, D), dtype)
     k = jax.random.normal(ks[1], (B, Hkv, T, D), dtype)
     v = jax.random.normal(ks[2], (B, Hkv, T, D), dtype)
+    kw = dict(block_q=block_q, block_k=block_k)
+    if tuned:
+        kw.update(split_fwd=True, inline_delta=True)
+        if bthd_supported(H, Hkv, D):
+            kw["layout"] = "bthd"
+            q, k, v = (x.swapaxes(1, 2) for x in (q, k, v))
 
     if mode == "fwd":
         @jax.jit
         def step(q):
             return flash_attention(q, k, v, None, causal=True,
-                                   block_q=block_q, block_k=block_k).astype(q.dtype)
+                                   **kw).astype(q.dtype)
         flops = useful_flops(B, H, T, D)
     else:
         @jax.jit
         def step(q):
             def loss(q):
-                o = flash_attention(q, k, v, None, causal=True,
-                                    block_q=block_q, block_k=block_k)
+                o = flash_attention(q, k, v, None, causal=True, **kw)
                 return (o.astype(jnp.float32) ** 2).sum()
             g = jax.grad(loss)(q)
             return q + g.astype(q.dtype) * 1e-6
@@ -147,6 +156,7 @@ def bench_einsum(B, H, Hkv, T, D, mode, dtype=jnp.bfloat16):
 def main():
     mode_arg = sys.argv[1] if len(sys.argv) > 1 else "both"
     quick = "--quick" in sys.argv
+    tuned = "--tuned" in sys.argv
     modes = ["fwd", "bwd"] if mode_arg == "both" else [mode_arg]
 
     # (B, H, Hkv, T, D) — TinyLlama-ish (hd=64, GQA 8) and 8B-ish (hd=128)
@@ -162,36 +172,42 @@ def main():
               (2048, 2048)]
     if quick:
         blocks = [(1024, 1024), (1024, 2048), (2048, 1024), (2048, 2048)]
+    if tuned:
+        blocks = [(1024, 1024)]  # the blocks the model layer uses
 
     results = []
     for mode in modes:
         for (B, H, Hkv, T, D) in configs:
-            tf_e, dt_e = bench_einsum(B, H, Hkv, T, D, mode)
+            tf_e, dt_e = (None, None) if tuned else \
+                bench_einsum(B, H, Hkv, T, D, mode)
             base = {"mode": mode, "B": B, "H": H, "Hkv": Hkv, "T": T, "D": D}
             if tf_e is not None:
                 r = dict(base, impl="einsum", tflops=round(tf_e, 1),
                          mfu=round(tf_e * 1e12 / PEAK_BF16, 3),
                          ms=round(dt_e * 1e3, 2))
                 print(json.dumps(r)); results.append(r)
-            tf_s, dt_s = bench_stock(B, H, Hkv, T, D, mode)
+            tf_s, dt_s = (None, "skipped (--tuned)") if tuned else \
+                bench_stock(B, H, Hkv, T, D, mode)
             if tf_s is not None:
                 r = dict(base, impl="jax-stock-flash", tflops=round(tf_s, 1),
                          mfu=round(tf_s * 1e12 / PEAK_BF16, 3),
                          ms=round(dt_s * 1e3, 2))
                 print(json.dumps(r)); results.append(r)
-            else:
+            elif not tuned:
                 print(json.dumps(dict(base, impl="jax-stock-flash",
                                       error=str(dt_s))))
             for (bq, bk) in blocks:
                 if bq > T or bk > T:
                     continue
+                impl = f"flash{bq}/{bk}" + ("+tuned" if tuned else "")
                 try:
-                    tf, dt = bench_config(B, H, Hkv, T, D, bq, bk, mode)
+                    tf, dt = bench_config(B, H, Hkv, T, D, bq, bk, mode,
+                                          tuned=tuned)
                 except Exception as e:
-                    print(json.dumps(dict(base, impl=f"flash{bq}/{bk}",
+                    print(json.dumps(dict(base, impl=impl,
                                           error=str(e)[:80])))
                     continue
-                r = dict(base, impl=f"flash{bq}/{bk}", tflops=round(tf, 1),
+                r = dict(base, impl=impl, tflops=round(tf, 1),
                          mfu=round(tf * 1e12 / PEAK_BF16, 3),
                          ms=round(dt * 1e3, 2))
                 print(json.dumps(r)); results.append(r)
