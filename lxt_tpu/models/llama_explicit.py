@@ -72,14 +72,20 @@ def forward(
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta,
-                                  rope_scaling=getattr(cfg, "rope_scaling", None))
+                                  rope_scaling=getattr(cfg, "rope_scaling", None),
+                                  seq_len=T)
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
     inv_scale = jnp.float32(1.0 / math.sqrt(hd))
     silu_identity = ex.identity_rule_fn(jax.nn.silu)
-    causal = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-        <= jax.lax.broadcasted_iota(jnp.int32, (T, T), 0),
-        0.0, -jnp.inf).astype(jnp.float32)[None, None]
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    visible = kpos <= qpos
+    window = getattr(cfg, "sliding_window", None)
+    if window is not None:
+        # same semantics as the efficient path (models/llama.py:275):
+        # key visible iff q - window < k <= q (Mistral/Phi-3 checkpoints)
+        visible = visible & (kpos > qpos - window)
+    causal = jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[None, None]
 
     def linear(x, w, b=None):
         return lf.linear_epsilon(x, w, b)

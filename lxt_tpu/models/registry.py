@@ -108,10 +108,11 @@ class AttributionModel:
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         key = ("logits", embeds.shape, embeds.dtype.name, composite)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
+        fn = self._jit.get(key)
+        if fn is None:
+            fn = self._jit[key] = jax.jit(
                 lambda params, e: fwd(params, cfg, e, composite).logits)
-        return self._jit[key](self.params, embeds)
+        return fn(self.params, embeds)
 
     def attribute(self, input_ids, *, target: Optional[Callable] = None,
                   position: int = -1, token=None, composite=None, jit=True):
@@ -127,7 +128,8 @@ class AttributionModel:
         tok = None if token is None else jnp.asarray(token)
         key = ("attribute", embeds.shape, embeds.dtype.name, composite,
                position, target, tok is not None, jit)
-        if key not in self._jit:
+        fn = self._jit.get(key)
+        if fn is None:
             def run(params, e, tok):
                 def tgt(ee):
                     logits = fwd(params, cfg, ee, composite).logits
@@ -137,8 +139,8 @@ class AttributionModel:
                         return logits.max(axis=-1).sum()
                     return select_logit(logits, position=position, token=tok)
                 return input_relevance(tgt, e)
-            self._jit[key] = jax.jit(run) if jit else run
-        return self._jit[key](self.params, embeds, tok)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, tok)
 
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):
@@ -151,7 +153,8 @@ class AttributionModel:
         B, T, D = embeds.shape
         key = ("latent", embeds.shape, embeds.dtype.name, composite,
                position, target)
-        if key not in self._jit:
+        fn = self._jit.get(key)
+        if fn is None:
             def run(params, e):
                 def forward_with_probes(ee, probes):
                     out = fwd(params, cfg, ee, composite, probes=probes,
@@ -165,8 +168,8 @@ class AttributionModel:
                         val = select_logit(logits, position=position)
                     return val, out.hidden_states
                 return latent_relevance(forward_with_probes, e, (L, B, T, D))
-            self._jit[key] = jax.jit(run)
-        return self._jit[key](self.params, embeds)
+            fn = self._jit[key] = jax.jit(run)
+        return fn(self.params, embeds)
 
 
 def detect_family(hf_config) -> str:
@@ -290,13 +293,19 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
 # ---------------------------------------------------------------------------
 
 def _canon_images(images):
-    """Accept NHWC or NCHW (torch convention) float images; return NHWC."""
+    """Accept NHWC or NCHW (torch convention) RGB float images; return NHWC."""
     images = jnp.asarray(images)
     if images.ndim != 4:
         raise ValueError(f"expected [B, H, W, 3] images, got {images.shape}")
-    if images.shape[-1] != 3 and images.shape[1] == 3:
-        images = images.transpose(0, 2, 3, 1)
-    return images
+    if images.shape[-1] == 3:
+        return images
+    if images.shape[1] == 3:
+        return images.transpose(0, 2, 3, 1)
+    # neither axis is RGB: fail here with a clear message instead of an
+    # opaque conv shape error downstream (e.g. RGBA or grayscale input)
+    raise ValueError(
+        f"expected RGB images as [B, H, W, 3] or [B, 3, H, W], got "
+        f"{images.shape}")
 
 
 @dataclasses.dataclass
@@ -334,10 +343,11 @@ class VisionAttributionModel:
         images = _canon_images(images)
         fwd, cfg = self._forward(), self.cfg
         key = ("logits", images.shape, images.dtype.name, composite)
-        if key not in self._jit:
-            self._jit[key] = jax.jit(
+        fn = self._jit.get(key)
+        if fn is None:
+            fn = self._jit[key] = jax.jit(
                 lambda params, x: fwd(params, cfg, x, composite))
-        return self._jit[key](self.params, images)
+        return fn(self.params, images)
 
     def attribute_image(self, images, *, label=None,
                         target: Optional[Callable] = None, composite=None,
@@ -371,7 +381,8 @@ class VisionAttributionModel:
         key = ("attr_img", images.shape, images.dtype.name, composite,
                callable(target) and target, lab is not None,
                tgt_dir is not None, jit)
-        if key not in self._jit:
+        fn = self._jit.get(key)
+        if fn is None:
             def run(params, x, lab, tgt_dir):
                 def tgt(xx):
                     out = fwd(params, cfg, xx, composite)
@@ -385,8 +396,8 @@ class VisionAttributionModel:
                     return out.max(axis=-1).sum()
                 value, grad = jax.value_and_grad(tgt)(x)
                 return value, patch_relevance(x, grad)
-            self._jit[key] = jax.jit(run) if jit else run
-        return self._jit[key](self.params, images, lab, tgt_dir)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, images, lab, tgt_dir)
 
 
 def _to_numpy_sd(model_or_sd):
@@ -525,12 +536,13 @@ class MultimodalAttributionModel:
         embeds = gemma3.embed(self.params["text"], ids, self.cfg.text)
         key = ("logits", embeds.shape, pix.shape, embeds.dtype.name,
                composite)
-        if key not in self._jit:
+        fn = self._jit.get(key)
+        if fn is None:
             cfg = self.cfg
-            self._jit[key] = jax.jit(
+            fn = self._jit[key] = jax.jit(
                 lambda params, e, p, m: gemma3.multimodal_forward(
                     params, cfg, e, p, m, composite).logits)
-        return self._jit[key](self.params, embeds, pix, mask)
+        return fn(self.params, embeds, pix, mask)
 
     def attribute(self, input_ids, pixel_values, *,
                   target: Optional[Callable] = None, position: int = -1,
@@ -549,7 +561,8 @@ class MultimodalAttributionModel:
         tok = None if token is None else jnp.asarray(token)
         key = ("attribute", embeds.shape, pix.shape, embeds.dtype.name,
                composite, position, target, tok is not None, jit)
-        if key not in self._jit:
+        fn = self._jit.get(key)
+        if fn is None:
             cfg = self.cfg
 
             def run(params, e, p, m, tok):
@@ -566,8 +579,8 @@ class MultimodalAttributionModel:
                 rel_pix = (p.astype(jnp.float32)
                            * gp.astype(jnp.float32)).sum(-1)
                 return value, rel_tok, rel_pix
-            self._jit[key] = jax.jit(run) if jit else run
-        return self._jit[key](self.params, embeds, pix, mask, tok)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, pix, mask, tok)
 
 
 def _convert_multimodal(state_dict, hf_config, composite,

@@ -147,7 +147,10 @@ def attention(
         if rope is not None:   # per-shard global offsets preclude in-kernel
             q, k = _mcommon.apply_rope(q, k, *rope)
         q, k, v = composite.qkv(q, k, v)
-        out = ring_flash_attention(q, k, v, impl.split(":", 1)[1],
+        # '+split/+delta/...' perf suffixes are no-ops for the ring kernels;
+        # strip them so 'ring:sp+delta' doesn't parse into the axis name
+        axis = impl.split(":", 1)[1].partition("+")[0]
+        out = ring_flash_attention(q, k, v, axis,
                                    scale=scale, causal=causal, window=window)
         return _sw(out) if layout == "bthd" else out
 

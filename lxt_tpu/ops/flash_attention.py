@@ -563,6 +563,48 @@ def _halves(pair_mode):
     return (0, 1) if pair_mode is not None else (0,)
 
 
+def _route_pair_kv(dk_acc, dv_acc, dks, dvs, pair_mode, psel):
+    """Accumulate per-q-half dk/dv contributions into the kv accumulator.
+
+    Shared by every backward kernel. Non-pair mode: one contribution, one
+    accumulator. byhalf: each q half owns its static kv half. bysel: both q
+    halves hit the SAME kv head — route the summed contribution into the
+    runtime-selected half (``psel``)."""
+    if pair_mode is None:
+        dk_acc[:] += dks[0]
+        dv_acc[:] += dvs[0]
+    elif pair_mode[0] == "byhalf":
+        dk_acc[0] += dks[0]
+        dk_acc[1] += dks[1]
+        dv_acc[0] += dvs[0]
+        dv_acc[1] += dvs[1]
+    else:
+        dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
+        z = jnp.zeros_like(dk_s)
+        dk_acc[0] += jnp.where(psel, z, dk_s)
+        dk_acc[1] += jnp.where(psel, dk_s, z)
+        dv_acc[0] += jnp.where(psel, z, dv_s)
+        dv_acc[1] += jnp.where(psel, dv_s, z)
+
+
+def _emit_pair_kv(dk_ref, dv_ref, dk_acc, dv_acc, pair_mode, tabs):
+    """Backward epilogue: write the dk/dv accumulators to their out refs,
+    back-rotating dk through the fused-rope tables when present and
+    re-concatenating pair halves into the packed 128-lane block."""
+    pairs = pair_mode is not None
+    dk_hs, dv_hs = [], []
+    for i in _halves(pair_mode):
+        dk = dk_acc[i] if pairs else dk_acc[:]
+        if tabs is not None:
+            dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
+        dk_hs.append(dk)
+        dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
+    dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
+                   else dk_hs[0]).astype(dk_ref.dtype)
+    dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
+                   else dv_hs[0]).astype(dv_ref.dtype)
+
+
 def _flat(layout, *xs):
     """bthd: [B, T, H, D] -> packed [B, T, H*D] (free minor-dim merge)."""
     if layout == "bhtd":
@@ -848,25 +890,7 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
                 preferred_element_type=jnp.float32) * scale
             dks.append(dk_i)
             dvs.append(dv_i)
-        if not pairs:
-            dk_acc[:] += dks[0]
-            dv_acc[:] += dvs[0]
-        elif pair_mode[0] == "byhalf":
-            # kv pair == q pair: each q half owns its kv half
-            dk_acc[0] += dks[0]
-            dk_acc[1] += dks[1]
-            dv_acc[0] += dvs[0]
-            dv_acc[1] += dvs[1]
-        else:
-            # both q halves hit the SAME kv head; route the summed
-            # contribution into the runtime-selected half
-            sel = psel
-            dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
-            z = jnp.zeros_like(dk_s)
-            dk_acc[0] += jnp.where(sel, z, dk_s)
-            dk_acc[1] += jnp.where(sel, dk_s, z)
-            dv_acc[0] += jnp.where(sel, z, dv_s)
-            dv_acc[1] += jnp.where(sel, dv_s, z)
+        _route_pair_kv(dk_acc, dv_acc, dks, dvs, pair_mode, psel)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -875,17 +899,7 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk_hs, dv_hs = [], []
-        for i in _halves(pair_mode):
-            dk = dk_acc[i] if pairs else dk_acc[:]
-            if tabs is not None:
-                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-            dk_hs.append(dk)
-            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
-        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
-                       else dk_hs[0]).astype(dk_ref.dtype)
-        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
-                       else dv_hs[0]).astype(dv_ref.dtype)
+        _emit_pair_kv(dk_ref, dv_ref, dk_acc, dv_acc, pair_mode, tabs)
 
 
 def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -971,22 +985,7 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
             dqs.append(dq)
         dqp_ref[...] = (jnp.concatenate(dqs, axis=-1) if pairs
                         else dqs[0]).astype(dqp_ref.dtype)
-        if not pairs:
-            dk_acc[:] += dks[0]
-            dv_acc[:] += dvs[0]
-        elif pair_mode[0] == "byhalf":
-            dk_acc[0] += dks[0]
-            dk_acc[1] += dks[1]
-            dv_acc[0] += dvs[0]
-            dv_acc[1] += dvs[1]
-        else:
-            sel = psel
-            dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
-            z = jnp.zeros_like(dk_s)
-            dk_acc[0] += jnp.where(sel, z, dk_s)
-            dk_acc[1] += jnp.where(sel, dk_s, z)
-            dv_acc[0] += jnp.where(sel, z, dv_s)
-            dv_acc[1] += jnp.where(sel, dv_s, z)
+        _route_pair_kv(dk_acc, dv_acc, dks, dvs, pair_mode, psel)
 
     visible = jnp.logical_not(_skip_block(iq, ik, sc, blk_q, blk_k, causal))
     interior = _interior_block(iq, ik, sc, blk_q, blk_k, causal)
@@ -1001,17 +1000,7 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     @pl.when((iq == nq - 1) & (r == n_rep - 1))
     def _epilogue():
-        dk_hs, dv_hs = [], []
-        for i in _halves(pair_mode):
-            dk = dk_acc[i] if pairs else dk_acc[:]
-            if tabs is not None:
-                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-            dk_hs.append(dk)
-            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
-        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
-                       else dk_hs[0]).astype(dk_ref.dtype)
-        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
-                       else dv_hs[0]).astype(dv_ref.dtype)
+        _emit_pair_kv(dk_ref, dv_ref, dk_acc, dv_acc, pair_mode, tabs)
 
 
 def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
@@ -1132,38 +1121,11 @@ def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     dqp_ref[...] = (jnp.concatenate(dqs, axis=-1) if pairs
                     else dqs[0]).astype(dqp_ref.dtype)
-    if not pairs:
-        dk_acc[:] += dks[0]
-        dv_acc[:] += dvs[0]
-    elif pair_mode[0] == "byhalf":
-        dk_acc[0] += dks[0]
-        dk_acc[1] += dks[1]
-        dv_acc[0] += dvs[0]
-        dv_acc[1] += dvs[1]
-    else:
-        # both q halves hit the SAME kv head; route the summed
-        # contribution into the runtime-selected half
-        sel = psel
-        dk_s, dv_s = dks[0] + dks[1], dvs[0] + dvs[1]
-        z = jnp.zeros_like(dk_s)
-        dk_acc[0] += jnp.where(sel, z, dk_s)
-        dk_acc[1] += jnp.where(sel, dk_s, z)
-        dv_acc[0] += jnp.where(sel, z, dv_s)
-        dv_acc[1] += jnp.where(sel, dv_s, z)
+    _route_pair_kv(dk_acc, dv_acc, dks, dvs, pair_mode, psel)
 
     @pl.when(r == n_rep - 1)
     def _epilogue():
-        dk_hs, dv_hs = [], []
-        for i in _halves(pair_mode):
-            dk = dk_acc[i] if pairs else dk_acc[:]
-            if tabs is not None:
-                dk = _rope_block(dk, tabs[2], tabs[3], inverse=True)
-            dk_hs.append(dk)
-            dv_hs.append(dv_acc[i] if pairs else dv_acc[:])
-        dk_ref[...] = (jnp.concatenate(dk_hs, axis=-1) if pairs
-                       else dk_hs[0]).astype(dk_ref.dtype)
-        dv_ref[...] = (jnp.concatenate(dv_hs, axis=-1) if pairs
-                       else dv_hs[0]).astype(dv_ref.dtype)
+        _emit_pair_kv(dk_ref, dv_ref, dk_acc, dv_acc, pair_mode, tabs)
 
 
 #: Tuning CONSTANT (fixed at import; not a runtime toggle): the fused

@@ -73,7 +73,10 @@ class AttributionPipeline:
         return pad
 
     def _encode(self, prompts):
-        seqs = [self.tokenizer(p)["input_ids"] for p in prompts]
+        # items may be pre-tokenized id lists (the serving layer tokenizes
+        # once for its length guard and passes the ids through)
+        seqs = [self.tokenizer(p)["input_ids"] if isinstance(p, str)
+                else list(p) for p in prompts]
         T = max(len(s) for s in seqs)
         m = self.pad_multiple
         T = -(-T // m) * m
@@ -95,7 +98,8 @@ class AttributionPipeline:
         # Composite is a frozen (hashable) dataclass; keying on the object
         # itself distinguishes e.g. two gamma variants that share a name.
         key = (shape, composite)
-        if key not in self._jitted:
+        fn = self._jitted.get(key)
+        if fn is None:
             fwd, cfg = self.model._fns["forward"], self.model.cfg
 
             # params are a jit ARGUMENT, not a closure constant: closed-over
@@ -118,18 +122,18 @@ class AttributionPipeline:
                 return per_example, rel
 
             if self.mesh is None:
-                self._jitted[key] = jax.jit(run)
+                fn = self._jitted[key] = jax.jit(run)
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 data = NamedSharding(self.mesh, P("data"))
-                self._jitted[key] = jax.jit(
+                fn = self._jitted[key] = jax.jit(
                     run,
                     in_shardings=(None,
                                   NamedSharding(self.mesh, P("data", None, None)),
                                   data),
                     out_shardings=(data, NamedSharding(self.mesh,
                                                        P("data", None))))
-        return self._jitted[key]
+        return fn
 
     def __call__(self, prompts, composite=None) -> List[Heatmap]:
         composite = composites.resolve(composite or self.composite)

@@ -44,6 +44,9 @@ class _Request:
     prompt: str
     composite: Optional[object]
     future: "concurrent.futures.Future"
+    # token ids from submit()'s length guard, reused by the pipeline so the
+    # hot path tokenizes each prompt once, not twice
+    ids: Optional[list] = None
 
 
 class ServerOverloadedError(RuntimeError):
@@ -96,13 +99,16 @@ class AttributionServer:
         :class:`ServerOverloadedError` (queue full) without enqueuing.
         """
         tokenizer = getattr(self.pipeline, "tokenizer", None)
+        ids = None
         if tokenizer is not None:   # bare-callable pipelines skip the guard
-            n_tok = len(tokenizer(prompt)["input_ids"])
-            if n_tok > self.max_prompt_tokens:
+            enc = tokenizer(prompt)["input_ids"]
+            if len(enc) > self.max_prompt_tokens:
                 self.requests_rejected += 1
                 raise PromptTooLongError(
-                    f"prompt is {n_tok} tokens; server limit is "
+                    f"prompt is {len(enc)} tokens; server limit is "
                     f"{self.max_prompt_tokens}")
+            if isinstance(self.pipeline, AttributionPipeline):
+                ids = enc   # reuse — _encode accepts pre-tokenized lists
         fut: "concurrent.futures.Future" = concurrent.futures.Future()
         # lock so no request can land BEHIND the shutdown sentinel (it
         # would never resolve); close() takes the same lock
@@ -110,7 +116,7 @@ class AttributionServer:
             if self._closed:
                 raise RuntimeError("AttributionServer is closed")
             try:
-                self._queue.put_nowait(_Request(prompt, composite, fut))
+                self._queue.put_nowait(_Request(prompt, composite, fut, ids))
             except queue.Full:
                 self.requests_rejected += 1
                 raise ServerOverloadedError(
@@ -176,8 +182,9 @@ class AttributionServer:
             groups.setdefault(req.composite, []).append(req)
         for composite, reqs in groups.items():
             try:
-                heatmaps = self.pipeline([r.prompt for r in reqs],
-                                         composite=composite)
+                heatmaps = self.pipeline(
+                    [r.prompt if r.ids is None else r.ids for r in reqs],
+                    composite=composite)
                 if len(heatmaps) != len(reqs):
                     raise RuntimeError(
                         f"pipeline returned {len(heatmaps)} heatmaps for "
@@ -246,14 +253,16 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                cache = server.pipeline._jitted
+                # duck-typed pipelines may not expose a jit cache
+                cache = getattr(server.pipeline, "_jitted", None)
                 self._reply(200, {
                     "ok": True,
                     "served": server.requests_served,
                     "rejected": server.requests_rejected,
                     "batches": list(server.batch_sizes)[-32:],
-                    "jit_cache": {"programs": len(cache),
-                                  "evictions": getattr(cache, "evictions", 0)},
+                    "jit_cache": {
+                        "programs": len(cache) if cache is not None else 0,
+                        "evictions": getattr(cache, "evictions", 0)},
                 })
             else:
                 self._reply(404, {"error": "not found"})
@@ -291,8 +300,15 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                     for f in futures:
                         f.cancel()
             try:
-                heatmaps = [f.result(timeout=request_timeout_s)
-                            for f in futures]
+                # one deadline for the whole request, not per future — a
+                # multi-prompt body must 504 after timeout_s total, not N x
+                deadline = (None if request_timeout_s is None
+                            else time.monotonic() + request_timeout_s)
+                heatmaps = [
+                    f.result(timeout=(None if deadline is None
+                                      else max(0.0,
+                                               deadline - time.monotonic())))
+                    for f in futures]
             except concurrent.futures.TimeoutError:
                 for f in futures:
                     f.cancel()

@@ -42,6 +42,11 @@ class JitCache:
                 self.evictions += 1
 
     def get(self, key, default=None):
+        """Callers MUST use the capture pattern
+        ``fn = cache.get(key); if fn is None: fn = cache[key] = build()``
+        rather than check-then-reread — a concurrent insert can evict the
+        key between a membership test and ``[key]``, turning a hit into
+        KeyError."""
         try:
             return self[key]
         except KeyError:

@@ -1,8 +1,10 @@
 """A/B the '+bthd' projection-native layout on an hd=128 geometry.
 
-TinyLlama (hd=64) cannot use the packed layout (Mosaic 128-lane rule), so
-the A/B runs a Llama-3-8B-shaped tower (hidden 4096, 32 q / 8 kv heads of
-128) cut to a layer count that fits one 16 GB chip in bf16 without remat.
+hd=64 rides the pair-packed bthd tiling (two heads per 128-lane block) and
+is A/B'd end-to-end by bench.py itself (LXT_BENCH_BTHD=0/1); this script
+covers the OTHER kernel regime — native D=128 lane blocks — on a
+Llama-3-8B-shaped tower (hidden 4096, 32 q / 8 kv heads of 128) cut to a
+layer count that fits one 16 GB chip in bf16 without remat.
 Usage: python scripts/bench_bthd.py [batch] [seq] [layers]
 """
 

@@ -84,3 +84,29 @@ def test_explicit_model_matches_efficient_path(composite_name):
     a, b = np.asarray(rel_ex).ravel(), np.asarray(rel_gi).ravel()
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
     assert cos > 0.999, cos
+
+
+def test_explicit_model_honors_sliding_window():
+    """The explicit path must apply cfg.sliding_window like the efficient
+    path (models/llama.py:275) — a Mistral-style config on T > window used
+    to silently compute full attention here."""
+    import dataclasses
+
+    cfg = jllama.LlamaConfig(
+        vocab_size=256, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, num_kv_heads=2, rms_eps=1e-6,
+        dtype="float32")
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    T = 12
+    ids = np.random.RandomState(5).randint(0, 256, (1, T))
+    embeds = jllama.embed(params, jnp.asarray(ids))
+
+    cfg_win = dataclasses.replace(cfg, sliding_window=4)
+    le = jex.forward(params, cfg_win, embeds, lxt_tpu.attnlrp).logits
+    lg = jllama.forward(params, cfg_win, embeds, lxt_tpu.attnlrp).logits
+    np.testing.assert_allclose(np.asarray(le), np.asarray(lg),
+                               rtol=0, atol=1e-5)
+
+    # and the window genuinely changes the computation at T > window
+    le_full = jex.forward(params, cfg, embeds, lxt_tpu.attnlrp).logits
+    assert np.abs(np.asarray(le) - np.asarray(le_full)).max() > 1e-4

@@ -240,3 +240,30 @@ def test_http_request_timeout_504():
         release.set()
         httpd.shutdown()
         server.close()
+
+
+def test_server_tokenizes_each_prompt_once():
+    """submit()'s length guard passes its encoding through to the pipeline
+    (_Request.ids), so the hot path does not tokenize twice."""
+
+    class CountingTokenizer(ToyTokenizer):
+        calls = 0
+
+        def __call__(self, text):
+            type(self).calls += 1
+            return super().__call__(text)
+
+    tok = CountingTokenizer()
+    pipe = AttributionPipeline(_model()[0], tok)
+    direct = pipe(["alpha beta gamma"])          # baseline result
+    CountingTokenizer.calls = 0
+
+    server = AttributionServer(pipe, max_batch=2, max_wait_ms=50.0)
+    try:
+        hm = server.submit("alpha beta gamma").result(timeout=120)
+    finally:
+        server.close()
+    assert CountingTokenizer.calls == 1
+    assert hm.tokens == direct[0].tokens
+    np.testing.assert_allclose(hm.raw_relevance, direct[0].raw_relevance,
+                               rtol=0, atol=1e-5)
