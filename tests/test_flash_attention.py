@@ -738,3 +738,39 @@ def test_llama_bthd_matches_canonical(hidden, heads, kv_heads):
     _, rel_eb = run("einsum+bthd")
     np.testing.assert_allclose(np.asarray(rel_eb), np.asarray(rel_e),
                                rtol=0, atol=1e-6)
+
+
+def test_llama_bench_impl_combo_matches_einsum():
+    """Model-level guard on the production bench path: the full static
+    option set bench.py runs ('+split+delta+bthd', unrolled driver) computes
+    the same logits AND relevance as the plain einsum path."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import common as jcommon
+    from lxt_tpu.models import llama as jllama
+
+    # hd=64 with even head/kv-group counts: pair-packed bthd eligible
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=256, intermediate_size=96, num_layers=2,
+        num_heads=4, num_kv_heads=2)
+    assert cfg.hd == 64
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.RandomState(1).randint(1, 64, (1, 128))
+    e = jllama.embed(params, jnp.asarray(ids))
+
+    def t_ref(x):
+        return select_logit(jllama.forward(params, cfg, x, lxt_tpu.attnlrp,
+                                           attn_impl="einsum").logits)
+
+    def t_bench(x):
+        return select_logit(jllama.forward(
+            params, cfg, x, lxt_tpu.attnlrp, remat=False,
+            attn_impl="flash+split+delta+bthd",
+            layer_driver=jcommon.unrolled).logits)
+
+    v_ref, rel_ref = input_relevance(t_ref, e)
+    v_b, rel_b = input_relevance(t_bench, e)
+    np.testing.assert_allclose(np.asarray(v_b), np.asarray(v_ref),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(rel_b), np.asarray(rel_ref),
+                               rtol=0, atol=3e-5)
