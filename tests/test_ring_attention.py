@@ -148,3 +148,28 @@ def test_sequence_parallel_gemma3_attribution():
     np.testing.assert_allclose(float(val), float(val_ref), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rel), np.asarray(rel_ref),
                                rtol=0, atol=2e-4)
+
+
+def test_ring_impl_ignores_perf_suffixes():
+    """'ring:<axis>+split+delta' must parse the axis correctly (the '+opt'
+    suffixes are no-ops for the ring kernels, not part of the axis name)."""
+    n = 4
+    mesh = Mesh(np.asarray(jax.devices()[:n]), ("sp",))
+    B, H, Hkv, T, D = 1, 2, 2, 256, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, H, T, D))
+    k = jax.random.normal(ks[1], (B, Hkv, T, D))
+    v = jax.random.normal(ks[2], (B, Hkv, T, D))
+    spec = P(None, None, "sp", None)
+
+    def run(impl):
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False)
+        def f(q, k, v):
+            return attention(q, k, v, causal=True,
+                             composite=lxt_tpu.vanilla_gradient, impl=impl)
+        return f(q, k, v)
+
+    np.testing.assert_allclose(np.asarray(run("ring:sp+split+delta")),
+                               np.asarray(run("ring:sp")), rtol=0, atol=0)
