@@ -93,6 +93,18 @@ def build_tiny_explicit(family):
             max_position_embeddings=128, type_vocab_size=2, num_labels=3,
             attn_implementation="eager")
         return vm.BertForSequenceClassification(cfg).eval(), vm.attnlrp
+    if family == "gpt2":
+        # newer transformers dropped SequenceSummary; the vendored file only
+        # uses it in the (untested) DoubleHeads model — stub it for import
+        import transformers.modeling_utils as mu
+        if not hasattr(mu, "SequenceSummary"):
+            mu.SequenceSummary = type("SequenceSummary", (), {})
+        from transformers.models.gpt2.configuration_gpt2 import GPT2Config
+        import lxt.explicit.models.gpt2 as vm
+        cfg = GPT2Config(
+            n_embd=64, n_layer=2, n_head=4, vocab_size=256, n_positions=128,
+            pad_token_id=0, attn_implementation="eager")
+        return vm.GPT2LMHeadModel(cfg).eval(), vm.attnlrp
     raise ValueError(family)
 
 
