@@ -65,8 +65,17 @@ def forward(
     *,
     remat: bool = True,
     positions=None,
+    probes=None,
 ):
-    """Explicit-path forward. ``cfg``/``params`` as in ``models/llama.py``."""
+    """Explicit-path forward. ``cfg``/``params`` as in ``models/llama.py``.
+
+    ``probes``: optional zeros ``[L, B, T, D]`` added (plain ``+``) to each
+    layer's output. Under the explicit convention the vjp cotangent at a
+    probe IS the relevance at that layer output — the functional counterpart
+    of the reference's backward hooks on its explicit LLaMA (reference
+    docs/source/latent-feature-attribution.rst: ``register_full_backward_hook``
+    on each decoder layer, where "gradients are replaced with LRP scores").
+    """
     B, T, D = inputs_embeds.shape
     cp = composite.attention == "cp"
     if positions is None:
@@ -90,7 +99,8 @@ def forward(
     def linear(x, w, b=None):
         return lf.linear_epsilon(x, w, b)
 
-    def layer_fn(h, lp):
+    def layer_fn(h, xs):
+        lp, probe = xs
         res = h
         x = lf.rms_norm_identity(h, lp["ln1"], cfg.rms_eps)
         q = common.split_heads(linear(x, lp["wq"], lp.get("bq")), H, hd)
@@ -123,10 +133,14 @@ def forward(
             g = silu_identity(linear(x, lp["wg"]))
             prod = lf.mul2(g, linear(x, lp["wu"]))
         h = lf.add2(res, linear(prod, lp["wd"]))
+        if probe is not None:
+            # plain add: the cotangent passes through unchanged, so the
+            # probe's cotangent equals the relevance at this layer output
+            h = h + probe
         return h, None
 
     body = common.remat_wrap(lambda h, xs: layer_fn(h, xs), remat)
-    h, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
+    h, _ = jax.lax.scan(body, inputs_embeds, (params["layers"], probes))
 
     h = lf.rms_norm_identity(h, params["final_norm"], cfg.rms_eps)
     head = params.get("lm_head")
@@ -134,6 +148,23 @@ def forward(
         head = params["embed"].T
     logits = linear(h, head)
     return ModelOutputs(logits=logits, hidden_states=None)
+
+
+def explicit_latent_relevance(forward_fn, inputs_embeds, probe_shape):
+    """Explicit-path latent relevance: per-layer relevance taps in the same
+    single vjp as the input relevance (reference
+    docs/source/latent-feature-attribution.rst — its torch backward hooks
+    read the cotangent, which IS the relevance on this path; no
+    Gradient*Input contraction).
+
+    ``forward_fn(embeds, probes) -> scalar target``. Returns
+    ``(value, input_rel [B, T], latent_rel [L, B, T])`` (features summed).
+    """
+    probes = jnp.zeros(probe_shape, inputs_embeds.dtype)
+    value, vjp_fn = jax.vjp(forward_fn, inputs_embeds, probes)
+    rel_in, rel_latent = vjp_fn(value)
+    return (value, rel_in.astype(jnp.float32).sum(-1),
+            rel_latent.astype(jnp.float32).sum(-1))
 
 
 def explicit_input_relevance(target_fn, inputs_embeds):

@@ -110,3 +110,39 @@ def test_explicit_model_honors_sliding_window():
     # and the window genuinely changes the computation at T > window
     le_full = jex.forward(params, cfg, embeds, lxt_tpu.attnlrp).logits
     assert np.abs(np.asarray(le) - np.asarray(le_full)).max() > 1e-4
+
+
+def test_explicit_latent_relevance_matches_efficient(reference_lxt):
+    """Explicit-path latent taps (cotangent IS relevance, reference
+    latent-feature-attribution.rst backward hooks) agree with the efficient
+    path's hidden*grad latent trace."""
+    from lxt_tpu.attribution import latent_relevance
+    from lxt_tpu.models.llama_explicit import explicit_latent_relevance
+
+    cfg, params = _tiny()
+    L = cfg.num_layers
+    ids = np.random.RandomState(7).randint(0, 256, (1, 8))
+    embeds = jllama.embed(params, jnp.asarray(ids))
+    B, T, D = embeds.shape
+
+    def fwd_ex(e, probes):
+        return select_logit(jex.forward(params, cfg, e, lxt_tpu.attnlrp,
+                                        probes=probes).logits)
+
+    _, in_ex, lat_ex = explicit_latent_relevance(fwd_ex, embeds, (L, B, T, D))
+
+    def fwd_gi(e, probes):
+        out = jllama.forward(params, cfg, e, lxt_tpu.attnlrp, probes=probes,
+                             output_hidden_states=True)
+        return select_logit(out.logits), out.hidden_states
+
+    _, in_gi, lat_gi = latent_relevance(fwd_gi, embeds, (L, B, T, D),
+                                        sum_features=True)
+
+    a, b = np.asarray(lat_ex).ravel(), np.asarray(lat_gi).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999, cos
+    # input relevance agrees across conventions too
+    a, b = np.asarray(in_ex).ravel(), np.asarray(in_gi).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.999, cos
