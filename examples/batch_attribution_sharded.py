@@ -10,6 +10,11 @@ Run on a multi-chip host, or simulate:
         python examples/batch_attribution_sharded.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import numpy as np
 

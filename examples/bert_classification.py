@@ -1,6 +1,11 @@
 """BERT sequence-classification attribution (reference quickstart BERT flow):
 which prompt tokens drive the predicted class?"""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -6,6 +6,11 @@ target for the same fused program. CP-LRP is the GPT-2 default (the
 reference's own recommendation).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

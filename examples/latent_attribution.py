@@ -9,6 +9,11 @@ input heatmap. Also demonstrates activation steering: a non-zero probe
 injects a latent-direction edit and the attribution shows its effect.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

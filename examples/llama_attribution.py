@@ -11,6 +11,11 @@ or without one (random weights, demonstrates the API end-to-end):
     python examples/llama_attribution.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 
 import jax

@@ -6,6 +6,11 @@ Composite — the grid is a Python loop over jitted programs (each compiles
 once, then the sweep is pure device time).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
