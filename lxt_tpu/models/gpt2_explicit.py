@@ -76,15 +76,23 @@ def forward(
         # epsilon-add of the bias (ref gpt2.py:89)
         return lf.add2(b, lf.linear_epsilon(x, w))
 
+    def scale_for(idx):
+        scale = hd ** -0.5
+        if cfg.scale_attn_by_inverse_layer_idx:
+            scale = scale / (idx + 1.0)
+        return scale
+
     def attn_scores(q, k, idx):
         if cfg.reorder_and_upcast_attn:
             # the reference's upcast path: scale folded BEFORE the batched
-            # matmul, f32 throughout, via lf.baddbmm (ref gpt2.py:269-295)
-            scale = hd ** -0.5
-            if cfg.scale_attn_by_inverse_layer_idx:
-                scale = scale / (idx + 1.0)
+            # matmul, f32 throughout, via lf.baddbmm (ref gpt2.py:269-295).
+            # The fold uses lf.mul2(., ., 1) — relevance passes a detached
+            # scalar product unchanged — so the q branch stays symmetric
+            # with k and with the plain path (a bare `q * scale` would
+            # multiply the q-branch relevance by scale).
             zero = jnp.zeros((), jnp.float32)
-            return lf.baddbmm(zero, (q * scale).astype(jnp.float32),
+            qs = lf.mul2(q, jnp.float32(scale_for(idx)), 1)
+            return lf.baddbmm(zero, qs.astype(jnp.float32),
                               k.swapaxes(-1, -2).astype(jnp.float32))
         s = lf.mul2(lf.matmul(q, k.swapaxes(-1, -2)),
                     jnp.float32(hd ** -0.5), 1)
@@ -104,10 +112,8 @@ def forward(
 
         if cp:
             # CP-LRP: no relevance through the softmax branch at all
-            scale = hd ** -0.5
-            if cfg.scale_attn_by_inverse_layer_idx:
-                scale = scale / (idx + 1.0)
-            scores = jnp.matmul(q, k.swapaxes(-1, -2)).astype(jnp.float32) * scale
+            scores = (jnp.matmul(q, k.swapaxes(-1, -2)).astype(jnp.float32)
+                      * scale_for(idx))
             scores = jnp.where(causal_mask, scores, mask_value)
             probs = jax.lax.stop_gradient(jax.nn.softmax(scores, axis=-1))
             attn = ex.epsilon_rule(jnp.matmul)(probs.astype(v.dtype), v)

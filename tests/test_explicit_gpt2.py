@@ -60,7 +60,7 @@ def test_explicit_gpt2_matches_reference_golden(reference_lxt, tmp_path):
     np.testing.assert_allclose(a, b, rtol=0, atol=6e-3 * max(scale, 1e-6))
 
 
-def test_explicit_gpt2_matches_efficient_path():
+def test_explicit_gpt2_matches_efficient_path(reference_lxt):
     """Cross-path forward equivalence inside our framework, both composites."""
     cfg, params = _tiny()
     ids = np.random.RandomState(3).randint(0, 256, (1, 10))
@@ -75,11 +75,11 @@ def test_explicit_gpt2_matches_efficient_path():
                                    rtol=0, atol=1e-5)
 
 
-def test_explicit_gpt2_upcast_reorder_baddbmm():
+def test_explicit_gpt2_upcast_reorder_baddbmm(reference_lxt):
     """reorder_and_upcast_attn=True routes scores through lf.baddbmm with
-    the scale pre-folded; in f32 this is the same operator — forward must
-    be identical and relevance finite (the reference's path here raises
-    AttributeError on its undefined lf.baddbmm)."""
+    the scale pre-folded; in f32 this is the same operator — forward AND
+    relevance must match the plain config (the reference's path here
+    raises AttributeError on its undefined lf.baddbmm)."""
     cfg, params = _tiny()
     cfg_up = dataclasses.replace(cfg, reorder_and_upcast_attn=True,
                                  scale_attn_by_inverse_layer_idx=True)
@@ -92,9 +92,16 @@ def test_explicit_gpt2_upcast_reorder_baddbmm():
     np.testing.assert_allclose(np.asarray(l_up), np.asarray(l_plain),
                                rtol=0, atol=2e-5)
 
-    def target(e):
-        return jexg.forward(params, cfg_up, e, lxt_tpu.attnlrp).logits[0, -1].max()
+    def rel_of(cfg_x):
+        def target(e):
+            return jexg.forward(params, cfg_x, e,
+                                lxt_tpu.attnlrp).logits[0, -1].max()
+        return explicit_input_relevance(target, tok)[1]
 
-    _, rel = explicit_input_relevance(target, tok)
-    assert bool(jnp.isfinite(rel).all())
-    assert float(jnp.abs(rel).sum()) > 0.0
+    rel_up, rel_plain = rel_of(cfg_up), rel_of(cfg_plain)
+    assert bool(jnp.isfinite(rel_up).all())
+    assert float(jnp.abs(rel_up).sum()) > 0.0
+    # the scale fold must be relevance-neutral: same attribution as the
+    # semantically identical plain config (q-branch asymmetry regression)
+    np.testing.assert_allclose(np.asarray(rel_up), np.asarray(rel_plain),
+                               rtol=0, atol=2e-5)
