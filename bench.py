@@ -61,11 +61,34 @@ def attribution_flops(cfg, batch, seq):
     return (2 * linear_fwd) + (3.5 * attn_fwd)
 
 
+def _probe_devices(timeout_s=900):
+    """Bounded device probe: the axon tunnel has been observed DOWN for
+    hours, during which ``jax.devices()`` blocks forever — fail loudly
+    instead of hanging the whole bench run."""
+    import threading
+
+    out = {}
+    t = threading.Thread(target=lambda: out.update(d=jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "d" not in out:
+        print(json.dumps({
+            "metric": "attnlrp_heatmaps_per_sec",
+            "value": None, "unit": "heatmaps/s", "vs_baseline": None,
+            "error": f"device init did not complete in {timeout_s}s "
+                     "(TPU tunnel unreachable)"}))
+        raise SystemExit(1)
+    return out["d"]
+
+
 def main():
     import lxt_tpu
     from lxt_tpu.attribution import input_relevance, select_logit
     from lxt_tpu.models import common as jcommon
     from lxt_tpu.models import llama as jllama
+
+    _probe_devices()
 
     # flash perf options (static, encoded in attn_impl — see ops/attention):
     # both are safe only with the unrolled layer driver (REMAT is False).
