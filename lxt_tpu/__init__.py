@@ -49,7 +49,8 @@ def __getattr__(name):
         from lxt_tpu.pipeline import AttributionPipeline
         return AttributionPipeline
     if name in ("input_relevance", "latent_relevance", "select_logit",
-                "contrastive_target", "normalize_relevance"):
+                "contrastive_target", "normalize_relevance",
+                "multi_token_relevance", "topk_relevance"):
         import lxt_tpu.attribution as _a
         return getattr(_a, name)
     if name == "load_checkpoint_params":
@@ -65,6 +66,7 @@ __all__ = [
     "ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient",
     "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
     "select_logit", "contrastive_target", "normalize_relevance",
+    "multi_token_relevance", "topk_relevance",
     "load_checkpoint_params", "AttributionServer", "http_server",
     "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
     "__version__",

@@ -69,6 +69,82 @@ def latent_relevance(forward_fn: Callable, inputs_embeds, probe_shape,
     return value, in_rel, latent
 
 
+def _row_fn(logits_fn, position):
+    """Wrap ``logits_fn`` to return the ``[B, V]`` row at ``position``
+    (passthrough when the model already returns 2-D logits — a
+    classification head, or a forward with ``logits_at=``)."""
+    def row(inputs_embeds):
+        logits = logits_fn(inputs_embeds)
+        return logits if logits.ndim == 2 else logits[:, position, :]
+    return row
+
+
+def _token_pulls(row, vjp_fn, inputs_embeds, tokens, sum_features, via):
+    """Shared pullback driver for the multi-target APIs: one ``(value,
+    relevance)`` per ``[B]`` token row in ``tokens [K, B]``, reusing the
+    single forward's residuals held by ``vjp_fn``."""
+    def pull(tok_b):
+        ct = jax.nn.one_hot(tok_b, row.shape[-1], dtype=row.dtype)
+        (grad,) = vjp_fn(ct)
+        rel = inputs_embeds.astype(jnp.float32) * grad.astype(jnp.float32)
+        if sum_features:
+            rel = rel.sum(-1)
+        value = jnp.take_along_axis(row, tok_b[:, None], -1)[:, 0]
+        return value, rel
+    if via == "vmap":
+        # batches the K backwards into single batched matmuls; NOTE under
+        # the Pallas flash path the batching rule broadcasts the unbatched
+        # q/k/v residuals K-fold per layer — prefer 'scan' for long
+        # sequences, 'vmap' when the MXU win matters and K*T is modest
+        return jax.vmap(pull)(tokens)
+    if via != "scan":
+        raise ValueError(f"via must be 'scan' or 'vmap', got {via!r}")
+    return jax.lax.map(pull, tokens)
+
+
+def multi_token_relevance(logits_fn, inputs_embeds, tokens, *, position=-1,
+                          sum_features: bool = True, via: str = "scan"):
+    """K relevance maps sharing ONE forward pass.
+
+    ``logits_fn(embeds) -> [B, T, V]`` (or ``[B, V]``); ``tokens`` is
+    ``[K]`` (same candidates for every batch row) or ``[K, B]`` int ids.
+    Returns ``(values [K, B], relevance [K, B, T])``.
+
+    The reference's flow re-runs the whole model per explained token
+    (one ``backward()`` per target, each needing its own forward,
+    examples/quantized_llama.py:39-47). Here ``jax.vjp`` runs the forward
+    once and the K pullbacks reuse its residuals — ~``fwd + K*bwd`` FLOPs
+    and one compiled program instead of ``K*(fwd+bwd)`` and K programs.
+    ``via='vmap'`` additionally batches the K backwards into batched
+    matmuls (see :func:`_token_pulls` for the flash-path memory caveat).
+    """
+    row_of = _row_fn(logits_fn, position)
+    row, vjp_fn = jax.vjp(row_of, inputs_embeds)
+    tokens = jnp.asarray(tokens)
+    if tokens.ndim == 1:
+        tokens = jnp.broadcast_to(tokens[:, None],
+                                  (tokens.shape[0], row.shape[0]))
+    return _token_pulls(row, vjp_fn, inputs_embeds, tokens, sum_features, via)
+
+
+def topk_relevance(logits_fn, inputs_embeds, k: int = 5, *, position=-1,
+                   sum_features: bool = True, via: str = "scan"):
+    """Explain the model's top-k candidates at ``position`` in one pass.
+
+    Returns ``(tokens [K, B], values [K, B], relevance [K, B, T])`` with
+    ``tokens[0]`` the argmax — "why each of the k most likely next tokens",
+    the contrastive-analysis loop of the reference's quickstart
+    (docs/source/quickstart.rst GPT-2 example) without k re-runs.
+    """
+    row_of = _row_fn(logits_fn, position)
+    row, vjp_fn = jax.vjp(row_of, inputs_embeds)
+    _, toks = jax.lax.top_k(row, k)            # [B, K]
+    toks = toks.T                              # [K, B]
+    values, rel = _token_pulls(row, vjp_fn, inputs_embeds, toks,
+                               sum_features, via)
+    return toks, values, rel
+
+
 def contrastive_target(logits, token_a, token_b, position=-1):
     """Contrastive explanation target: logit(a) - logit(b) at ``position``
     (reference docs/source/quickstart.rst GPT-2 contrastive example)."""

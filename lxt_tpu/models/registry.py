@@ -142,6 +142,52 @@ class AttributionModel:
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, embeds, tok)
 
+    def attribute_multi(self, input_ids, tokens, *, position: int = -1,
+                        composite=None, via: str = "scan", jit=True):
+        """K relevance maps for K candidate tokens sharing ONE forward.
+
+        ``tokens``: ``[K]`` (same candidates every batch row) or ``[K, B]``
+        int ids. Returns ``(values [K, B], relevance [K, B, T])`` — e.g. a
+        contrastive set, computed as one fused program instead of K
+        ``attribute`` calls (see :func:`lxt_tpu.multi_token_relevance`).
+        """
+        from lxt_tpu.attribution import multi_token_relevance
+
+        composite = composites.resolve(composite or self.composite)
+        fwd, cfg = self._fns["forward"], self.cfg
+        embeds = self.embed(input_ids)
+        toks = jnp.asarray(tokens)
+        key = ("multi", embeds.shape, embeds.dtype.name, composite,
+               position, toks.shape, via, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, e, toks):
+                return multi_token_relevance(
+                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    e, toks, position=position, via=via)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, toks)
+
+    def attribute_topk(self, input_ids, k: int = 5, *, position: int = -1,
+                       composite=None, via: str = "scan", jit=True):
+        """Explain the model's own top-k candidates at ``position`` in one
+        pass: ``(tokens [K, B], values [K, B], relevance [K, B, T])``."""
+        from lxt_tpu.attribution import topk_relevance
+
+        composite = composites.resolve(composite or self.composite)
+        fwd, cfg = self._fns["forward"], self.cfg
+        embeds = self.embed(input_ids)
+        key = ("topk", embeds.shape, embeds.dtype.name, composite,
+               position, k, via, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, e):
+                return topk_relevance(
+                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    e, k, position=position, via=via)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds)
+
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):
         """Input relevance + per-layer latent relevance in ONE backward

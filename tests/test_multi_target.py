@@ -1,0 +1,143 @@
+"""Multi-target attribution: K heatmaps sharing one forward pass.
+
+The reference explains one target per backward (and one forward per
+backward, examples/quantized_llama.py:39-47); `multi_token_relevance` /
+`topk_relevance` reuse a single jax.vjp's residuals for all K pullbacks.
+Ground truth here: K separate `input_relevance` calls must match exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lxt_tpu
+from lxt_tpu.attribution import (input_relevance, multi_token_relevance,
+                                 select_logit, topk_relevance)
+from lxt_tpu.models import llama as jllama
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = jllama.LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_layers=2,
+        num_heads=2, num_kv_heads=2)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = np.random.RandomState(0).randint(1, 64, (2, 12))
+    embeds = jllama.embed(params, jnp.asarray(ids))
+    return cfg, params, embeds
+
+
+def _logits_fn(cfg, params, attn_impl="einsum"):
+    return lambda e: jllama.forward(params, cfg, e, lxt_tpu.attnlrp,
+                                    attn_impl=attn_impl).logits
+
+
+def _separate(cfg, params, embeds, tokens):
+    """Ground truth: one input_relevance per token (K forwards)."""
+    fn = _logits_fn(cfg, params)
+    vals, rels = [], []
+    for tok in tokens:
+        tok_b = jnp.broadcast_to(jnp.asarray(tok), (embeds.shape[0],))
+        def tgt(e, tok_b=tok_b):
+            return select_logit(fn(e), token=tok_b)
+        v, r = input_relevance(tgt, embeds)
+        vals.append(v)
+        rels.append(r)
+    return np.asarray(vals), np.stack([np.asarray(r) for r in rels])
+
+
+@pytest.mark.parametrize("via", ["scan", "vmap"])
+def test_multi_matches_separate(tiny, via):
+    cfg, params, embeds = tiny
+    tokens = jnp.asarray([3, 17, 42])
+    values, rel = multi_token_relevance(
+        _logits_fn(cfg, params), embeds, tokens, via=via)
+    assert values.shape == (3, 2) and rel.shape == (3, 2, 12)
+
+    vals_ref, rel_ref = _separate(cfg, params, embeds, [3, 17, 42])
+    # separate targets sum the value over the batch; ours is per-example
+    np.testing.assert_allclose(np.asarray(values).sum(-1), vals_ref,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rel), rel_ref, rtol=0, atol=2e-5)
+
+
+def test_multi_per_row_tokens(tiny):
+    """tokens [K, B]: different candidate per batch row."""
+    cfg, params, embeds = tiny
+    tokens = jnp.asarray([[3, 5], [17, 9]])          # K=2, B=2
+    values, rel = multi_token_relevance(
+        _logits_fn(cfg, params), embeds, tokens)
+    # row b of map k must equal the single-target map for tokens[k, b]
+    for k in range(2):
+        def tgt(e, k=k):
+            return select_logit(_logits_fn(cfg, params)(e),
+                                token=tokens[k])
+        _, r = input_relevance(tgt, embeds)
+        np.testing.assert_allclose(np.asarray(rel[k]), np.asarray(r),
+                                   rtol=0, atol=2e-5)
+
+
+def test_topk_tokens_and_argmax_map(tiny):
+    cfg, params, embeds = tiny
+    fn = _logits_fn(cfg, params)
+    toks, values, rel = topk_relevance(fn, embeds, k=3)
+    assert toks.shape == (3, 2) and rel.shape == (3, 2, 12)
+
+    row = np.asarray(fn(embeds)[:, -1, :])
+    order = np.argsort(-row, axis=-1)[:, :3].T       # [K, B]
+    np.testing.assert_array_equal(np.asarray(toks), order)
+    np.testing.assert_allclose(np.asarray(values),
+                               np.stack([row[np.arange(2), order[k]]
+                                         for k in range(3)]), rtol=1e-6)
+
+    # map 0 (the argmax candidate) == the default single-target map
+    def tgt(e):
+        return select_logit(fn(e))
+    _, r0 = input_relevance(tgt, embeds)
+    np.testing.assert_allclose(np.asarray(rel[0]), np.asarray(r0),
+                               rtol=0, atol=2e-5)
+
+
+@pytest.mark.parametrize("via", ["scan", "vmap"])
+def test_multi_flash_path(tiny, via):
+    """The K pullbacks traverse the Pallas flash backward (interpret mode
+    on CPU) — both the scanned and the vmapped drivers must agree with the
+    einsum ground truth."""
+    cfg, params, embeds = tiny
+    tokens = jnp.asarray([3, 17])
+    values, rel = multi_token_relevance(
+        _logits_fn(cfg, params, attn_impl="flash"), embeds, tokens, via=via)
+    vals_ref, rel_ref = _separate(cfg, params, embeds, [3, 17])
+    np.testing.assert_allclose(np.asarray(values).sum(-1), vals_ref,
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rel), rel_ref, rtol=0, atol=3e-5)
+
+
+def test_registry_attribute_multi_and_topk():
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(0).randint(0, 256, (1, 8))
+
+    values, rel = model.attribute_multi(ids, [7, 80, 200])
+    assert values.shape == (3, 1) and rel.shape == (3, 1, 8)
+    # each map equals the single-target attribute for that token
+    for k, tok in enumerate([7, 80, 200]):
+        v, r = model.attribute(ids, token=[tok])
+        np.testing.assert_allclose(np.asarray(rel[k]), np.asarray(r),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(float(values[k, 0]), float(v), rtol=1e-6)
+
+    toks, tvals, trel = model.attribute_topk(ids, k=4)
+    assert toks.shape == (4, 1) and trel.shape == (4, 1, 8)
+    row = np.asarray(model.logits(ids))[:, -1, :]
+    np.testing.assert_array_equal(np.asarray(toks[:, 0]),
+                                  np.argsort(-row[0])[:4])
