@@ -34,6 +34,9 @@ class Heatmap:
     relevance: np.ndarray       # [len(tokens)], normalized to [-1, 1]
     raw_relevance: np.ndarray   # unnormalized
     value: float                # this prompt's explained logit value
+    #: set by ``topk>1`` calls: which candidate token this map explains
+    target_token: Optional[str] = None
+    target_token_id: Optional[int] = None
 
 
 class AttributionPipeline:
@@ -94,10 +97,10 @@ class AttributionPipeline:
             kv_begin[i] = T - len(s)
         return ids, kv_begin, seqs
 
-    def _step(self, shape, composite):
+    def _step(self, shape, composite, topk: int = 1):
         # Composite is a frozen (hashable) dataclass; keying on the object
         # itself distinguishes e.g. two gamma variants that share a name.
-        key = (shape, composite)
+        key = (shape, composite, topk)
         fn = self._jitted.get(key)
         if fn is None:
             fwd, cfg = self.model._fns["forward"], self.model.cfg
@@ -105,57 +108,105 @@ class AttributionPipeline:
             # params are a jit ARGUMENT, not a closure constant: closed-over
             # arrays bake into the serialized program, which the remote-TPU
             # compile service rejects outright for real model sizes
-            def run(params, embeds, kv_begin):
-                def tgt(e):
+            if topk > 1:
+                from lxt_tpu.attribution import topk_relevance
+
+                def run(params, embeds, kv_begin):
                     # logits only at the explained last position (saves the
-                    # T-1 unused lm_head rows in forward and backward)
-                    logits = fwd(params, cfg, e, composite,
-                                 kv_begin=kv_begin, logits_at=-1).logits
-                    row = logits[:, -1, :]
-                    per_example = row.max(axis=-1)
-                    # summing is safe: per-example targets have disjoint grads
-                    return per_example.sum(), per_example
-                (_, per_example), grad = jax.value_and_grad(
-                    tgt, has_aux=True)(embeds)
-                rel = (embeds.astype(jnp.float32) * grad.astype(jnp.float32)
-                       ).sum(-1)
-                return per_example, rel
+                    # T-1 unused lm_head rows in forward and backward); the
+                    # k pullbacks share this single forward's residuals
+                    return topk_relevance(
+                        lambda e: fwd(params, cfg, e, composite,
+                                      kv_begin=kv_begin, logits_at=-1).logits,
+                        embeds, topk)
+            else:
+                def run(params, embeds, kv_begin):
+                    def tgt(e):
+                        # logits only at the explained last position (saves
+                        # the T-1 unused lm_head rows in fwd and bwd)
+                        logits = fwd(params, cfg, e, composite,
+                                     kv_begin=kv_begin, logits_at=-1).logits
+                        row = logits[:, -1, :]
+                        per_example = row.max(axis=-1)
+                        # summing is safe: per-example targets have disjoint
+                        # gradients
+                        return per_example.sum(), per_example
+                    (_, per_example), grad = jax.value_and_grad(
+                        tgt, has_aux=True)(embeds)
+                    rel = (embeds.astype(jnp.float32)
+                           * grad.astype(jnp.float32)).sum(-1)
+                    return per_example, rel
 
             if self.mesh is None:
                 fn = self._jitted[key] = jax.jit(run)
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 data = NamedSharding(self.mesh, P("data"))
-                fn = self._jitted[key] = jax.jit(
-                    run,
-                    in_shardings=(None,
-                                  NamedSharding(self.mesh, P("data", None, None)),
-                                  data),
-                    out_shardings=(data, NamedSharding(self.mesh,
-                                                       P("data", None))))
+                in_sh = (None,
+                         NamedSharding(self.mesh, P("data", None, None)),
+                         data)
+                if topk > 1:
+                    kb = NamedSharding(self.mesh, P(None, "data"))
+                    out_sh = (kb, kb,
+                              NamedSharding(self.mesh, P(None, "data", None)))
+                else:
+                    out_sh = (data, NamedSharding(self.mesh, P("data", None)))
+                fn = self._jitted[key] = jax.jit(run, in_shardings=in_sh,
+                                                 out_shardings=out_sh)
         return fn
 
-    def __call__(self, prompts, composite=None) -> List[Heatmap]:
+    def _tokens_of(self, s):
+        return (self.tokenizer.convert_ids_to_tokens(s)
+                if hasattr(self.tokenizer, "convert_ids_to_tokens")
+                else [str(t) for t in s])
+
+    def __call__(self, prompts, composite=None, topk: int = 1):
+        """``topk=1`` (default): list of :class:`Heatmap`, one per prompt,
+        explaining the argmax next token. ``topk>1``: list of LISTS — the
+        k candidate heatmaps per prompt, all k sharing one forward pass
+        (:func:`lxt_tpu.topk_relevance`), each tagged with its
+        ``target_token``."""
         composite = composites.resolve(composite or self.composite)
+        topk = int(topk)
+        if topk < 1:
+            raise ValueError(f"topk must be >= 1, got {topk}")
         ids, kv_begin, seqs = self._encode(prompts)
         embeds = self.model.embed(ids)
-        value, rel = self._step((ids.shape, embeds.dtype.name), composite)(
-            self.model.params, embeds, jnp.asarray(kv_begin))
+        fn = self._step((ids.shape, embeds.dtype.name), composite, topk)
+        if topk > 1:
+            toks, value, rel = fn(self.model.params, embeds,
+                                  jnp.asarray(kv_begin))
+            toks = np.asarray(toks)
+        else:
+            value, rel = fn(self.model.params, embeds, jnp.asarray(kv_begin))
         rel = np.asarray(rel)
-
         value = np.asarray(value)
+
         out = []
         for i, s in enumerate(seqs):
-            r = rel[i, ids.shape[1] - len(s):]
-            tokens = (self.tokenizer.convert_ids_to_tokens(s)
-                      if hasattr(self.tokenizer, "convert_ids_to_tokens")
-                      else [str(t) for t in s])
+            tokens = self._tokens_of(s)
+            lo = ids.shape[1] - len(s)
             # normalize on the HOST: per-prompt eager jnp ops each pay a
             # device round-trip (~1s/prompt over a remote-TPU tunnel —
             # measured 9.6s vs 0.15s for a batch of 8)
-            out.append(Heatmap(
-                tokens=tokens,
-                relevance=r / (np.abs(r).max() + 1e-12),
-                raw_relevance=r,
-                value=float(value[i])))
+            if topk > 1:
+                cands = []
+                for k in range(topk):
+                    r = rel[k, i, lo:]
+                    tid = int(toks[k, i])
+                    cands.append(Heatmap(
+                        tokens=tokens,
+                        relevance=r / (np.abs(r).max() + 1e-12),
+                        raw_relevance=r,
+                        value=float(value[k, i]),
+                        target_token=self._tokens_of([tid])[0],
+                        target_token_id=tid))
+                out.append(cands)
+            else:
+                r = rel[i, lo:]
+                out.append(Heatmap(
+                    tokens=tokens,
+                    relevance=r / (np.abs(r).max() + 1e-12),
+                    raw_relevance=r,
+                    value=float(value[i])))
         return out

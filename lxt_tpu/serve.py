@@ -47,6 +47,9 @@ class _Request:
     # token ids from submit()'s length guard, reused by the pipeline so the
     # hot path tokenizes each prompt once, not twice
     ids: Optional[list] = None
+    # explain the k most likely next tokens (k>1: the Future resolves to a
+    # LIST of Heatmaps, all k sharing one forward pass)
+    topk: int = 1
 
 
 class ServerOverloadedError(RuntimeError):
@@ -68,16 +71,18 @@ class AttributionServer:
     requests beyond this are rejected with :class:`ServerOverloadedError`
     (backpressure instead of unbounded handler-thread pileup).
     ``max_prompt_tokens``: prompts tokenizing past this raise
-    :class:`PromptTooLongError` at submit time.
+    :class:`PromptTooLongError` at submit time. ``max_topk``: cap on the
+    per-request ``topk`` (each distinct k is a distinct compiled program).
     """
 
     def __init__(self, pipeline: AttributionPipeline, max_batch: int = 8,
                  max_wait_ms: float = 10.0, max_queue: int = 256,
-                 max_prompt_tokens: int = 4096):
+                 max_prompt_tokens: int = 4096, max_topk: int = 32):
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_prompt_tokens = int(max_prompt_tokens)
+        self.max_topk = int(max_topk)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
             maxsize=int(max_queue))
         # bounded: a long-running server must not leak one int per batch
@@ -92,12 +97,20 @@ class AttributionServer:
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, prompt: str, composite=None) -> "concurrent.futures.Future":
-        """Enqueue one prompt; the Future resolves to a :class:`Heatmap`.
+    def submit(self, prompt: str, composite=None,
+               topk: int = 1) -> "concurrent.futures.Future":
+        """Enqueue one prompt; the Future resolves to a :class:`Heatmap`
+        (or, with ``topk>1``, a list of the k candidate Heatmaps).
 
-        Raises :class:`PromptTooLongError` (compile-size guard) or
-        :class:`ServerOverloadedError` (queue full) without enqueuing.
+        Raises :class:`PromptTooLongError` (compile-size guard),
+        :class:`ServerOverloadedError` (queue full) or ``ValueError``
+        (``topk`` out of ``[1, max_topk]``) without enqueuing.
         """
+        topk = int(topk)
+        if not 1 <= topk <= self.max_topk:
+            self.requests_rejected += 1
+            raise ValueError(
+                f"topk must be in [1, {self.max_topk}], got {topk}")
         tokenizer = getattr(self.pipeline, "tokenizer", None)
         ids = None
         if tokenizer is not None:   # bare-callable pipelines skip the guard
@@ -116,7 +129,8 @@ class AttributionServer:
             if self._closed:
                 raise RuntimeError("AttributionServer is closed")
             try:
-                self._queue.put_nowait(_Request(prompt, composite, fut, ids))
+                self._queue.put_nowait(
+                    _Request(prompt, composite, fut, ids, topk))
             except queue.Full:
                 self.requests_rejected += 1
                 raise ServerOverloadedError(
@@ -124,9 +138,9 @@ class AttributionServer:
                 ) from None
         return fut
 
-    def attribute(self, prompt: str, composite=None) -> Heatmap:
+    def attribute(self, prompt: str, composite=None, topk: int = 1):
         """Blocking convenience wrapper around :meth:`submit`."""
-        return self.submit(prompt, composite).result()
+        return self.submit(prompt, composite, topk=topk).result()
 
     def close(self):
         """Reject new submissions; the worker exits after in-flight work."""
@@ -175,16 +189,17 @@ class AttributionServer:
         return True
 
     def _process(self, batch):
-        # one pipeline call per distinct composite in the drain
+        # one pipeline call per distinct (composite, topk) in the drain
         # (Composites are hashable frozen dataclasses; None = default)
         groups = {}
         for req in batch:
-            groups.setdefault(req.composite, []).append(req)
-        for composite, reqs in groups.items():
+            groups.setdefault((req.composite, req.topk), []).append(req)
+        for (composite, topk), reqs in groups.items():
             try:
+                kw = {"topk": topk} if topk > 1 else {}
                 heatmaps = self.pipeline(
                     [r.prompt if r.ids is None else r.ids for r in reqs],
-                    composite=composite)
+                    composite=composite, **kw)
                 if len(heatmaps) != len(reqs):
                     raise RuntimeError(
                         f"pipeline returned {len(heatmaps)} heatmaps for "
@@ -216,11 +231,22 @@ class AttributionServer:
 # ---------------------------------------------------------------------------
 
 def _heatmap_json(hm: Heatmap):
-    return {
+    out = {
         "tokens": list(hm.tokens),
         "relevance": [float(x) for x in hm.relevance],
         "value": hm.value,
     }
+    if hm.target_token_id is not None:
+        out["target_token"] = hm.target_token
+        out["target_token_id"] = hm.target_token_id
+    return out
+
+
+def _result_json(res):
+    """A Heatmap, or (topk>1) the list of candidate Heatmaps."""
+    if isinstance(res, Heatmap):
+        return _heatmap_json(res)
+    return [_heatmap_json(h) for h in res]
 
 
 def http_server(server: AttributionServer, host: str = "127.0.0.1",
@@ -229,10 +255,13 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
 
     Routes:
       - ``POST /v1/attribute`` body ``{"prompt": str}`` or
-        ``{"prompts": [str, ...]}`` -> ``{"heatmaps": [...]}``. Prompts in
-        one request are submitted individually, so they coalesce with OTHER
-        concurrent requests too. 400 on over-long prompts, 503 when the
-        queue is full, 504 when ``request_timeout_s`` elapses first.
+        ``{"prompts": [str, ...]}`` (optional ``"topk": k`` — each entry of
+        ``heatmaps`` becomes the LIST of k candidate maps, each tagged with
+        its ``target_token``) -> ``{"heatmaps": [...]}``. Prompts in one
+        request are submitted individually, so they coalesce with OTHER
+        concurrent requests too. 400 on over-long prompts or bad ``topk``,
+        503 when the queue is full, 504 when ``request_timeout_s`` elapses
+        first.
       - ``GET /healthz`` -> ``{"ok": true, "served": N, "rejected": N,
         "batches": [...], "jit_cache": {"programs": N, "evictions": N}}``
 
@@ -282,14 +311,15 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                 if (not isinstance(prompts, list)
                         or not all(isinstance(p, str) for p in prompts)):
                     raise ValueError("'prompts' must be a list of strings")
+                topk = int(req.get("topk", 1))
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             futures = []
             try:
                 for p in prompts:
-                    futures.append(server.submit(p))
-            except PromptTooLongError as e:
+                    futures.append(server.submit(p, topk=topk))
+            except (PromptTooLongError, ValueError) as e:
                 self._reply(400, {"error": str(e)})
                 return
             except ServerOverloadedError as e:
@@ -318,7 +348,8 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             except Exception as e:  # noqa: BLE001 — surface as 500
                 self._reply(500, {"error": str(e)})
                 return
-            self._reply(200, {"heatmaps": [_heatmap_json(h) for h in heatmaps]})
+            self._reply(200,
+                        {"heatmaps": [_result_json(h) for h in heatmaps]})
 
         def log_message(self, *args):  # quiet (observability via /healthz)
             pass

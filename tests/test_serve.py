@@ -267,3 +267,86 @@ def test_server_tokenizes_each_prompt_once():
     assert hm.tokens == direct[0].tokens
     np.testing.assert_allclose(hm.raw_relevance, direct[0].raw_relevance,
                                rtol=0, atol=1e-5)
+
+
+def test_pipeline_and_server_topk():
+    """topk>1: k candidate heatmaps per prompt, candidate 0 == the default
+    argmax map, all k sharing one forward (pipeline + server + grouping)."""
+    pipe = _pipeline()
+    prompts = ["alpha beta gamma", "one two"]
+
+    single = pipe(prompts)
+    multi = pipe(prompts, topk=3)
+    assert len(multi) == 2 and all(len(c) == 3 for c in multi)
+    for d, cands in zip(single, multi):
+        # candidate 0 explains the argmax — identical to the topk=1 map
+        np.testing.assert_allclose(cands[0].raw_relevance, d.raw_relevance,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(cands[0].value, d.value, rtol=1e-6)
+        vals = [c.value for c in cands]
+        assert vals == sorted(vals, reverse=True)
+        for c in cands:
+            assert c.target_token_id is not None
+            assert c.target_token == f"▁t{c.target_token_id}"
+            assert c.tokens == d.tokens
+
+    # a topk and a topk=1 request coalesce into one drain but group apart
+    server = AttributionServer(pipe, max_batch=4, max_wait_ms=200.0)
+    try:
+        f1 = server.submit(prompts[0])
+        f3 = server.submit(prompts[0], topk=3)
+        r1, r3 = f1.result(timeout=120), f3.result(timeout=120)
+    finally:
+        server.close()
+    np.testing.assert_allclose(r1.raw_relevance, single[0].raw_relevance,
+                               rtol=0, atol=1e-5)
+    assert isinstance(r3, list) and len(r3) == 3
+    np.testing.assert_allclose(r3[0].raw_relevance, single[0].raw_relevance,
+                               rtol=0, atol=1e-5)
+
+    # topk out of bounds rejects at submit time
+    server2 = AttributionServer(pipe, max_topk=4)
+    try:
+        try:
+            server2.submit("alpha", topk=5)
+            raise AssertionError("expected ValueError")
+        except ValueError:
+            pass
+    finally:
+        server2.close()
+
+
+def test_http_topk_roundtrip():
+    pipe = _pipeline()
+    server = AttributionServer(pipe, max_batch=2, max_wait_ms=10.0,
+                               max_topk=4)
+    httpd = http_server(server)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({"prompt": "alpha beta", "topk": 2}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/attribute", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        (cands,) = payload["heatmaps"]
+        assert isinstance(cands, list) and len(cands) == 2
+        assert {"tokens", "relevance", "value", "target_token",
+                "target_token_id"} <= set(cands[0])
+        assert cands[0]["value"] >= cands[1]["value"]
+
+        # bad topk -> 400
+        body = json.dumps({"prompt": "alpha", "topk": 99}).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/attribute", data=body,
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        server.close()
