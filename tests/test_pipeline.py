@@ -212,3 +212,27 @@ def test_pipeline_bucket_batch():
         np.testing.assert_allclose(b.raw_relevance, a.raw_relevance,
                                    rtol=0, atol=1e-5)
         np.testing.assert_allclose(b.value, a.value, rtol=1e-6)
+
+
+def test_pipeline_mesh_topk_matches_single_device():
+    """topk>1 under mesh=: the [K, B(, T)] outputs shard batch-second; maps
+    and candidate order match the unsharded topk pipeline."""
+    from lxt_tpu.parallel import make_mesh
+
+    model, _, _ = _model()
+    tok = ToyTokenizer()
+    prompts = ["alpha beta gamma", "one two three four", "x y"]
+
+    plain = AttributionPipeline(model, tok)
+    sharded = AttributionPipeline(model, tok, mesh=make_mesh(data=4, model=2))
+
+    hp = plain(prompts, topk=3)
+    hs = sharded(prompts, topk=3)
+    assert len(hs) == len(hp) == 3
+    for cp, cs in zip(hp, hs):
+        assert [c.target_token_id for c in cp] == \
+            [c.target_token_id for c in cs]
+        for a, b in zip(cp, cs):
+            np.testing.assert_allclose(a.value, b.value, rtol=1e-5)
+            np.testing.assert_allclose(a.raw_relevance, b.raw_relevance,
+                                       rtol=0, atol=1e-4)
