@@ -85,6 +85,20 @@ def main():
         print(f"served {n_requests} concurrent: {n_requests / dt:.2f} "
               f"heatmaps/s ({dt:.2f}s, batches: {sizes})")
         print(f"coalescing speedup: {n_requests / dt / seq_hps:.2f}x")
+
+        # topk=5: five candidate maps per request from ONE forward each —
+        # heatmap throughput should beat 5 separate attributions by ~the
+        # shared-forward fraction (fwd ~= 1/3 of fwd+bwd)
+        K = 5
+        server.attribute(prompts[0], topk=K)   # warm the topk program
+        t0 = time.time()
+        futures = [server.submit(p, topk=K) for p in prompts]
+        for f in futures:
+            f.result(timeout=600)
+        dt = time.time() - t0
+        print(f"served {n_requests} x topk={K}: "
+              f"{n_requests * K / dt:.2f} heatmaps/s "
+              f"({n_requests / dt:.2f} req/s, {dt:.2f}s)")
     finally:
         server.close()
 
