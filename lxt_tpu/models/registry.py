@@ -445,6 +445,34 @@ class VisionAttributionModel:
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, images, lab, tgt_dir)
 
+    def attribute_topk(self, images, k: int = 5, *, composite=None,
+                       jit=True):
+        """Top-k class heatmaps from ONE forward pass ('vit' classification
+        towers only): ``(labels [K, B], values [K, B], heatmaps
+        [K, B, H, W])`` — compare the pixel evidence for the k most likely
+        classes (the classic contrastive ViT demo) without k re-runs."""
+        from lxt_tpu.attribution import topk_relevance
+
+        if self.kind != "vit":
+            raise ValueError(
+                "attribute_topk needs a classification head (kind='vit'); "
+                f"this tower is {self.kind!r} — use "
+                "attribute_image(target=...)")
+        composite = composites.resolve(composite or self.composite)
+        images = _canon_images(images)
+        fwd, cfg = self._forward(), self.cfg
+        key = ("topk", images.shape, images.dtype.name, composite, k, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, x):
+                # [B, C] class logits are 2-D: topk_relevance's row
+                # passthrough; sum_features sums channels, which on NHWC
+                # pixels IS vit.patch_relevance
+                return topk_relevance(
+                    lambda xx: fwd(params, cfg, xx, composite), x, k)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, images)
+
 
 def _to_numpy_sd(model_or_sd):
     if isinstance(model_or_sd, dict):

@@ -195,3 +195,39 @@ def test_from_hf_multimodal_text_only(tiny_mm_model):
     ids = np.random.default_rng(5).integers(0, 256, (1, 8))
     _, rel = am.attribute(jnp.asarray(ids))
     assert np.isfinite(np.asarray(rel)).all()
+
+
+def test_vit_attribute_topk_matches_per_label(torch_vit):
+    """Top-k class heatmaps from one forward: candidate 0 == the argmax
+    attribute_image map, candidate k == attribute_image(label=label_k)."""
+    am = from_hf(torch_vit)
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+
+    labels, values, heats = am.attribute_topk(images, k=3)
+    assert labels.shape == (3, 2)
+    assert heats.shape == (3, 2, 32, 32)
+
+    logits = np.asarray(am.logits(images))
+    np.testing.assert_array_equal(np.asarray(labels),
+                                  np.argsort(-logits, -1)[:, :3].T)
+
+    v0, h0 = am.attribute_image(images)
+    np.testing.assert_allclose(np.asarray(heats[0]), np.asarray(h0),
+                               rtol=0, atol=1e-5)
+    for k in range(3):
+        vk, hk = am.attribute_image(images, label=np.asarray(labels[k]))
+        np.testing.assert_allclose(np.asarray(heats[k]), np.asarray(hk),
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(float(values[k].sum()), float(vk),
+                                   rtol=1e-6)
+
+
+def test_non_vit_attribute_topk_raises():
+    from tests._reference_golden import _TorchOpenCLIP
+
+    am = from_hf(_TorchOpenCLIP.build())
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((1, 32, 32, 3)).astype(np.float32)
+    with pytest.raises(ValueError, match="classification head"):
+        am.attribute_topk(images, k=2)
