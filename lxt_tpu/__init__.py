@@ -50,7 +50,8 @@ def __getattr__(name):
         return AttributionPipeline
     if name in ("input_relevance", "latent_relevance", "select_logit",
                 "contrastive_target", "normalize_relevance",
-                "multi_token_relevance", "topk_relevance"):
+                "multi_token_relevance", "topk_relevance", "multi_site_relevance",
+                "multi_site_relevance"):
         import lxt_tpu.attribution as _a
         return getattr(_a, name)
     if name == "load_checkpoint_params":
@@ -66,7 +67,7 @@ __all__ = [
     "ops", "Composite", "attnlrp", "cp_lrp", "vanilla_gradient",
     "from_hf", "AttributionPipeline", "input_relevance", "latent_relevance",
     "select_logit", "contrastive_target", "normalize_relevance",
-    "multi_token_relevance", "topk_relevance",
+    "multi_token_relevance", "topk_relevance", "multi_site_relevance",
     "load_checkpoint_params", "AttributionServer", "http_server",
     "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
     "__version__",

@@ -145,6 +145,49 @@ def topk_relevance(logits_fn, inputs_embeds, k: int = 5, *, position=-1,
     return toks, values, rel
 
 
+def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
+                         sum_features: bool = True, via: str = "scan"):
+    """K relevance maps for K (position, token) sites, ONE forward pass.
+
+    ``logits_fn(embeds) -> [B, T, V]``; ``positions [K]`` int positions,
+    ``tokens`` ``[K]`` or ``[K, B]`` int ids. Site k's target is the logit
+    of ``tokens[k]`` at ``positions[k]``. Returns ``(values [K, B],
+    relevance [K, B, T])``. This is the general form behind
+    :func:`multi_token_relevance` (which fixes one position); use it to
+    explain every token of a generated continuation — site k =
+    (p_k - 1, response[p_k]) — without re-running the model per token.
+    """
+    logits, vjp_fn = jax.vjp(logits_fn, inputs_embeds)
+    if logits.ndim != 3:
+        raise ValueError(
+            f"multi_site_relevance needs [B, T, V] logits, got "
+            f"{logits.shape} — for one fixed position use "
+            f"multi_token_relevance")
+    positions = jnp.asarray(positions)
+    tokens = jnp.asarray(tokens)
+    if tokens.ndim == 1:
+        tokens = jnp.broadcast_to(tokens[:, None],
+                                  (tokens.shape[0], logits.shape[0]))
+
+    def pull(site):
+        pos, tok_b = site
+        row = jnp.take(logits, pos, axis=1)              # [B, V]
+        ct = jnp.zeros_like(logits).at[:, pos, :].set(
+            jax.nn.one_hot(tok_b, logits.shape[-1], dtype=logits.dtype))
+        (grad,) = vjp_fn(ct)
+        rel = inputs_embeds.astype(jnp.float32) * grad.astype(jnp.float32)
+        if sum_features:
+            rel = rel.sum(-1)
+        value = jnp.take_along_axis(row, tok_b[:, None], -1)[:, 0]
+        return value, rel
+
+    if via == "vmap":
+        return jax.vmap(pull)((positions, tokens))
+    if via != "scan":
+        raise ValueError(f"via must be 'scan' or 'vmap', got {via!r}")
+    return jax.lax.map(pull, (positions, tokens))
+
+
 def contrastive_target(logits, token_a, token_b, position=-1):
     """Contrastive explanation target: logit(a) - logit(b) at ``position``
     (reference docs/source/quickstart.rst GPT-2 contrastive example)."""

@@ -188,6 +188,43 @@ class AttributionModel:
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, embeds)
 
+    def attribute_response(self, input_ids, response_start: int, *,
+                           composite=None, via: str = "scan", jit=True):
+        """One relevance map PER RESPONSE TOKEN, all sharing one forward.
+
+        ``input_ids [B, T]`` is prompt + generated continuation;
+        ``response_start`` is the first continuation position. Map k
+        explains the logit of ``input_ids[:, response_start + k]`` at the
+        position that predicted it (``response_start + k - 1``) — "why did
+        the model generate each token of this response" in a single fused
+        program instead of one re-run per generated token. Returns
+        ``(values [K, B], relevance [K, B, T])``, ``K = T -
+        response_start``.
+        """
+        from lxt_tpu.attribution import multi_site_relevance
+
+        composite = composites.resolve(composite or self.composite)
+        fwd, cfg = self._fns["forward"], self.cfg
+        ids = jnp.asarray(input_ids)
+        response_start = int(response_start)
+        if not 1 <= response_start < ids.shape[1]:
+            raise ValueError(
+                f"response_start must be in [1, T), got {response_start} "
+                f"for T={ids.shape[1]}")
+        embeds = self.embed(ids)
+        key = ("response", embeds.shape, embeds.dtype.name, composite,
+               response_start, via, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, e, ids):
+                positions = jnp.arange(response_start - 1, ids.shape[1] - 1)
+                tokens = ids[:, response_start:].T          # [K, B]
+                return multi_site_relevance(
+                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    e, positions, tokens, via=via)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, ids)
+
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):
         """Input relevance + per-layer latent relevance in ONE backward

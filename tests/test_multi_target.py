@@ -141,3 +141,57 @@ def test_registry_attribute_multi_and_topk():
     row = np.asarray(model.logits(ids))[:, -1, :]
     np.testing.assert_array_equal(np.asarray(toks[:, 0]),
                                   np.argsort(-row[0])[:4])
+
+
+def test_multi_site_matches_separate_positions(tiny):
+    """Sites at DIFFERENT positions: each map equals the single-target
+    map with select_logit(position=p, token=t)."""
+    cfg, params, embeds = tiny
+    fn = _logits_fn(cfg, params)
+    positions = jnp.asarray([4, 7, 11])
+    tokens = jnp.asarray([3, 17, 42])
+    from lxt_tpu.attribution import multi_site_relevance
+    values, rel = multi_site_relevance(fn, embeds, positions, tokens)
+    assert values.shape == (3, 2) and rel.shape == (3, 2, 12)
+    for k in range(3):
+        p, t = int(positions[k]), int(tokens[k])
+        def tgt(e, p=p, t=t):
+            return select_logit(fn(e), position=p,
+                                token=jnp.full((2,), t))
+        v, r = input_relevance(tgt, embeds)
+        np.testing.assert_allclose(np.asarray(rel[k]), np.asarray(r),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(float(np.asarray(values[k]).sum()),
+                                   float(v), rtol=1e-6)
+
+
+def test_attribute_response_per_token_maps():
+    """attribute_response: map k explains response token k at its
+    predicting position; matches attribute(position=p-1, token=tok)."""
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(1).randint(0, 256, (1, 10))
+    start = 6
+    values, rel = model.attribute_response(ids, start)
+    K = 10 - start
+    assert values.shape == (K, 1) and rel.shape == (K, 1, 10)
+    for k in range(K):
+        p = start + k
+        v, r = model.attribute(ids, position=p - 1, token=[int(ids[0, p])])
+        np.testing.assert_allclose(np.asarray(rel[k]), np.asarray(r),
+                                   rtol=0, atol=2e-5)
+        np.testing.assert_allclose(float(values[k, 0]), float(v),
+                                   rtol=1e-6)
+
+    # response_start bounds
+    import pytest
+    with pytest.raises(ValueError, match="response_start"):
+        model.attribute_response(ids, 0)
