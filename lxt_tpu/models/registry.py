@@ -188,6 +188,57 @@ class AttributionModel:
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, embeds)
 
+    def generate(self, input_ids, max_new_tokens: int, *,
+                 eos_token_id: Optional[int] = None, jit=True):
+        """Greedy decode, so a checkpoint alone (torch-free
+        ``from_pretrained``) can produce the response it then explains
+        (``attribute_response(out, ids.shape[1])``). One compiled
+        ``fori_loop`` re-running the full-prefix forward per step — an
+        attribution tool's convenience, not a serving decoder (no KV
+        cache). Returns ids ``[B, T0 + max_new_tokens]``; rows that hit
+        ``eos_token_id`` keep emitting it.
+        """
+        if self.family == "bert":
+            raise ValueError("generate needs a causal LM head; "
+                             "BERT is an encoder")
+        fwd, cfg = self._fns["forward"], self.cfg
+        embed = self._fns["embed"]
+        composite = self.composite   # forward VALUES are composite-invariant
+        ids0 = jnp.asarray(input_ids)
+        T0 = ids0.shape[1]
+        N = int(max_new_tokens)
+        if N < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {N}")
+        key = ("generate", ids0.shape, N, eos_token_id, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, ids0):
+                B = ids0.shape[0]
+                buf = jnp.concatenate(
+                    [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
+                done0 = jnp.zeros((B,), bool)
+
+                def body(k, state):
+                    buf, done = state
+                    e = embed(params, buf, cfg)
+                    # causal masking: the zero-filled tail cannot influence
+                    # the frontier logits, so one static-shape forward per
+                    # step is exact
+                    logits = fwd(params, cfg, e, composite,
+                                 logits_at=T0 + k - 1).logits
+                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+                    if eos_token_id is not None:
+                        nxt = jnp.where(done, eos_token_id, nxt)
+                        done = done | (nxt == eos_token_id)
+                    buf = jax.lax.dynamic_update_slice_in_dim(
+                        buf, nxt[:, None], T0 + k, axis=1)
+                    return buf, done
+
+                buf, _ = jax.lax.fori_loop(0, N, body, (buf, done0))
+                return buf
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, ids0)
+
     def attribute_response(self, input_ids, response_start: int, *,
                            composite=None, via: str = "scan", jit=True):
         """One relevance map PER RESPONSE TOKEN, all sharing one forward.

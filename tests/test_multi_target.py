@@ -195,3 +195,49 @@ def test_attribute_response_per_token_maps():
     import pytest
     with pytest.raises(ValueError, match="response_start"):
         model.attribute_response(ids, 0)
+
+
+def test_generate_matches_hf_greedy():
+    """Jitted greedy decode == HF generate(do_sample=False), and the
+    generate -> attribute_response roundtrip works from ids alone."""
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(5).randint(1, 256, (2, 6))
+
+    out = np.asarray(model.generate(ids, 5))
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=5,
+                          do_sample=False).numpy()
+    np.testing.assert_array_equal(out, ref)
+
+    values, rels = model.attribute_response(out, ids.shape[1])
+    assert rels.shape == (5, 2, 11)
+    assert np.isfinite(np.asarray(rels)).all()
+
+
+def test_generate_eos_latching():
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(6).randint(1, 256, (1, 4))
+
+    # whatever greedy emits first becomes the eos id: every later token
+    # must then be that same id
+    first = int(np.asarray(model.generate(ids, 1))[0, -1])
+    out = np.asarray(model.generate(ids, 6, eos_token_id=first))
+    assert (out[0, 4:] == first).all()
