@@ -189,14 +189,16 @@ class AttributionModel:
         return fn(self.params, embeds)
 
     def generate(self, input_ids, max_new_tokens: int, *,
-                 eos_token_id: Optional[int] = None, jit=True):
+                 eos_token_id: Optional[int] = None, kv_begin=None, jit=True):
         """Greedy decode, so a checkpoint alone (torch-free
         ``from_pretrained``) can produce the response it then explains
         (``attribute_response(out, ids.shape[1])``). One compiled
         ``fori_loop`` re-running the full-prefix forward per step — an
         attribution tool's convenience, not a serving decoder (no KV
         cache). Returns ids ``[B, T0 + max_new_tokens]``; rows that hit
-        ``eos_token_id`` keep emitting it.
+        ``eos_token_id`` keep emitting it. ``kv_begin [B]`` marks
+        per-example left padding (the serving pipeline's batch layout):
+        positions before it are masked and rope positions shift with it.
         """
         if self.family == "bert":
             raise ValueError("generate needs a causal LM head; "
@@ -209,10 +211,11 @@ class AttributionModel:
         N = int(max_new_tokens)
         if N < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {N}")
-        key = ("generate", ids0.shape, N, eos_token_id, jit)
+        key = ("generate", ids0.shape, N, eos_token_id,
+               kv_begin is not None, jit)
         fn = self._jit.get(key)
         if fn is None:
-            def run(params, ids0):
+            def run(params, ids0, kv_begin):
                 B = ids0.shape[0]
                 buf = jnp.concatenate(
                     [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
@@ -224,7 +227,7 @@ class AttributionModel:
                     # causal masking: the zero-filled tail cannot influence
                     # the frontier logits, so one static-shape forward per
                     # step is exact
-                    logits = fwd(params, cfg, e, composite,
+                    logits = fwd(params, cfg, e, composite, kv_begin=kv_begin,
                                  logits_at=T0 + k - 1).logits
                     nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
                     if eos_token_id is not None:
@@ -237,10 +240,12 @@ class AttributionModel:
                 buf, _ = jax.lax.fori_loop(0, N, body, (buf, done0))
                 return buf
             fn = self._jit[key] = jax.jit(run) if jit else run
-        return fn(self.params, ids0)
+        kb = None if kv_begin is None else jnp.asarray(kv_begin)
+        return fn(self.params, ids0, kb)
 
     def attribute_response(self, input_ids, response_start: int, *,
-                           composite=None, via: str = "scan", jit=True):
+                           composite=None, kv_begin=None, via: str = "scan",
+                           jit=True):
         """One relevance map PER RESPONSE TOKEN, all sharing one forward.
 
         ``input_ids [B, T]`` is prompt + generated continuation;
@@ -248,7 +253,8 @@ class AttributionModel:
         explains the logit of ``input_ids[:, response_start + k]`` at the
         position that predicted it (``response_start + k - 1``) — "why did
         the model generate each token of this response" in a single fused
-        program instead of one re-run per generated token. Returns
+        program instead of one re-run per generated token. ``kv_begin [B]``
+        marks per-example left padding (serving batch layout). Returns
         ``(values [K, B], relevance [K, B, T])``, ``K = T -
         response_start``.
         """
@@ -264,17 +270,19 @@ class AttributionModel:
                 f"for T={ids.shape[1]}")
         embeds = self.embed(ids)
         key = ("response", embeds.shape, embeds.dtype.name, composite,
-               response_start, via, jit)
+               response_start, kv_begin is not None, via, jit)
         fn = self._jit.get(key)
         if fn is None:
-            def run(params, e, ids):
+            def run(params, e, ids, kv_begin):
                 positions = jnp.arange(response_start - 1, ids.shape[1] - 1)
                 tokens = ids[:, response_start:].T          # [K, B]
                 return multi_site_relevance(
-                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    lambda ee: fwd(params, cfg, ee, composite,
+                                   kv_begin=kv_begin).logits,
                     e, positions, tokens, via=via)
             fn = self._jit[key] = jax.jit(run) if jit else run
-        return fn(self.params, embeds, ids)
+        kb = None if kv_begin is None else jnp.asarray(kv_begin)
+        return fn(self.params, embeds, ids, kb)
 
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):

@@ -39,6 +39,18 @@ class Heatmap:
     target_token_id: Optional[int] = None
 
 
+@dataclasses.dataclass
+class ResponseAttribution:
+    """:meth:`AttributionPipeline.respond` result for one prompt: the
+    greedy continuation plus one :class:`Heatmap` PER generated token
+    (map k explains why token k was generated; its ``relevance`` spans
+    prompt + response, causally zero after the predicting position)."""
+    prompt_tokens: List[str]
+    response_tokens: List[str]
+    response_text: str
+    heatmaps: List[Heatmap]
+
+
 class AttributionPipeline:
     """``pipeline(prompts)`` -> list of :class:`Heatmap`.
 
@@ -159,6 +171,67 @@ class AttributionPipeline:
         return (self.tokenizer.convert_ids_to_tokens(s)
                 if hasattr(self.tokenizer, "convert_ids_to_tokens")
                 else [str(t) for t in s])
+
+    def respond(self, prompts, max_new_tokens: int, composite=None,
+                eos_token_id="auto") -> List[ResponseAttribution]:
+        """Generate a greedy continuation per prompt AND explain every
+        token of it — the full "why did the model answer this?" flow in
+        two fused programs (one decode loop + one multi-site attribution
+        sharing a single forward), batched across prompts.
+
+        ``eos_token_id="auto"`` reads the tokenizer; pass ``None`` to
+        always emit ``max_new_tokens``. Rows that hit eos are trimmed
+        (the eos token itself keeps its map). Runs on the default device
+        placement — the ``mesh=`` batch sharding of :meth:`__call__` does
+        not apply here.
+        """
+        N = int(max_new_tokens)
+        if N < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {N}")
+        if eos_token_id == "auto":
+            eos_token_id = getattr(self.tokenizer, "eos_token_id", None)
+        composite = composites.resolve(composite or self.composite)
+        ids, kv_begin, seqs = self._encode(prompts)
+        T0 = ids.shape[1]
+        kv_begin = jnp.asarray(kv_begin)
+        out = np.asarray(self.model.generate(
+            ids, N, eos_token_id=eos_token_id, kv_begin=kv_begin))
+        values, rel = self.model.attribute_response(
+            out, T0, composite=composite, kv_begin=kv_begin)
+        # host-side post-processing only (eager jnp ops each pay a device
+        # round-trip over a remote-TPU tunnel — see __call__)
+        values, rel = np.asarray(values), np.asarray(rel)
+
+        results = []
+        for i, s in enumerate(seqs):
+            gen = out[i, T0:]
+            keep = N
+            if eos_token_id is not None:
+                hits = np.nonzero(gen == eos_token_id)[0]
+                if hits.size:
+                    keep = int(hits[0]) + 1     # trim AFTER the first eos
+            resp_ids = [int(t) for t in gen[:keep]]
+            prompt_tokens = self._tokens_of(s)
+            resp_tokens = self._tokens_of(resp_ids)
+            tokens = prompt_tokens + resp_tokens
+            lo = T0 - len(s)
+            maps = []
+            for k in range(keep):
+                r = rel[k, i, lo:T0 + keep]
+                maps.append(Heatmap(
+                    tokens=tokens,
+                    relevance=r / (np.abs(r).max() + 1e-12),
+                    raw_relevance=r,
+                    value=float(values[k, i]),
+                    target_token=resp_tokens[k],
+                    target_token_id=resp_ids[k]))
+            text = (self.tokenizer.decode(resp_ids)
+                    if hasattr(self.tokenizer, "decode")
+                    else " ".join(resp_tokens))
+            results.append(ResponseAttribution(
+                prompt_tokens=prompt_tokens, response_tokens=resp_tokens,
+                response_text=text, heatmaps=maps))
+        return results
 
     def __call__(self, prompts, composite=None, topk: int = 1):
         """``topk=1`` (default): list of :class:`Heatmap`, one per prompt,

@@ -36,7 +36,8 @@ import threading
 import time
 from typing import Optional
 
-from lxt_tpu.pipeline import AttributionPipeline, Heatmap
+from lxt_tpu.pipeline import (AttributionPipeline, Heatmap,
+                              ResponseAttribution)
 
 
 @dataclasses.dataclass
@@ -50,6 +51,9 @@ class _Request:
     # explain the k most likely next tokens (k>1: the Future resolves to a
     # LIST of Heatmaps, all k sharing one forward pass)
     topk: int = 1
+    # generate-and-explain: emit up to this many tokens and resolve the
+    # Future to a ResponseAttribution (one Heatmap per generated token)
+    respond_tokens: Optional[int] = None
 
 
 class ServerOverloadedError(RuntimeError):
@@ -73,16 +77,21 @@ class AttributionServer:
     ``max_prompt_tokens``: prompts tokenizing past this raise
     :class:`PromptTooLongError` at submit time. ``max_topk``: cap on the
     per-request ``topk`` (each distinct k is a distinct compiled program).
+    ``max_respond_tokens``: cap on per-request ``respond_tokens`` (same
+    compile-size reasoning: the decode loop's length is baked into the
+    program).
     """
 
     def __init__(self, pipeline: AttributionPipeline, max_batch: int = 8,
                  max_wait_ms: float = 10.0, max_queue: int = 256,
-                 max_prompt_tokens: int = 4096, max_topk: int = 32):
+                 max_prompt_tokens: int = 4096, max_topk: int = 32,
+                 max_respond_tokens: int = 256):
         self.pipeline = pipeline
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1e3
         self.max_prompt_tokens = int(max_prompt_tokens)
         self.max_topk = int(max_topk)
+        self.max_respond_tokens = int(max_respond_tokens)
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue(
             maxsize=int(max_queue))
         # bounded: a long-running server must not leak one int per batch
@@ -97,20 +106,34 @@ class AttributionServer:
 
     # -- client side --------------------------------------------------------
 
-    def submit(self, prompt: str, composite=None,
-               topk: int = 1) -> "concurrent.futures.Future":
+    def submit(self, prompt: str, composite=None, topk: int = 1,
+               respond_tokens: Optional[int] = None
+               ) -> "concurrent.futures.Future":
         """Enqueue one prompt; the Future resolves to a :class:`Heatmap`
-        (or, with ``topk>1``, a list of the k candidate Heatmaps).
+        (with ``topk>1``, a list of the k candidate Heatmaps; with
+        ``respond_tokens``, a :class:`ResponseAttribution` — the greedy
+        continuation plus one map per generated token).
 
         Raises :class:`PromptTooLongError` (compile-size guard),
         :class:`ServerOverloadedError` (queue full) or ``ValueError``
-        (``topk`` out of ``[1, max_topk]``) without enqueuing.
+        (``topk`` out of ``[1, max_topk]``, ``respond_tokens`` out of
+        ``[1, max_respond_tokens]``, or both given) without enqueuing.
         """
         topk = int(topk)
         if not 1 <= topk <= self.max_topk:
             self.requests_rejected += 1
             raise ValueError(
                 f"topk must be in [1, {self.max_topk}], got {topk}")
+        if respond_tokens is not None:
+            respond_tokens = int(respond_tokens)
+            if topk != 1:
+                self.requests_rejected += 1
+                raise ValueError("topk and respond_tokens are exclusive")
+            if not 1 <= respond_tokens <= self.max_respond_tokens:
+                self.requests_rejected += 1
+                raise ValueError(
+                    f"respond_tokens must be in [1, "
+                    f"{self.max_respond_tokens}], got {respond_tokens}")
         tokenizer = getattr(self.pipeline, "tokenizer", None)
         ids = None
         if tokenizer is not None:   # bare-callable pipelines skip the guard
@@ -130,7 +153,8 @@ class AttributionServer:
                 raise RuntimeError("AttributionServer is closed")
             try:
                 self._queue.put_nowait(
-                    _Request(prompt, composite, fut, ids, topk))
+                    _Request(prompt, composite, fut, ids, topk,
+                             respond_tokens))
             except queue.Full:
                 self.requests_rejected += 1
                 raise ServerOverloadedError(
@@ -138,9 +162,11 @@ class AttributionServer:
                 ) from None
         return fut
 
-    def attribute(self, prompt: str, composite=None, topk: int = 1):
+    def attribute(self, prompt: str, composite=None, topk: int = 1,
+                  respond_tokens: Optional[int] = None):
         """Blocking convenience wrapper around :meth:`submit`."""
-        return self.submit(prompt, composite, topk=topk).result()
+        return self.submit(prompt, composite, topk=topk,
+                           respond_tokens=respond_tokens).result()
 
     def close(self):
         """Reject new submissions; the worker exits after in-flight work."""
@@ -189,17 +215,23 @@ class AttributionServer:
         return True
 
     def _process(self, batch):
-        # one pipeline call per distinct (composite, topk) in the drain
-        # (Composites are hashable frozen dataclasses; None = default)
+        # one pipeline call per distinct (composite, topk, respond) in the
+        # drain (Composites are hashable frozen dataclasses; None = default)
         groups = {}
         for req in batch:
-            groups.setdefault((req.composite, req.topk), []).append(req)
-        for (composite, topk), reqs in groups.items():
+            groups.setdefault((req.composite, req.topk, req.respond_tokens),
+                              []).append(req)
+        for (composite, topk, respond_tokens), reqs in groups.items():
             try:
-                kw = {"topk": topk} if topk > 1 else {}
-                heatmaps = self.pipeline(
-                    [r.prompt if r.ids is None else r.ids for r in reqs],
-                    composite=composite, **kw)
+                prompts = [r.prompt if r.ids is None else r.ids
+                           for r in reqs]
+                if respond_tokens is not None:
+                    heatmaps = self.pipeline.respond(
+                        prompts, respond_tokens, composite=composite)
+                else:
+                    kw = {"topk": topk} if topk > 1 else {}
+                    heatmaps = self.pipeline(prompts, composite=composite,
+                                             **kw)
                 if len(heatmaps) != len(reqs):
                     raise RuntimeError(
                         f"pipeline returned {len(heatmaps)} heatmaps for "
@@ -243,9 +275,17 @@ def _heatmap_json(hm: Heatmap):
 
 
 def _result_json(res):
-    """A Heatmap, or (topk>1) the list of candidate Heatmaps."""
+    """A Heatmap, (topk>1) the list of candidate Heatmaps, or
+    (respond) a ResponseAttribution."""
     if isinstance(res, Heatmap):
         return _heatmap_json(res)
+    if isinstance(res, ResponseAttribution):
+        return {
+            "response": res.response_text,
+            "response_tokens": list(res.response_tokens),
+            "prompt_tokens": list(res.prompt_tokens),
+            "heatmaps": [_heatmap_json(h) for h in res.heatmaps],
+        }
     return [_heatmap_json(h) for h in res]
 
 
@@ -262,6 +302,12 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
         concurrent requests too. 400 on over-long prompts or bad ``topk``,
         503 when the queue is full, 504 when ``request_timeout_s`` elapses
         first.
+      - ``POST /v1/respond`` body ``{"prompt": str, "max_new_tokens": N}``
+        (or ``"prompts"``) -> ``{"responses": [{"response": str,
+        "response_tokens": [...], "prompt_tokens": [...],
+        "heatmaps": [...]}]}`` — greedy continuation plus one heatmap per
+        generated token (trimmed at eos). Same 400/503/504 semantics;
+        ``max_new_tokens`` is capped by ``max_respond_tokens``.
       - ``GET /healthz`` -> ``{"ok": true, "served": N, "rejected": N,
         "batches": [...], "jit_cache": {"programs": N, "evictions": N}}``
 
@@ -297,7 +343,7 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                 self._reply(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path != "/v1/attribute":
+            if self.path not in ("/v1/attribute", "/v1/respond"):
                 self._reply(404, {"error": "not found"})
                 return
             try:
@@ -312,13 +358,17 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                         or not all(isinstance(p, str) for p in prompts)):
                     raise ValueError("'prompts' must be a list of strings")
                 topk = int(req.get("topk", 1))
+                respond_tokens = None
+                if self.path == "/v1/respond":
+                    respond_tokens = int(req["max_new_tokens"])
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
             futures = []
             try:
                 for p in prompts:
-                    futures.append(server.submit(p, topk=topk))
+                    futures.append(server.submit(
+                        p, topk=topk, respond_tokens=respond_tokens))
             except (PromptTooLongError, ValueError) as e:
                 self._reply(400, {"error": str(e)})
                 return
@@ -348,8 +398,10 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             except Exception as e:  # noqa: BLE001 — surface as 500
                 self._reply(500, {"error": str(e)})
                 return
-            self._reply(200,
-                        {"heatmaps": [_result_json(h) for h in heatmaps]})
+            payload = [_result_json(h) for h in heatmaps]
+            key = ("responses" if self.path == "/v1/respond"
+                   else "heatmaps")
+            self._reply(200, {key: payload})
 
         def log_message(self, *args):  # quiet (observability via /healthz)
             pass
@@ -391,7 +443,8 @@ def build_server(args) -> AttributionServer:
     return AttributionServer(pipeline, max_batch=args.max_batch,
                              max_wait_ms=args.max_wait_ms,
                              max_queue=args.max_queue,
-                             max_prompt_tokens=args.max_prompt_tokens)
+                             max_prompt_tokens=args.max_prompt_tokens,
+                             max_respond_tokens=args.max_respond_tokens)
 
 
 def _parse_args(argv=None):
@@ -415,6 +468,8 @@ def _parse_args(argv=None):
                     help="pending-request bound; beyond it requests get 503")
     ap.add_argument("--max-prompt-tokens", type=int, default=4096,
                     help="reject longer prompts with 400 (compile-size guard)")
+    ap.add_argument("--max-respond-tokens", type=int, default=256,
+                    help="cap /v1/respond max_new_tokens (compile-size guard)")
     ap.add_argument("--request-timeout-s", type=float, default=None,
                     help="per-request deadline; 504 when exceeded")
     ap.add_argument("--data-parallel", type=int, default=1,
