@@ -181,9 +181,10 @@ class AttributionPipeline:
 
         ``eos_token_id="auto"`` reads the tokenizer; pass ``None`` to
         always emit ``max_new_tokens``. Rows that hit eos are trimmed
-        (the eos token itself keeps its map). Runs on the default device
-        placement — the ``mesh=`` batch sharding of :meth:`__call__` does
-        not apply here.
+        (the eos token itself keeps its map). With ``mesh=``, the batch
+        shards over the ``data`` axis (inputs are placed with data
+        shardings; jit compiles per input sharding, so the decode loop
+        and the attribution both run batch-parallel).
         """
         N = int(max_new_tokens)
         if N < 1:
@@ -194,12 +195,21 @@ class AttributionPipeline:
         ids, kv_begin, seqs = self._encode(prompts)
         T0 = ids.shape[1]
         kv_begin = jnp.asarray(kv_begin)
-        out = np.asarray(self.model.generate(
-            ids, N, eos_token_id=eos_token_id, kv_begin=kv_begin))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ids = jax.device_put(
+                ids, NamedSharding(self.mesh, P("data", None)))
+            kv_begin = jax.device_put(
+                kv_begin, NamedSharding(self.mesh, P("data")))
+        out_dev = self.model.generate(ids, N, eos_token_id=eos_token_id,
+                                      kv_begin=kv_begin)
+        # keep ids on device between the two programs: the generated batch
+        # retains its (possibly data-sharded) layout into the attribution
         values, rel = self.model.attribute_response(
-            out, T0, composite=composite, kv_begin=kv_begin)
+            out_dev, T0, composite=composite, kv_begin=kv_begin)
         # host-side post-processing only (eager jnp ops each pay a device
         # round-trip over a remote-TPU tunnel — see __call__)
+        out = np.asarray(out_dev)
         values, rel = np.asarray(values), np.asarray(rel)
 
         results = []

@@ -64,6 +64,26 @@ def test_respond_eos_trimming():
         len(res.heatmaps[0].tokens),)
 
 
+def test_respond_mesh_matches_single_device():
+    """respond under a dp x tp mesh: same continuations, same maps."""
+    from lxt_tpu.parallel import make_mesh
+
+    model, cfg, params = _model()
+    tok = ToyTokenizer()
+    prompts = ["alpha beta gamma", "one two three four five",
+               "x y", "p q r s"]
+    plain = AttributionPipeline(model, tok).respond(prompts, 2,
+                                                    eos_token_id=None)
+    sharded = AttributionPipeline(
+        model, tok, mesh=make_mesh(data=4, model=2)).respond(
+            prompts, 2, eos_token_id=None)
+    for a, b in zip(plain, sharded):
+        assert a.response_tokens == b.response_tokens
+        for ha, hb in zip(a.heatmaps, b.heatmaps):
+            np.testing.assert_allclose(hb.raw_relevance, ha.raw_relevance,
+                                       rtol=0, atol=2e-4)
+
+
 def test_respond_rejects_bad_args():
     model, _, _ = _model()
     pipe = AttributionPipeline(model, ToyTokenizer())
