@@ -99,6 +99,21 @@ def main():
         print(f"served {n_requests} x topk={K}: "
               f"{n_requests * K / dt:.2f} heatmaps/s "
               f"({n_requests / dt:.2f} req/s, {dt:.2f}s)")
+
+        # respond: greedy-decode N tokens + one map per generated token,
+        # batched — N+1 fused programs total per batch (N decode steps
+        # share one compiled loop, all N maps share one attribution)
+        N = 8
+        n_resp = max(1, n_requests // 4)
+        server.attribute(prompts[0], respond_tokens=N)   # warm
+        t0 = time.time()
+        futures = [server.submit(p, respond_tokens=N)
+                   for p in prompts[:n_resp]]
+        maps = sum(len(f.result(timeout=600).heatmaps) for f in futures)
+        dt = time.time() - t0
+        print(f"served {n_resp} x respond(N={N}): "
+              f"{maps / dt:.2f} response-token maps/s "
+              f"({n_resp / dt:.2f} req/s, {dt:.2f}s)")
     finally:
         server.close()
 
