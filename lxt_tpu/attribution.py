@@ -146,7 +146,8 @@ def topk_relevance(logits_fn, inputs_embeds, k: int = 5, *, position=-1,
 
 
 def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
-                         sum_features: bool = True, via: str = "scan"):
+                         aux_input=None, sum_features: bool = True,
+                         via: str = "scan"):
     """K relevance maps for K (position, token) sites, ONE forward pass.
 
     ``logits_fn(embeds) -> [B, T, V]``; ``positions [K]`` int positions,
@@ -156,8 +157,16 @@ def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
     :func:`multi_token_relevance` (which fixes one position); use it to
     explain every token of a generated continuation — site k =
     (p_k - 1, response[p_k]) — without re-running the model per token.
+
+    ``aux_input``: a second differentiable input (e.g. pixels). Then
+    ``logits_fn(embeds, aux)`` and the return gains a third element: the
+    per-site aux relevance (G*I over ``aux``, last axis summed under
+    ``sum_features`` — channels, for NHWC pixels).
     """
-    logits, vjp_fn = jax.vjp(logits_fn, inputs_embeds)
+    if aux_input is None:
+        logits, vjp_fn = jax.vjp(logits_fn, inputs_embeds)
+    else:
+        logits, vjp_fn = jax.vjp(logits_fn, inputs_embeds, aux_input)
     if logits.ndim != 3:
         raise ValueError(
             f"multi_site_relevance needs [B, T, V] logits, got "
@@ -169,17 +178,22 @@ def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
         tokens = jnp.broadcast_to(tokens[:, None],
                                   (tokens.shape[0], logits.shape[0]))
 
+    def _gxi(x, g):
+        rel = x.astype(jnp.float32) * g.astype(jnp.float32)
+        return rel.sum(-1) if sum_features else rel
+
     def pull(site):
         pos, tok_b = site
         row = jnp.take(logits, pos, axis=1)              # [B, V]
         ct = jnp.zeros_like(logits).at[:, pos, :].set(
             jax.nn.one_hot(tok_b, logits.shape[-1], dtype=logits.dtype))
-        (grad,) = vjp_fn(ct)
-        rel = inputs_embeds.astype(jnp.float32) * grad.astype(jnp.float32)
-        if sum_features:
-            rel = rel.sum(-1)
         value = jnp.take_along_axis(row, tok_b[:, None], -1)[:, 0]
-        return value, rel
+        if aux_input is None:
+            (grad,) = vjp_fn(ct)
+            return value, _gxi(inputs_embeds, grad)
+        grad, grad_aux = vjp_fn(ct)
+        return (value, _gxi(inputs_embeds, grad),
+                _gxi(aux_input, grad_aux))
 
     if via == "vmap":
         return jax.vmap(pull)((positions, tokens))

@@ -752,6 +752,111 @@ class MultimodalAttributionModel:
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, embeds, pix, mask, tok)
 
+    def _merged_prefix(self, params, ids, pix, mask, composite):
+        """Prompt embeds with the projected image tokens scattered in —
+        the image is encoded ONCE here; decode steps are text-only."""
+        from lxt_tpu.models import gemma3, siglip
+
+        vision_out = siglip.forward(params["vision"], self.cfg.vision, pix,
+                                    composite)
+        img = gemma3.project_image_features(params, self.cfg, vision_out,
+                                            composite)
+        e = gemma3.embed(params["text"], ids, self.cfg.text)
+        B, T, D = e.shape
+        flat = img.reshape(-1, D).astype(e.dtype)
+        idx = jnp.clip(jnp.cumsum(mask.reshape(-1)) - 1, 0, None)
+        merged = jnp.where(mask.reshape(-1)[:, None], flat[idx],
+                           e.reshape(-1, D))
+        return merged.reshape(B, T, D)
+
+    def generate(self, input_ids, pixel_values, max_new_tokens: int, *,
+                 eos_token_id: Optional[int] = None, jit=True):
+        """Greedy decode conditioned on the image (one compiled
+        ``fori_loop``; SigLIP runs once, each step re-runs the text
+        forward over the full prefix). Returns ids
+        ``[B, T0 + max_new_tokens]`` — feed them to
+        :meth:`attribute_response` to explain the caption it produced.
+        Generated positions are never image placeholders, so scattering
+        only into the prompt prefix is exact.
+        """
+        from lxt_tpu.models import gemma3
+
+        ids0 = jnp.asarray(input_ids)
+        pix = _canon_images(pixel_values)
+        mask = ids0 == self.cfg.image_token_id
+        composite, cfg = self.composite, self.cfg
+        T0 = ids0.shape[1]
+        N = int(max_new_tokens)
+        if N < 1:
+            raise ValueError(f"max_new_tokens must be >= 1, got {N}")
+        key = ("generate", ids0.shape, pix.shape, N, eos_token_id, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, ids0, pix, mask):
+                merged0 = self._merged_prefix(params, ids0, pix, mask,
+                                              composite)
+                B = ids0.shape[0]
+                buf = jnp.concatenate(
+                    [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
+                done0 = jnp.zeros((B,), bool)
+
+                def body(k, state):
+                    buf, done = state
+                    e = gemma3.embed(params["text"], buf, cfg.text)
+                    e = jnp.concatenate([merged0, e[:, T0:]], axis=1)
+                    logits = gemma3.forward(
+                        params["text"], cfg.text, e, composite,
+                        logits_at=T0 + k - 1).logits
+                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+                    if eos_token_id is not None:
+                        nxt = jnp.where(done, eos_token_id, nxt)
+                        done = done | (nxt == eos_token_id)
+                    buf = jax.lax.dynamic_update_slice_in_dim(
+                        buf, nxt[:, None], T0 + k, axis=1)
+                    return buf, done
+
+                buf, _ = jax.lax.fori_loop(0, N, body, (buf, done0))
+                return buf
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, ids0, pix, mask)
+
+    def attribute_response(self, input_ids, pixel_values,
+                           response_start: int, *, composite=None,
+                           via: str = "scan", jit=True):
+        """One joint token+pixel relevance map PER RESPONSE TOKEN, all
+        sharing one forward ("why did the model generate each token of
+        its caption, and which pixels drove it"). Returns ``(values
+        [K, B], token_relevance [K, B, T], image_heatmap [K, B, H, W])``,
+        ``K = T - response_start``."""
+        from lxt_tpu.attribution import multi_site_relevance
+        from lxt_tpu.models import gemma3
+
+        composite = composites.resolve(composite or self.composite)
+        ids = jnp.asarray(input_ids)
+        pix = _canon_images(pixel_values)
+        mask = ids == self.cfg.image_token_id
+        response_start = int(response_start)
+        if not 1 <= response_start < ids.shape[1]:
+            raise ValueError(
+                f"response_start must be in [1, T), got {response_start} "
+                f"for T={ids.shape[1]}")
+        embeds = gemma3.embed(self.params["text"], ids, self.cfg.text)
+        key = ("response", embeds.shape, pix.shape, embeds.dtype.name,
+               composite, response_start, via, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            cfg = self.cfg
+
+            def run(params, e, p, m, ids):
+                positions = jnp.arange(response_start - 1, ids.shape[1] - 1)
+                tokens = ids[:, response_start:].T          # [K, B]
+                return multi_site_relevance(
+                    lambda ee, pp: gemma3.multimodal_forward(
+                        params, cfg, ee, pp, m, composite).logits,
+                    e, positions, tokens, aux_input=p, via=via)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, pix, mask, ids)
+
 
 def _convert_multimodal(state_dict, hf_config, composite,
                         dtype) -> MultimodalAttributionModel:

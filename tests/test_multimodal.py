@@ -97,3 +97,61 @@ def test_multimodal_joint_attribution(tiny_mm):
     # embedding was replaced), but the pixels do
     assert float(jnp.abs(pixel_rel).sum()) > 0
     assert abs(float(token_rel[0, 1])) < 1e-6
+
+
+def _mm_model(hf):
+    from lxt_tpu.models.registry import MultimodalAttributionModel
+    mmcfg = jg.Gemma3MultimodalConfig.from_hf(hf.config)
+    params = jg.multimodal_params_from_hf(hf.state_dict(), mmcfg)
+    return MultimodalAttributionModel(cfg=mmcfg, params=params,
+                                      composite=lxt_tpu.attnlrp)
+
+
+def test_multimodal_generate_matches_hf(tiny_mm):
+    import torch
+
+    hf = tiny_mm
+    model = _mm_model(hf)
+    g = torch.Generator().manual_seed(4)
+    ids = torch.randint(0, 256, (2, 7), generator=g)
+    ids[:, 1] = hf.config.image_token_index
+    pixels = torch.randn(2, 3, 28, 28, generator=g)
+
+    out = np.asarray(model.generate(
+        ids.numpy(), pixels.numpy().transpose(0, 2, 3, 1), 4))
+    with torch.no_grad():
+        ref = hf.generate(input_ids=ids, pixel_values=pixels,
+                          max_new_tokens=4, do_sample=False).numpy()
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_multimodal_attribute_response(tiny_mm):
+    """Each of the K fused response maps equals the single-site joint
+    attribution at that (position, token)."""
+    import torch
+
+    hf = tiny_mm
+    model = _mm_model(hf)
+    g = torch.Generator().manual_seed(5)
+    ids = torch.randint(0, 256, (1, 6), generator=g)
+    ids[0, 0] = hf.config.image_token_index
+    pixels = torch.randn(1, 3, 28, 28, generator=g)
+    pix = pixels.numpy().transpose(0, 2, 3, 1)
+
+    out = np.asarray(model.generate(ids.numpy(), pix, 3))
+    T0 = ids.shape[1]
+    values, rel_tok, rel_pix = model.attribute_response(out, pix, T0)
+    values, rel_tok, rel_pix = (np.asarray(values), np.asarray(rel_tok),
+                                np.asarray(rel_pix))
+    assert rel_tok.shape == (3, 1, T0 + 3)
+    assert rel_pix.shape == (3, 1, 28, 28)
+    assert np.isfinite(rel_tok).all() and np.isfinite(rel_pix).all()
+
+    for k in range(3):
+        v, rt, rp = model.attribute(out, pix, position=T0 + k - 1,
+                                    token=out[:, T0 + k])
+        np.testing.assert_allclose(values[k], np.asarray(v), rtol=1e-4)
+        np.testing.assert_allclose(rel_tok[k], np.asarray(rt), rtol=0,
+                                   atol=2e-4)
+        np.testing.assert_allclose(rel_pix[k], np.asarray(rp), rtol=0,
+                                   atol=2e-4)
