@@ -25,11 +25,16 @@ from lxt_tpu.utils.cache import JitCache
 
 
 def _llama_like(mod):
+    from lxt_tpu.models import decode
+
     return {
         "config": mod.LlamaConfig,
         "from_hf": mod.params_from_hf,
         "forward": mod.forward,
         "embed": lambda params, ids, cfg: mod.embed(params, ids),
+        # KV-cached incremental decoding (generate's fast path)
+        "prefill": decode.prefill,
+        "decode_step": decode.decode_step,
     }
 
 
@@ -189,16 +194,20 @@ class AttributionModel:
         return fn(self.params, embeds)
 
     def generate(self, input_ids, max_new_tokens: int, *,
-                 eos_token_id: Optional[int] = None, kv_begin=None, jit=True):
+                 eos_token_id: Optional[int] = None, kv_begin=None,
+                 use_cache: bool = True, jit=True):
         """Greedy decode, so a checkpoint alone (torch-free
         ``from_pretrained``) can produce the response it then explains
-        (``attribute_response(out, ids.shape[1])``). One compiled
-        ``fori_loop`` re-running the full-prefix forward per step — an
-        attribution tool's convenience, not a serving decoder (no KV
-        cache). Returns ids ``[B, T0 + max_new_tokens]``; rows that hit
-        ``eos_token_id`` keep emitting it. ``kv_begin [B]`` marks
-        per-example left padding (the serving pipeline's batch layout):
-        positions before it are masked and rope positions shift with it.
+        (``attribute_response(out, ids.shape[1])``). One compiled program:
+        Llama-family models run KV-cached incremental decoding (prefill +
+        per-token steps, ``models/decode.py`` — O(T + N·T·D) instead of N
+        full-prefix forwards); other families (``use_cache=False`` forces
+        this everywhere) re-run the full-prefix forward per step inside a
+        ``fori_loop``, exact by causal masking. Returns ids
+        ``[B, T0 + max_new_tokens]``; rows that hit ``eos_token_id`` keep
+        emitting it. ``kv_begin [B]`` marks per-example left padding (the
+        serving pipeline's batch layout): positions before it are masked
+        and rope positions shift with it.
         """
         if self.family == "bert":
             raise ValueError("generate needs a causal LM head; "
@@ -211,10 +220,45 @@ class AttributionModel:
         N = int(max_new_tokens)
         if N < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {N}")
+        cached = use_cache and "prefill" in self._fns
         key = ("generate", ids0.shape, N, eos_token_id,
-               kv_begin is not None, jit)
+               kv_begin is not None, cached, jit)
         fn = self._jit.get(key)
-        if fn is None:
+        if fn is None and cached:
+            pre, step = self._fns["prefill"], self._fns["decode_step"]
+
+            def run(params, ids0, kv_begin):
+                B = ids0.shape[0]
+                e0 = embed(params, ids0, cfg)
+                logits0, caches = pre(params, cfg, e0, T0 + N,
+                                      kv_begin=kv_begin, composite=composite)
+                nxt = jnp.argmax(logits0[:, 0, :], -1).astype(ids0.dtype)
+                done = (jnp.zeros((B,), bool) if eos_token_id is None
+                        else nxt == eos_token_id)
+                buf = jnp.concatenate(
+                    [ids0, nxt[:, None],
+                     jnp.zeros((B, N - 1), ids0.dtype)], axis=1)
+
+                def body(k, state):
+                    buf, done, caches = state
+                    tok = jax.lax.dynamic_slice_in_dim(buf, T0 + k - 1, 1,
+                                                       axis=1)
+                    e = embed(params, tok, cfg)
+                    logits, caches = step(params, cfg, e, caches,
+                                          T0 + k - 1, kv_begin=kv_begin,
+                                          composite=composite)
+                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+                    if eos_token_id is not None:
+                        nxt = jnp.where(done, eos_token_id, nxt)
+                        done = done | (nxt == eos_token_id)
+                    buf = jax.lax.dynamic_update_slice_in_dim(
+                        buf, nxt[:, None], T0 + k, axis=1)
+                    return buf, done, caches
+
+                buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
+                return buf
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        elif fn is None:
             def run(params, ids0, kv_begin):
                 B = ids0.shape[0]
                 buf = jnp.concatenate(

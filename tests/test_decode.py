@@ -1,0 +1,92 @@
+"""KV-cached incremental decoding (models/decode.py): the fast generate
+path must be token-exact with the full-prefix loop on every Llama-family
+config variant, including left-padded serving batches."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import lxt_tpu
+from lxt_tpu.models import llama as jl
+from lxt_tpu.models.registry import AttributionModel, _family_table
+
+BASE = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
+            num_layers=2, num_heads=4, num_kv_heads=2, rms_eps=1e-6)
+
+
+def _model(cfg, seed=0, randomize_biases=True):
+    params = jl.init_params(cfg, jax.random.PRNGKey(seed))
+    if randomize_biases and cfg.qkv_bias:
+        # init_params zeros the biases; random ones make the bias path
+        # observable
+        ks = jax.random.split(jax.random.PRNGKey(seed + 1), 3)
+        for i, name in enumerate(("bq", "bk", "bv")):
+            params["layers"][name] = 0.1 * jax.random.normal(
+                ks[i], params["layers"][name].shape)
+    return AttributionModel("llama", cfg, params, lxt_tpu.attnlrp,
+                            _family_table()["llama"])
+
+
+@pytest.mark.parametrize("variant,kw", [
+    ("gqa", {}),
+    ("qkv_bias", {"qkv_bias": True}),
+    ("qk_norm", {"qk_norm": True}),
+    ("window", {"sliding_window": 4}),
+    ("tied", {"tie_embeddings": True}),
+])
+def test_cached_matches_uncached(variant, kw):
+    cfg = jl.LlamaConfig(**{**BASE, **kw})
+    m = _model(cfg)
+    ids = np.random.RandomState(1).randint(1, cfg.vocab_size, (2, 6))
+    a = np.asarray(m.generate(ids, 5, use_cache=True))
+    b = np.asarray(m.generate(ids, 5, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_cached_matches_uncached_left_padded():
+    cfg = jl.LlamaConfig(**BASE)
+    m = _model(cfg)
+    ids = np.random.RandomState(2).randint(1, cfg.vocab_size, (2, 6))
+    kb = np.asarray([3, 0], np.int32)
+    a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
+    b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+    # and the padded row equals the unpadded run of its suffix
+    solo = np.asarray(m.generate(ids[:1, 3:], 4, use_cache=True))
+    np.testing.assert_array_equal(a[0, 3:], solo[0])
+
+
+def test_cached_eos_latching():
+    cfg = jl.LlamaConfig(**BASE)
+    m = _model(cfg)
+    ids = np.random.RandomState(3).randint(1, cfg.vocab_size, (1, 5))
+    first = int(np.asarray(m.generate(ids, 1, use_cache=True))[0, -1])
+    out = np.asarray(m.generate(ids, 6, eos_token_id=first, use_cache=True))
+    assert (out[0, 5:] == first).all()
+
+
+def test_prefill_step_logits_match_full_forward():
+    """The per-step logits themselves (not just the argmax) agree with
+    the full-sequence forward at every frontier."""
+    from lxt_tpu.models import decode
+
+    cfg = jl.LlamaConfig(**BASE)
+    m = _model(cfg)
+    ids = np.random.RandomState(4).randint(1, cfg.vocab_size, (2, 7))
+    T0, N = ids.shape[1], 3
+    out = np.asarray(m.generate(ids, N, use_cache=True))
+
+    e = m.embed(out)
+    full = np.asarray(m._fns["forward"](
+        m.params, cfg, e, lxt_tpu.attnlrp).logits)
+
+    logits0, caches = decode.prefill(m.params, cfg, m.embed(ids), T0 + N)
+    np.testing.assert_allclose(np.asarray(logits0)[:, 0], full[:, T0 - 1],
+                               rtol=0, atol=2e-4)
+    for k in range(1, N):
+        tok = jnp.asarray(out[:, T0 + k - 1: T0 + k])
+        le, caches = decode.decode_step(
+            m.params, cfg, m.embed(tok), caches, T0 + k - 1)
+        np.testing.assert_allclose(np.asarray(le)[:, 0], full[:, T0 + k - 1],
+                                   rtol=0, atol=2e-4)
