@@ -157,3 +157,146 @@ def _head(params, cfg, h, composite):
     if head is None:
         head = params["embed"].T
     return composite.linear(h, head)
+
+
+# ---------------------------------------------------------------------------
+# Gemma 3: sandwich norms, per-layer local/global rope + sliding window
+# ---------------------------------------------------------------------------
+
+def _gemma_setup(cfg):
+    from lxt_tpu.models.gemma3 import gemma_rms_norm
+
+    layer_types = cfg.layer_types or tuple(
+        "sliding_attention" if (i + 1) % 6 else "full_attention"
+        for i in range(cfg.num_layers))
+    is_sliding = jnp.asarray(
+        [1.0 if t == "sliding_attention" else 0.0 for t in layer_types],
+        jnp.float32)
+    return gemma_rms_norm, is_sliding
+
+
+def _gemma_ropes(positions, cfg):
+    cos_g, sin_g = common.rope_tables(positions, cfg.head_dim,
+                                      cfg.rope_theta,
+                                      scaling=cfg.rope_global_scaling)
+    cos_l, sin_l = common.rope_tables(positions, cfg.head_dim,
+                                      cfg.rope_local_theta)
+    return (cos_g, sin_g), (cos_l, sin_l)
+
+
+def gemma3_prefill(params, cfg, inputs_embeds, t_max: int, *,
+                   kv_begin=None, composite=composites.attnlrp):
+    """Gemma-3 counterpart of :func:`prefill` (same contract)."""
+    from lxt_tpu.models.common import ACTIVATIONS
+
+    B, T, D = inputs_embeds.shape
+    act_fn = ACTIVATIONS[cfg.act]
+    norm, is_sliding = _gemma_setup(cfg)
+    positions, _, kv_begin = common.padding_setup(None, kv_begin, None, T)
+    (cos_g, sin_g), (cos_l, sin_l) = _gemma_ropes(positions, cfg)
+    scale = cfg.query_pre_attn_scalar ** -0.5
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def layer_fn(h, xs):
+        lp, sliding = xs
+        res = h
+        x = norm(h, lp["ln_in"], cfg.rms_eps, composite)
+        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = norm(q, lp["q_norm"], cfg.rms_eps, composite)
+        k = norm(k, lp["k_norm"], cfg.rms_eps, composite)
+        cos = jnp.where(sliding > 0, cos_l, cos_g)
+        sin = jnp.where(sliding > 0, sin_l, sin_g)
+        window = jnp.where(sliding > 0, cfg.sliding_window,
+                           jnp.int32(2**30)).astype(jnp.int32)
+        q, k = common.apply_rope(q, k, cos, sin)
+        attn = attention(q, k, v, causal=True, window=window,
+                         composite=composite, scale=scale,
+                         kv_begin=kv_begin)
+        out = composite.linear(common.merge_heads(attn), lp["wo"])
+        h = res + norm(out, lp["ln_post_attn"], cfg.rms_eps, composite)
+        res = h
+        x = norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
+                                composite.linear(x, lp["wu"]))
+        mlp = composite.linear(g, lp["wd"])
+        h = res + norm(mlp, lp["ln_post_ff"], cfg.rms_eps, composite)
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds,
+                               (params["layers"], is_sliding))
+    pad = [(0, 0)] * 5
+    pad[3] = (0, t_max - T)
+    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
+    return _gemma_head(params, cfg, h[:, T - 1:T], composite), caches
+
+
+def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
+                       kv_begin=None, composite=composites.attnlrp):
+    """Gemma-3 counterpart of :func:`decode_step` (same contract)."""
+    from lxt_tpu.models.common import ACTIVATIONS
+
+    B = tok_embeds.shape[0]
+    act_fn = ACTIVATIONS[cfg.act]
+    norm, is_sliding = _gemma_setup(cfg)
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    G = H // Hkv
+    t_max = caches["k"].shape[3]
+    scale = cfg.query_pre_attn_scalar ** -0.5
+    if kv_begin is None:
+        kv_begin = jnp.zeros((B,), jnp.int32)
+    pos = jnp.maximum(t - kv_begin, 0)[:, None]
+    (cos_g, sin_g), (cos_l, sin_l) = _gemma_ropes(pos, cfg)
+
+    j = jnp.arange(t_max)
+    base = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
+    valid_g = base
+    valid_l = base & (j[None, :] > t - cfg.sliding_window)
+
+    def layer_fn(h, xs):
+        lp, ck, cv, sliding = xs
+        res = h
+        x = norm(h, lp["ln_in"], cfg.rms_eps, composite)
+        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = norm(q, lp["q_norm"], cfg.rms_eps, composite)
+        k = norm(k, lp["k_norm"], cfg.rms_eps, composite)
+        cos = jnp.where(sliding > 0, cos_l, cos_g)
+        sin = jnp.where(sliding > 0, sin_l, sin_g)
+        q, k = common.apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
+        valid = jnp.where(sliding > 0, valid_l, valid_g)
+        qg = q.reshape(B, Hkv, G, hd)
+        scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
+                            ck.astype(jnp.float32)) * scale
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgt,bhtd->bhgd", probs,
+                         cv.astype(jnp.float32)).astype(h.dtype)
+        out = composite.linear(out.reshape(B, 1, H * hd), lp["wo"])
+        h = res + norm(out, lp["ln_post_attn"], cfg.rms_eps, composite)
+        res = h
+        x = norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
+                                composite.linear(x, lp["wu"]))
+        mlp = composite.linear(g, lp["wd"])
+        h = res + norm(mlp, lp["ln_post_ff"], cfg.rms_eps, composite)
+        return h, (ck, cv)
+
+    h, (ks, vs) = jax.lax.scan(
+        layer_fn, tok_embeds,
+        (params["layers"], caches["k"], caches["v"], is_sliding))
+    return _gemma_head(params, cfg, h, composite), {"k": ks, "v": vs}
+
+
+def _gemma_head(params, cfg, h, composite):
+    from lxt_tpu.models.gemma3 import gemma_rms_norm
+
+    h = gemma_rms_norm(h, params["final_norm"], cfg.rms_eps, composite)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    return composite.linear(h, head)

@@ -39,7 +39,7 @@ def _llama_like(mod):
 
 
 def _family_table():
-    from lxt_tpu.models import bert, gemma3, gpt2, llama, mixtral
+    from lxt_tpu.models import bert, decode, gemma3, gpt2, llama, mixtral
 
     return {
         "llama": _llama_like(llama),
@@ -52,12 +52,16 @@ def _family_table():
             "from_hf": gemma3.params_from_hf,
             "forward": gemma3.forward,
             "embed": gemma3.embed,
+            "prefill": decode.gemma3_prefill,
+            "decode_step": decode.gemma3_decode_step,
         },
         "gemma3_text": {
             "config": gemma3.Gemma3Config,
             "from_hf": gemma3.params_from_hf,
             "forward": gemma3.forward,
             "embed": gemma3.embed,
+            "prefill": decode.gemma3_prefill,
+            "decode_step": decode.gemma3_decode_step,
         },
         "gpt2": {
             "config": gpt2.GPT2Config,
@@ -814,16 +818,19 @@ class MultimodalAttributionModel:
         return merged.reshape(B, T, D)
 
     def generate(self, input_ids, pixel_values, max_new_tokens: int, *,
-                 eos_token_id: Optional[int] = None, jit=True):
-        """Greedy decode conditioned on the image (one compiled
-        ``fori_loop``; SigLIP runs once, each step re-runs the text
-        forward over the full prefix). Returns ids
+                 eos_token_id: Optional[int] = None, use_cache: bool = True,
+                 jit=True):
+        """Greedy decode conditioned on the image (one compiled program;
+        SigLIP runs once on the prompt). With ``use_cache`` (default) the
+        merged image+text prefix is prefilled into a KV cache and each
+        step decodes one token (``models/decode.py``); otherwise every
+        step re-runs the text forward over the full prefix. Returns ids
         ``[B, T0 + max_new_tokens]`` — feed them to
         :meth:`attribute_response` to explain the caption it produced.
         Generated positions are never image placeholders, so scattering
         only into the prompt prefix is exact.
         """
-        from lxt_tpu.models import gemma3
+        from lxt_tpu.models import decode, gemma3
 
         ids0 = jnp.asarray(input_ids)
         pix = _canon_images(pixel_values)
@@ -833,9 +840,44 @@ class MultimodalAttributionModel:
         N = int(max_new_tokens)
         if N < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {N}")
-        key = ("generate", ids0.shape, pix.shape, N, eos_token_id, jit)
+        key = ("generate", ids0.shape, pix.shape, N, eos_token_id,
+               use_cache, jit)
         fn = self._jit.get(key)
-        if fn is None:
+        if fn is None and use_cache:
+            def run(params, ids0, pix, mask):
+                merged0 = self._merged_prefix(params, ids0, pix, mask,
+                                              composite)
+                B = ids0.shape[0]
+                logits0, caches = decode.gemma3_prefill(
+                    params["text"], cfg.text, merged0, T0 + N,
+                    composite=composite)
+                nxt = jnp.argmax(logits0[:, 0, :], -1).astype(ids0.dtype)
+                done = (jnp.zeros((B,), bool) if eos_token_id is None
+                        else nxt == eos_token_id)
+                buf = jnp.concatenate(
+                    [ids0, nxt[:, None],
+                     jnp.zeros((B, N - 1), ids0.dtype)], axis=1)
+
+                def body(k, state):
+                    buf, done, caches = state
+                    tok = jax.lax.dynamic_slice_in_dim(buf, T0 + k - 1, 1,
+                                                       axis=1)
+                    e = gemma3.embed(params["text"], tok, cfg.text)
+                    logits, caches = decode.gemma3_decode_step(
+                        params["text"], cfg.text, e, caches, T0 + k - 1,
+                        composite=composite)
+                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+                    if eos_token_id is not None:
+                        nxt = jnp.where(done, eos_token_id, nxt)
+                        done = done | (nxt == eos_token_id)
+                    buf = jax.lax.dynamic_update_slice_in_dim(
+                        buf, nxt[:, None], T0 + k, axis=1)
+                    return buf, done, caches
+
+                buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
+                return buf
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        elif fn is None:
             def run(params, ids0, pix, mask):
                 merged0 = self._merged_prefix(params, ids0, pix, mask,
                                               composite)

@@ -90,3 +90,28 @@ def test_prefill_step_logits_match_full_forward():
             m.params, cfg, m.embed(tok), caches, T0 + k - 1)
         np.testing.assert_allclose(np.asarray(le)[:, 0], full[:, T0 + k - 1],
                                    rtol=0, atol=2e-4)
+
+
+def test_gemma3_cached_matches_uncached():
+    """Gemma-3's local/global alternation, sandwich norms and two rope
+    bases survive the cached split (and HF-golden generate is covered by
+    test_multimodal's parity fixture)."""
+    from lxt_tpu.models import gemma3 as jg
+
+    cfg = jg.Gemma3Config(
+        vocab_size=256, hidden_size=48, intermediate_size=96, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=12, sliding_window=4,
+        query_pre_attn_scalar=12.0,
+        layer_types=("sliding_attention", "full_attention",
+                     "sliding_attention", "sliding_attention"))
+    params = jg.init_params(cfg, jax.random.PRNGKey(0))
+    m = AttributionModel("gemma3_text", cfg, params, lxt_tpu.attnlrp,
+                         _family_table()["gemma3_text"])
+    ids = np.random.RandomState(7).randint(1, 256, (2, 9))
+    a = np.asarray(m.generate(ids, 5, use_cache=True))
+    b = np.asarray(m.generate(ids, 5, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+    kb = np.asarray([4, 0], np.int32)
+    a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
+    b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
+    np.testing.assert_array_equal(a, b)
