@@ -300,3 +300,192 @@ def _gemma_head(params, cfg, h, composite):
     if head is None:
         head = params["embed"].T
     return composite.linear(h, head)
+
+
+# ---------------------------------------------------------------------------
+# GPT-2: learned position embeddings, fused qkv, per-layer scale, no rope
+# ---------------------------------------------------------------------------
+
+def gpt2_prefill(params, cfg, inputs_embeds, t_max: int, *,
+                 kv_begin=None, composite=composites.cp_lrp):
+    """GPT-2 counterpart of :func:`prefill` (same contract).
+    ``inputs_embeds`` are TOKEN embeddings; wpe is added here (matching
+    ``gpt2.forward``)."""
+    from lxt_tpu.models.common import ACTIVATIONS
+
+    B, T, D = inputs_embeds.shape
+    act_fn = ACTIVATIONS[cfg.act]
+    positions, _, kv_begin = common.padding_setup(None, kv_begin, None, T)
+    h = inputs_embeds + params["wpe"][positions]
+    H, hd = cfg.num_heads, cfg.hd
+    layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.float32)
+
+    def layer_fn(h, xs):
+        lp, idx = xs
+        x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = common.split_heads(q, H, hd)
+        k = common.split_heads(k, H, hd)
+        v = common.split_heads(v, H, hd)
+        scale = hd ** -0.5
+        if cfg.scale_attn_by_inverse_layer_idx:
+            scale = scale / (idx + 1.0)
+        attn = attention(q, k, v, causal=True, composite=composite,
+                         scale=scale, kv_begin=kv_begin)
+        h = h + composite.linear(common.merge_heads(attn), lp["w_proj"],
+                                 lp["b_proj"])
+        x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        x = composite.act(act_fn, composite.linear(x, lp["w_fc"],
+                                                   lp["b_fc"]))
+        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(layer_fn, h, (params["layers"], layer_idx))
+    pad = [(0, 0)] * 5
+    pad[3] = (0, t_max - T)
+    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
+    return _gpt2_head(params, cfg, h[:, T - 1:T], composite), caches
+
+
+def gpt2_decode_step(params, cfg, tok_embeds, caches, t, *,
+                     kv_begin=None, composite=composites.cp_lrp):
+    """GPT-2 counterpart of :func:`decode_step` (same contract)."""
+    from lxt_tpu.models.common import ACTIVATIONS
+
+    B = tok_embeds.shape[0]
+    act_fn = ACTIVATIONS[cfg.act]
+    H, hd = cfg.num_heads, cfg.hd
+    t_max = caches["k"].shape[3]
+    if kv_begin is None:
+        kv_begin = jnp.zeros((B,), jnp.int32)
+    pos = jnp.maximum(t - kv_begin, 0)                   # [B]
+    h = tok_embeds + params["wpe"][pos][:, None, :]
+    layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.float32)
+
+    j = jnp.arange(t_max)
+    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
+
+    def layer_fn(h, xs):
+        lp, ck, cv, idx = xs
+        x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = common.split_heads(q, H, hd)
+        k = common.split_heads(k, H, hd)
+        v = common.split_heads(v, H, hd)
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
+        scale = hd ** -0.5
+        if cfg.scale_attn_by_inverse_layer_idx:
+            scale = scale / (idx + 1.0)
+        scores = jnp.einsum("bhqd,bhtd->bhqt", q.astype(jnp.float32),
+                            ck.astype(jnp.float32)) * scale
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqt,bhtd->bhqd", probs,
+                         cv.astype(jnp.float32)).astype(h.dtype)
+        merged = out.transpose(0, 2, 1, 3).reshape(B, 1, H * hd)
+        h = h + composite.linear(merged, lp["w_proj"], lp["b_proj"])
+        x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+        x = composite.act(act_fn, composite.linear(x, lp["w_fc"],
+                                                   lp["b_fc"]))
+        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
+        return h, (ck, cv)
+
+    h, (ks, vs) = jax.lax.scan(
+        layer_fn, h,
+        (params["layers"], caches["k"], caches["v"], layer_idx))
+    return _gpt2_head(params, cfg, h, composite), {"k": ks, "v": vs}
+
+
+def _gpt2_head(params, cfg, h, composite):
+    h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
+    return composite.linear(h, params["wte"].T)
+
+
+# ---------------------------------------------------------------------------
+# Mixtral: llama-shaped attention + sparse-MoE MLP
+# ---------------------------------------------------------------------------
+
+def mixtral_prefill(params, cfg, inputs_embeds, t_max: int, *,
+                    kv_begin=None, composite=composites.attnlrp):
+    """Mixtral counterpart of :func:`prefill` (same contract); the MoE
+    block follows ``cfg.moe_impl`` exactly like the full forward."""
+    from lxt_tpu.models.common import ACTIVATIONS
+    from lxt_tpu.models.mixtral import moe_block
+
+    B, T, D = inputs_embeds.shape
+    act_fn = ACTIVATIONS[cfg.act]
+    positions, _, kv_begin = common.padding_setup(None, kv_begin, None, T)
+    cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta)
+    scale = cfg.hd ** -0.5
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+
+    def layer_fn(h, lp):
+        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q, k = common.apply_rope(q, k, cos, sin)
+        attn = attention(q, k, v, causal=True, composite=composite,
+                         scale=scale, kv_begin=kv_begin)
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + moe_block(x, lp, cfg, composite, act_fn)
+        return h, (k, v)
+
+    h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers"])
+    pad = [(0, 0)] * 5
+    pad[3] = (0, t_max - T)
+    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
+    return _head(params, cfg, h[:, T - 1:T], composite), caches
+
+
+def mixtral_decode_step(params, cfg, tok_embeds, caches, t, *,
+                        kv_begin=None, composite=composites.attnlrp):
+    """Mixtral counterpart of :func:`decode_step` (same contract). The
+    single-token MoE runs the DENSE one-hot combine — at q-length 1 the
+    E/k FLOP overhead is negligible and it avoids a per-step sort."""
+    from lxt_tpu.models.common import ACTIVATIONS
+    from lxt_tpu.models.mixtral import moe_block_dense
+
+    B = tok_embeds.shape[0]
+    act_fn = ACTIVATIONS[cfg.act]
+    H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
+    G = H // Hkv
+    t_max = caches["k"].shape[3]
+    scale = cfg.hd ** -0.5
+    if kv_begin is None:
+        kv_begin = jnp.zeros((B,), jnp.int32)
+    pos = jnp.maximum(t - kv_begin, 0)[:, None]
+    cos, sin = common.rope_tables(pos, cfg.hd, cfg.rope_theta)
+
+    j = jnp.arange(t_max)
+    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
+
+    def layer_fn(h, xs):
+        lp, ck, cv = xs
+        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
+        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q, k = common.apply_rope(q, k, cos, sin)
+        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
+        qg = q.reshape(B, Hkv, G, hd)
+        scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
+                            ck.astype(jnp.float32)) * scale
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhgt,bhtd->bhgd", probs,
+                         cv.astype(jnp.float32)).astype(h.dtype)
+        h = h + composite.linear(out.reshape(B, 1, H * hd), lp["wo"])
+        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
+        h = h + moe_block_dense(x, lp, cfg, composite, act_fn)
+        return h, (ck, cv)
+
+    h, (ks, vs) = jax.lax.scan(
+        layer_fn, tok_embeds,
+        (params["layers"], caches["k"], caches["v"]))
+    return _head(params, cfg, h, composite), {"k": ks, "v": vs}

@@ -68,6 +68,8 @@ def _family_table():
             "from_hf": gpt2.params_from_hf,
             "forward": gpt2.forward,
             "embed": lambda params, ids, cfg: gpt2.embed(params, ids)[0],
+            "prefill": decode.gpt2_prefill,
+            "decode_step": decode.gpt2_decode_step,
         },
         "bert": {
             "config": bert.BertConfig,
@@ -80,6 +82,8 @@ def _family_table():
             "from_hf": mixtral.params_from_hf,
             "forward": mixtral.forward,
             "embed": lambda params, ids, cfg: mixtral.embed(params, ids),
+            "prefill": decode.mixtral_prefill,
+            "decode_step": decode.mixtral_decode_step,
         },
     }
 

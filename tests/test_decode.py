@@ -115,3 +115,58 @@ def test_gemma3_cached_matches_uncached():
     a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
     b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_gpt2_cached_matches_uncached_and_hf():
+    import torch
+    from transformers import GPT2Config as HFGPT2Config
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFGPT2Config(
+        vocab_size=256, n_embd=48, n_layer=3, n_head=4, n_positions=64,
+        scale_attn_by_inverse_layer_idx=True)).eval()
+    m = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(9).randint(1, 256, (2, 6))
+
+    a = np.asarray(m.generate(ids, 5, use_cache=True))
+    b = np.asarray(m.generate(ids, 5, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=5,
+                          do_sample=False).numpy()
+    np.testing.assert_array_equal(a, ref)
+
+    # left padding: wpe index and mask must shift per example
+    kb = np.asarray([2, 0], np.int32)
+    a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
+    b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mixtral_cached_matches_uncached_and_hf():
+    import torch
+    from transformers.models.mixtral.modeling_mixtral import (
+        MixtralConfig as HFMixtralConfig, MixtralForCausalLM)
+
+    torch.manual_seed(0)
+    hf = MixtralForCausalLM(HFMixtralConfig(
+        vocab_size=256, hidden_size=48, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=64)).eval()
+    m = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(10).randint(1, 256, (2, 6))
+
+    a = np.asarray(m.generate(ids, 5, use_cache=True))
+    b = np.asarray(m.generate(ids, 5, use_cache=False))
+    np.testing.assert_array_equal(a, b)
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=5,
+                          do_sample=False).numpy()
+    np.testing.assert_array_equal(a, ref)
+
+    kb = np.asarray([3, 0], np.int32)
+    a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
+    b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
+    np.testing.assert_array_equal(a, b)
