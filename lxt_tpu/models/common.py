@@ -260,6 +260,15 @@ def remat_wrap(layer_fn, remat):
     return layer_fn
 
 
+def take_frontier(h, logits_at):
+    """Slice the single position whose logits will be computed.
+
+    ``dynamic_slice``: ``logits_at`` may be a TRACED scalar (the jitted
+    greedy-decode loop slices at the growing frontier); identical lowering
+    for the usual static ``-1``."""
+    return jax.lax.dynamic_slice_in_dim(h, logits_at % h.shape[1], 1, axis=1)
+
+
 def uniform_init(key, shape, scale=0.02, dtype=jnp.float32):
     # generate directly in the target dtype: a f32 intermediate for a
     # multi-GB stacked weight would not fit HBM at 8B scale

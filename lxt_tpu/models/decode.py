@@ -1,17 +1,18 @@
-"""KV-cached greedy decoding for the Llama family (Qwen 2/3, Mistral,
-Phi-3 included).
+"""KV-cached greedy decoding for every causal family (Llama/Qwen/Mistral/
+Phi-3, Gemma 3, GPT-2, Mixtral).
 
-The attribution forward (``llama.forward``) is full-sequence by design —
-one fused program per heatmap. Generation is different: re-running the
-full prefix per emitted token costs O(N·T) attention and O(N) full MLP
-passes. This module adds the standard incremental-decoding split:
+The attribution forward (``llama.forward`` etc.) is full-sequence by
+design — one fused program per heatmap. Generation is different:
+re-running the full prefix per emitted token costs O(N·T) attention and
+O(N) full MLP passes. This module adds the standard incremental-decoding
+split:
 
-- :func:`prefill` — one full forward over the prompt that ALSO returns
-  the per-layer rotary-embedded K/V, written into a ``[L, B, Hkv, Tmax,
-  hd]`` cache padded to the final length;
-- :func:`decode_step` — a single-token forward that appends its K/V into
-  the cache with ``dynamic_update_slice`` and attends against the cached
-  prefix (einsum; a 1×T attention row is bandwidth-trivial).
+- ``*_prefill`` — one full forward over the prompt that ALSO returns the
+  per-layer rotary-embedded K/V, written into a ``[L, B, Hkv, Tmax, hd]``
+  cache padded to the final length;
+- ``*_decode_step`` — a single-token forward that appends its K/V into
+  the cache and attends against the cached prefix (einsum; a 1×T
+  attention row is bandwidth-trivial).
 
 ``AttributionModel.generate`` drives these inside one jitted
 ``fori_loop`` — the decode loop is O(T + N·(T·D + params)) instead of
@@ -19,13 +20,17 @@ N whole-prefix forwards, which makes the serving ``respond`` flow
 decode-bound no more. Attribution itself still uses the full-sequence
 forward (relevance needs all positions anyway).
 
+Decode steps iterate layers with a ``fori_loop`` carrying the whole
+``[L, ...]`` cache and writing ONE ``[B, Hkv, 1, hd]`` slot per layer via
+``dynamic_update_slice`` — a ``lax.scan`` with the caches as xs→ys would
+re-materialize the full cache every token (ys are fresh stacked outputs),
+doubling decode HBM traffic.
+
 Numerics: rope is applied before the attention (identical semantics to
 the fused path, see ops/attention.py ``rope=``), scores accumulate in
 f32. Greedy argmax equality with the uncached path is tested per family
 variant (GQA, qkv_bias, qk_norm, sliding window, left padding).
 """
-
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,6 +49,72 @@ def _rope_at(positions, cfg, seq_len):
                               rope_scaling=cfg.rope_scaling,
                               seq_len=seq_len)
 
+
+def _pad_cache(ks, vs, t_max):
+    """Stacked per-layer K/V from a prefill scan -> [L, B, Hkv, t_max, hd]."""
+    pad = [(0, 0)] * 5
+    pad[3] = (0, t_max - ks.shape[3])
+    return {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
+
+
+def _layer_at(layers, l):
+    """Per-layer parameter slice at a TRACED layer index (the decode
+    step's fori_loop): same dynamic-slice reads a scan would do."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.lax.dynamic_index_in_dim(a, l, 0, keepdims=False),
+        layers)
+
+
+def _append_and_read(caches, l, t, k, v):
+    """Write the new [B, Hkv, 1, hd] K/V slot of layer ``l`` at time ``t``
+    in place, then read the layer's rows back for the attend."""
+    ck_all = jax.lax.dynamic_update_slice(caches["k"], k[None],
+                                          (l, 0, 0, t, 0))
+    cv_all = jax.lax.dynamic_update_slice(caches["v"], v[None],
+                                          (l, 0, 0, t, 0))
+    ck = jax.lax.dynamic_index_in_dim(ck_all, l, 0, keepdims=False)
+    cv = jax.lax.dynamic_index_in_dim(cv_all, l, 0, keepdims=False)
+    return {"k": ck_all, "v": cv_all}, ck, cv
+
+
+def _attend_1tok(q, ck, cv, valid, scale):
+    """Single-query GQA attention against the cache rows.
+
+    ``q [B, H, 1, hd]``, ``ck/cv [B, Hkv, Tm, hd]``, ``valid [B, Tm]``.
+    Scores and the probability-weighted sum accumulate in f32. Returns
+    ``[B, 1, H*hd]`` in q's dtype (head-major merge order, matching
+    ``common.merge_heads``).
+    """
+    B, H, _, hd = q.shape
+    Hkv = ck.shape[1]
+    G = H // Hkv
+    qg = q.reshape(B, Hkv, G, hd)
+    scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
+                        ck.astype(jnp.float32)) * scale
+    scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgt,bhtd->bhgd", probs, cv.astype(jnp.float32))
+    return out.reshape(B, 1, H * hd).astype(q.dtype)
+
+
+def _causal_valid(t_max, t, kv_begin, window=None):
+    """[B, t_max] mask of cache slots visible to the frontier query."""
+    j = jnp.arange(t_max)
+    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
+    if window is not None:
+        valid &= j[None, :] > t - window
+    return valid
+
+
+def _kv_begin_or_zeros(kv_begin, B):
+    if kv_begin is None:
+        return jnp.zeros((B,), jnp.int32)
+    return jnp.asarray(kv_begin, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Llama family (Qwen 2/3, Mistral, Phi-3)
+# ---------------------------------------------------------------------------
 
 def prefill(params, cfg, inputs_embeds, t_max: int, *,
             kv_begin=None, composite=composites.attnlrp):
@@ -84,10 +155,8 @@ def prefill(params, cfg, inputs_embeds, t_max: int, *,
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers"])
-    pad = [(0, 0)] * 5
-    pad[3] = (0, t_max - T)                     # [L, B, Hkv, T->t_max, hd]
-    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
-    return _head(params, cfg, h[:, T - 1:T], composite), caches
+    return (_head(params, cfg, h[:, T - 1:T], composite),
+            _pad_cache(ks, vs, t_max))
 
 
 def decode_step(params, cfg, tok_embeds, caches, t, *,
@@ -102,21 +171,16 @@ def decode_step(params, cfg, tok_embeds, caches, t, *,
     B = tok_embeds.shape[0]
     act_fn = ACTIVATIONS[cfg.act]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
-    G = H // Hkv
     t_max = caches["k"].shape[3]
     scale = cfg.hd ** -0.5
-    if kv_begin is None:
-        kv_begin = jnp.zeros((B,), jnp.int32)
+    kv_begin = _kv_begin_or_zeros(kv_begin, B)
     pos = jnp.maximum(t - kv_begin, 0)[:, None]          # [B, 1]
     cos, sin = _rope_at(pos, cfg, t_max)
+    valid = _causal_valid(t_max, t, kv_begin, cfg.sliding_window)
 
-    j = jnp.arange(t_max)
-    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)   # [B, Tm]
-    if cfg.sliding_window is not None:
-        valid &= j[None, :] > t - cfg.sliding_window
-
-    def layer_fn(h, xs):
-        lp, ck, cv = xs
+    def body(l, state):
+        h, caches = state
+        lp = _layer_at(params["layers"], l)
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
         q = composite.linear(x, lp["wq"], lp.get("bq"))
         k = composite.linear(x, lp["wk"], lp.get("bk"))
@@ -128,27 +192,18 @@ def decode_step(params, cfg, tok_embeds, caches, t, *,
             q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
             k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
         q, k = common.apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
-        # GQA attend: [B, Hkv, G, hd] x [B, Hkv, Tm, hd] -> [B, Hkv, G, Tm]
-        qg = q.reshape(B, Hkv, G, hd)
-        scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
-                            ck.astype(jnp.float32)) * scale
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgt,bhtd->bhgd", probs,
-                         cv.astype(jnp.float32)).astype(h.dtype)
-        merged = out.reshape(B, 1, H * hd)
+        caches, ck, cv = _append_and_read(caches, l, t, k, v)
+        merged = _attend_1tok(q, ck, cv, valid, scale)
         h = h + composite.linear(merged, lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
                                 composite.linear(x, lp["wu"]))
         h = h + composite.linear(g, lp["wd"])
-        return h, (ck, cv)
+        return h, caches
 
-    h, (ks, vs) = jax.lax.scan(
-        layer_fn, tok_embeds, (params["layers"], caches["k"], caches["v"]))
-    return _head(params, cfg, h, composite), {"k": ks, "v": vs}
+    h, caches = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                  (tok_embeds, caches))
+    return _head(params, cfg, h, composite), caches
 
 
 def _head(params, cfg, h, composite):
@@ -163,37 +218,18 @@ def _head(params, cfg, h, composite):
 # Gemma 3: sandwich norms, per-layer local/global rope + sliding window
 # ---------------------------------------------------------------------------
 
-def _gemma_setup(cfg):
-    from lxt_tpu.models.gemma3 import gemma_rms_norm
-
-    layer_types = cfg.layer_types or tuple(
-        "sliding_attention" if (i + 1) % 6 else "full_attention"
-        for i in range(cfg.num_layers))
-    is_sliding = jnp.asarray(
-        [1.0 if t == "sliding_attention" else 0.0 for t in layer_types],
-        jnp.float32)
-    return gemma_rms_norm, is_sliding
-
-
-def _gemma_ropes(positions, cfg):
-    cos_g, sin_g = common.rope_tables(positions, cfg.head_dim,
-                                      cfg.rope_theta,
-                                      scaling=cfg.rope_global_scaling)
-    cos_l, sin_l = common.rope_tables(positions, cfg.head_dim,
-                                      cfg.rope_local_theta)
-    return (cos_g, sin_g), (cos_l, sin_l)
-
-
 def gemma3_prefill(params, cfg, inputs_embeds, t_max: int, *,
                    kv_begin=None, composite=composites.attnlrp):
     """Gemma-3 counterpart of :func:`prefill` (same contract)."""
-    from lxt_tpu.models.common import ACTIVATIONS
+    from lxt_tpu.models.gemma3 import (gemma_rms_norm, layer_sliding_flags,
+                                       rope_table_pair)
 
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
-    norm, is_sliding = _gemma_setup(cfg)
+    norm = gemma_rms_norm
+    is_sliding = layer_sliding_flags(cfg)
     positions, _, kv_begin = common.padding_setup(None, kv_begin, None, T)
-    (cos_g, sin_g), (cos_l, sin_l) = _gemma_ropes(positions, cfg)
+    (cos_g, sin_g), (cos_l, sin_l) = rope_table_pair(positions, cfg)
     scale = cfg.query_pre_attn_scalar ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
@@ -226,36 +262,33 @@ def gemma3_prefill(params, cfg, inputs_embeds, t_max: int, *,
 
     h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds,
                                (params["layers"], is_sliding))
-    pad = [(0, 0)] * 5
-    pad[3] = (0, t_max - T)
-    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
-    return _gemma_head(params, cfg, h[:, T - 1:T], composite), caches
+    return (_gemma_head(params, cfg, h[:, T - 1:T], composite),
+            _pad_cache(ks, vs, t_max))
 
 
 def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
                        kv_begin=None, composite=composites.attnlrp):
     """Gemma-3 counterpart of :func:`decode_step` (same contract)."""
-    from lxt_tpu.models.common import ACTIVATIONS
+    from lxt_tpu.models.gemma3 import (gemma_rms_norm, layer_sliding_flags,
+                                       rope_table_pair)
 
     B = tok_embeds.shape[0]
     act_fn = ACTIVATIONS[cfg.act]
-    norm, is_sliding = _gemma_setup(cfg)
+    norm = gemma_rms_norm
+    is_sliding = layer_sliding_flags(cfg)
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    G = H // Hkv
     t_max = caches["k"].shape[3]
     scale = cfg.query_pre_attn_scalar ** -0.5
-    if kv_begin is None:
-        kv_begin = jnp.zeros((B,), jnp.int32)
+    kv_begin = _kv_begin_or_zeros(kv_begin, B)
     pos = jnp.maximum(t - kv_begin, 0)[:, None]
-    (cos_g, sin_g), (cos_l, sin_l) = _gemma_ropes(pos, cfg)
+    (cos_g, sin_g), (cos_l, sin_l) = rope_table_pair(pos, cfg)
+    valid_g = _causal_valid(t_max, t, kv_begin)
+    valid_l = _causal_valid(t_max, t, kv_begin, cfg.sliding_window)
 
-    j = jnp.arange(t_max)
-    base = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
-    valid_g = base
-    valid_l = base & (j[None, :] > t - cfg.sliding_window)
-
-    def layer_fn(h, xs):
-        lp, ck, cv, sliding = xs
+    def body(l, state):
+        h, caches = state
+        lp = _layer_at(params["layers"], l)
+        sliding = is_sliding[l]
         res = h
         x = norm(h, lp["ln_in"], cfg.rms_eps, composite)
         q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
@@ -266,17 +299,10 @@ def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
         cos = jnp.where(sliding > 0, cos_l, cos_g)
         sin = jnp.where(sliding > 0, sin_l, sin_g)
         q, k = common.apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
+        caches, ck, cv = _append_and_read(caches, l, t, k, v)
         valid = jnp.where(sliding > 0, valid_l, valid_g)
-        qg = q.reshape(B, Hkv, G, hd)
-        scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
-                            ck.astype(jnp.float32)) * scale
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgt,bhtd->bhgd", probs,
-                         cv.astype(jnp.float32)).astype(h.dtype)
-        out = composite.linear(out.reshape(B, 1, H * hd), lp["wo"])
+        merged = _attend_1tok(q, ck, cv, valid, scale)
+        out = composite.linear(merged, lp["wo"])
         h = res + norm(out, lp["ln_post_attn"], cfg.rms_eps, composite)
         res = h
         x = norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
@@ -284,12 +310,11 @@ def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
                                 composite.linear(x, lp["wu"]))
         mlp = composite.linear(g, lp["wd"])
         h = res + norm(mlp, lp["ln_post_ff"], cfg.rms_eps, composite)
-        return h, (ck, cv)
+        return h, caches
 
-    h, (ks, vs) = jax.lax.scan(
-        layer_fn, tok_embeds,
-        (params["layers"], caches["k"], caches["v"], is_sliding))
-    return _gemma_head(params, cfg, h, composite), {"k": ks, "v": vs}
+    h, caches = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                  (tok_embeds, caches))
+    return _gemma_head(params, cfg, h, composite), caches
 
 
 def _gemma_head(params, cfg, h, composite):
@@ -311,8 +336,6 @@ def gpt2_prefill(params, cfg, inputs_embeds, t_max: int, *,
     """GPT-2 counterpart of :func:`prefill` (same contract).
     ``inputs_embeds`` are TOKEN embeddings; wpe is added here (matching
     ``gpt2.forward``)."""
-    from lxt_tpu.models.common import ACTIVATIONS
-
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
     positions, _, kv_begin = common.padding_setup(None, kv_begin, None, T)
@@ -342,61 +365,45 @@ def gpt2_prefill(params, cfg, inputs_embeds, t_max: int, *,
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(layer_fn, h, (params["layers"], layer_idx))
-    pad = [(0, 0)] * 5
-    pad[3] = (0, t_max - T)
-    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
-    return _gpt2_head(params, cfg, h[:, T - 1:T], composite), caches
+    return (_gpt2_head(params, cfg, h[:, T - 1:T], composite),
+            _pad_cache(ks, vs, t_max))
 
 
 def gpt2_decode_step(params, cfg, tok_embeds, caches, t, *,
                      kv_begin=None, composite=composites.cp_lrp):
     """GPT-2 counterpart of :func:`decode_step` (same contract)."""
-    from lxt_tpu.models.common import ACTIVATIONS
-
     B = tok_embeds.shape[0]
     act_fn = ACTIVATIONS[cfg.act]
     H, hd = cfg.num_heads, cfg.hd
     t_max = caches["k"].shape[3]
-    if kv_begin is None:
-        kv_begin = jnp.zeros((B,), jnp.int32)
+    kv_begin = _kv_begin_or_zeros(kv_begin, B)
     pos = jnp.maximum(t - kv_begin, 0)                   # [B]
-    h = tok_embeds + params["wpe"][pos][:, None, :]
-    layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.float32)
+    h0 = tok_embeds + params["wpe"][pos][:, None, :]
+    valid = _causal_valid(t_max, t, kv_begin)
 
-    j = jnp.arange(t_max)
-    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
-
-    def layer_fn(h, xs):
-        lp, ck, cv, idx = xs
+    def body(l, state):
+        h, caches = state
+        lp = _layer_at(params["layers"], l)
         x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
         qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = common.split_heads(q, H, hd)
         k = common.split_heads(k, H, hd)
         v = common.split_heads(v, H, hd)
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
         scale = hd ** -0.5
         if cfg.scale_attn_by_inverse_layer_idx:
-            scale = scale / (idx + 1.0)
-        scores = jnp.einsum("bhqd,bhtd->bhqt", q.astype(jnp.float32),
-                            ck.astype(jnp.float32)) * scale
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqt,bhtd->bhqd", probs,
-                         cv.astype(jnp.float32)).astype(h.dtype)
-        merged = out.transpose(0, 2, 1, 3).reshape(B, 1, H * hd)
+            scale = scale / (l.astype(jnp.float32) + 1.0)
+        caches, ck, cv = _append_and_read(caches, l, t, k, v)
+        merged = _attend_1tok(q, ck, cv, valid, scale)
         h = h + composite.linear(merged, lp["w_proj"], lp["b_proj"])
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         x = composite.act(act_fn, composite.linear(x, lp["w_fc"],
                                                    lp["b_fc"]))
         h = h + composite.linear(x, lp["w_out"], lp["b_out"])
-        return h, (ck, cv)
+        return h, caches
 
-    h, (ks, vs) = jax.lax.scan(
-        layer_fn, h,
-        (params["layers"], caches["k"], caches["v"], layer_idx))
-    return _gpt2_head(params, cfg, h, composite), {"k": ks, "v": vs}
+    h, caches = jax.lax.fori_loop(0, cfg.num_layers, body, (h0, caches))
+    return _gpt2_head(params, cfg, h, composite), caches
 
 
 def _gpt2_head(params, cfg, h, composite):
@@ -412,7 +419,6 @@ def mixtral_prefill(params, cfg, inputs_embeds, t_max: int, *,
                     kv_begin=None, composite=composites.attnlrp):
     """Mixtral counterpart of :func:`prefill` (same contract); the MoE
     block follows ``cfg.moe_impl`` exactly like the full forward."""
-    from lxt_tpu.models.common import ACTIVATIONS
     from lxt_tpu.models.mixtral import moe_block
 
     B, T, D = inputs_embeds.shape
@@ -436,56 +442,43 @@ def mixtral_prefill(params, cfg, inputs_embeds, t_max: int, *,
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers"])
-    pad = [(0, 0)] * 5
-    pad[3] = (0, t_max - T)
-    caches = {"k": jnp.pad(ks, pad), "v": jnp.pad(vs, pad)}
-    return _head(params, cfg, h[:, T - 1:T], composite), caches
+    return (_head(params, cfg, h[:, T - 1:T], composite),
+            _pad_cache(ks, vs, t_max))
 
 
 def mixtral_decode_step(params, cfg, tok_embeds, caches, t, *,
                         kv_begin=None, composite=composites.attnlrp):
     """Mixtral counterpart of :func:`decode_step` (same contract). The
-    single-token MoE runs the DENSE one-hot combine — at q-length 1 the
-    E/k FLOP overhead is negligible and it avoids a per-step sort."""
-    from lxt_tpu.models.common import ACTIVATIONS
-    from lxt_tpu.models.mixtral import moe_block_dense
+    single-token MoE uses ``cfg.moe_impl`` — the SAME block as the
+    prefill and the full forward, so the cached path cannot diverge from
+    the uncached one even at reduction-order (ULP) level."""
+    from lxt_tpu.models.mixtral import moe_block
 
     B = tok_embeds.shape[0]
     act_fn = ACTIVATIONS[cfg.act]
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
-    G = H // Hkv
     t_max = caches["k"].shape[3]
     scale = cfg.hd ** -0.5
-    if kv_begin is None:
-        kv_begin = jnp.zeros((B,), jnp.int32)
+    kv_begin = _kv_begin_or_zeros(kv_begin, B)
     pos = jnp.maximum(t - kv_begin, 0)[:, None]
     cos, sin = common.rope_tables(pos, cfg.hd, cfg.rope_theta)
+    valid = _causal_valid(t_max, t, kv_begin)
 
-    j = jnp.arange(t_max)
-    valid = (j[None, :] >= kv_begin[:, None]) & (j[None, :] <= t)
-
-    def layer_fn(h, xs):
-        lp, ck, cv = xs
+    def body(l, state):
+        h, caches = state
+        lp = _layer_at(params["layers"], l)
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
         q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
         k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
         v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
         q, k = common.apply_rope(q, k, cos, sin)
-        ck = jax.lax.dynamic_update_slice(ck, k, (0, 0, t, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v, (0, 0, t, 0))
-        qg = q.reshape(B, Hkv, G, hd)
-        scores = jnp.einsum("bhgd,bhtd->bhgt", qg.astype(jnp.float32),
-                            ck.astype(jnp.float32)) * scale
-        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhgt,bhtd->bhgd", probs,
-                         cv.astype(jnp.float32)).astype(h.dtype)
-        h = h + composite.linear(out.reshape(B, 1, H * hd), lp["wo"])
+        caches, ck, cv = _append_and_read(caches, l, t, k, v)
+        merged = _attend_1tok(q, ck, cv, valid, scale)
+        h = h + composite.linear(merged, lp["wo"])
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
-        h = h + moe_block_dense(x, lp, cfg, composite, act_fn)
-        return h, (ck, cv)
+        h = h + moe_block(x, lp, cfg, composite, act_fn)
+        return h, caches
 
-    h, (ks, vs) = jax.lax.scan(
-        layer_fn, tok_embeds,
-        (params["layers"], caches["k"], caches["v"]))
-    return _head(params, cfg, h, composite), {"k": ks, "v": vs}
+    h, caches = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                  (tok_embeds, caches))
+    return _head(params, cfg, h, composite), caches

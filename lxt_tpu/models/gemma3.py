@@ -108,6 +108,28 @@ def embed(params, input_ids, cfg: Gemma3Config):
     return params["embed"][input_ids] * scale
 
 
+def layer_sliding_flags(cfg: Gemma3Config):
+    """Per-layer 1.0/0.0 flags for sliding vs full attention (scannable;
+    HF default pattern: every 6th layer is global). Shared by the full
+    forward and the KV-cached decode so the alternation cannot diverge."""
+    layer_types = cfg.layer_types or tuple(
+        "sliding_attention" if (i + 1) % 6 else "full_attention"
+        for i in range(cfg.num_layers))
+    return jnp.asarray(
+        [1.0 if t == "sliding_attention" else 0.0 for t in layer_types],
+        jnp.float32)
+
+
+def rope_table_pair(positions, cfg: Gemma3Config):
+    """(global, local) rotary tables — global uses rope_theta with the
+    linear scaling factor, local uses rope_local_base_freq unscaled."""
+    cos_g, sin_g = common.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                                      scaling=cfg.rope_global_scaling)
+    cos_l, sin_l = common.rope_tables(positions, cfg.head_dim,
+                                      cfg.rope_local_theta)
+    return (cos_g, sin_g), (cos_l, sin_l)
+
+
 def forward(
     params,
     cfg: Gemma3Config,
@@ -128,18 +150,10 @@ def forward(
     act_fn = common.ACTIVATIONS[cfg.act]
     positions, bias, kv_begin = common.padding_setup(
         attention_mask, kv_begin, positions, T)
-    cos_g, sin_g = common.rope_tables(positions, cfg.head_dim, cfg.rope_theta,
-                                      scaling=cfg.rope_global_scaling)
-    cos_l, sin_l = common.rope_tables(positions, cfg.head_dim, cfg.rope_local_theta)
+    (cos_g, sin_g), (cos_l, sin_l) = rope_table_pair(positions, cfg)
     scale = cfg.query_pre_attn_scalar ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-
-    layer_types = cfg.layer_types or tuple(
-        "sliding_attention" if (i + 1) % 6 else "full_attention"
-        for i in range(cfg.num_layers))
-    is_sliding = jnp.asarray(
-        [1.0 if t == "sliding_attention" else 0.0 for t in layer_types],
-        jnp.float32)
+    is_sliding = layer_sliding_flags(cfg)
 
     def layer_fn(h, xs):
         lp, probe, sliding = xs
@@ -184,11 +198,7 @@ def forward(
 
     h = gemma_rms_norm(h, params["final_norm"], cfg.rms_eps, composite)
     if logits_at is not None:
-        # dynamic_slice: logits_at may be a TRACED scalar (the jitted
-        # greedy-decode loop slices at the growing frontier); identical
-        # lowering for the usual static -1
-        h = jax.lax.dynamic_slice_in_dim(h, logits_at % h.shape[1], 1,
-                                         axis=1)
+        h = common.take_frontier(h, logits_at)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
@@ -283,17 +293,13 @@ def project_image_features(params, mmcfg: Gemma3MultimodalConfig,
     return composite.linear(x, params["mm_proj"])
 
 
-def multimodal_forward(params, mmcfg: Gemma3MultimodalConfig,
+def merge_image_embeds(params, mmcfg: Gemma3MultimodalConfig,
                        inputs_embeds, pixel_values, image_token_mask,
-                       composite=composites.attnlrp, **kw):
-    """Joint image+text forward: SigLIP encodes pixels, the projector maps
-    them into text space, and the projected tokens replace the <image>
-    placeholder positions (HF scatter semantics) before the text model runs.
-
-    ``pixel_values``: [B_img, H, W, 3] NHWC; ``image_token_mask``: [B, T]
-    bool marking placeholder positions (count == B_img * mm_tokens_per_image).
-    Relevance w.r.t. BOTH pixels and text embeds comes from one vjp.
-    """
+                       composite=composites.attnlrp):
+    """SigLIP-encode the pixels, project into text space, and scatter the
+    projected tokens over the <image> placeholder positions (HF scatter
+    semantics). The single definition of the merge — used by the joint
+    forward AND by the KV-cached caption decode's prefix."""
     from lxt_tpu.models import siglip
 
     vision_out = siglip.forward(params["vision"], mmcfg.vision, pixel_values,
@@ -306,7 +312,21 @@ def multimodal_forward(params, mmcfg: Gemma3MultimodalConfig,
     idx = jnp.clip(jnp.cumsum(image_token_mask.reshape(-1)) - 1, 0, None)
     merged = jnp.where(image_token_mask.reshape(-1)[:, None],
                        flat_img[idx], inputs_embeds.reshape(-1, D))
-    merged = merged.reshape(B, T, D)
+    return merged.reshape(B, T, D)
+
+
+def multimodal_forward(params, mmcfg: Gemma3MultimodalConfig,
+                       inputs_embeds, pixel_values, image_token_mask,
+                       composite=composites.attnlrp, **kw):
+    """Joint image+text forward: the merged prefix (see
+    :func:`merge_image_embeds`) runs through the text model.
+
+    ``pixel_values``: [B_img, H, W, 3] NHWC; ``image_token_mask``: [B, T]
+    bool marking placeholder positions (count == B_img * mm_tokens_per_image).
+    Relevance w.r.t. BOTH pixels and text embeds comes from one vjp.
+    """
+    merged = merge_image_embeds(params, mmcfg, inputs_embeds, pixel_values,
+                                image_token_mask, composite)
     return forward(params["text"], mmcfg.text, merged, composite, **kw)
 
 

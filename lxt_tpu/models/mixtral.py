@@ -231,11 +231,7 @@ def forward(
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     if logits_at is not None:
-        # dynamic_slice: logits_at may be a TRACED scalar (the jitted
-        # greedy-decode loop slices at the growing frontier); identical
-        # lowering for the usual static -1
-        h = jax.lax.dynamic_slice_in_dim(h, logits_at % h.shape[1], 1,
-                                         axis=1)
+        h = common.take_frontier(h, logits_at)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T

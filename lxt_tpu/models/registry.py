@@ -94,6 +94,18 @@ SUPPORTED_FAMILIES = (
 )
 
 
+def _greedy_update(buf, done, logits, pos, eos_token_id):
+    """One greedy-decode bookkeeping step, shared by every generate loop
+    (text/multimodal x cached/uncached): argmax the frontier logits,
+    latch rows that already emitted eos, write the token at ``pos``."""
+    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+    if eos_token_id is not None:
+        nxt = jnp.where(done, eos_token_id, nxt)
+        done = done | (nxt == eos_token_id)
+    buf = jax.lax.dynamic_update_slice_in_dim(buf, nxt[:, None], pos, axis=1)
+    return buf, done
+
+
 @dataclasses.dataclass
 class AttributionModel:
     """A converted model plus its attribution entry points.
@@ -240,12 +252,10 @@ class AttributionModel:
                 e0 = embed(params, ids0, cfg)
                 logits0, caches = pre(params, cfg, e0, T0 + N,
                                       kv_begin=kv_begin, composite=composite)
-                nxt = jnp.argmax(logits0[:, 0, :], -1).astype(ids0.dtype)
-                done = (jnp.zeros((B,), bool) if eos_token_id is None
-                        else nxt == eos_token_id)
                 buf = jnp.concatenate(
-                    [ids0, nxt[:, None],
-                     jnp.zeros((B, N - 1), ids0.dtype)], axis=1)
+                    [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
+                buf, done = _greedy_update(buf, jnp.zeros((B,), bool),
+                                           logits0, T0, eos_token_id)
 
                 def body(k, state):
                     buf, done, caches = state
@@ -255,12 +265,8 @@ class AttributionModel:
                     logits, caches = step(params, cfg, e, caches,
                                           T0 + k - 1, kv_begin=kv_begin,
                                           composite=composite)
-                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
-                    if eos_token_id is not None:
-                        nxt = jnp.where(done, eos_token_id, nxt)
-                        done = done | (nxt == eos_token_id)
-                    buf = jax.lax.dynamic_update_slice_in_dim(
-                        buf, nxt[:, None], T0 + k, axis=1)
+                    buf, done = _greedy_update(buf, done, logits, T0 + k,
+                                               eos_token_id)
                     return buf, done, caches
 
                 buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
@@ -271,7 +277,6 @@ class AttributionModel:
                 B = ids0.shape[0]
                 buf = jnp.concatenate(
                     [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
-                done0 = jnp.zeros((B,), bool)
 
                 def body(k, state):
                     buf, done = state
@@ -281,15 +286,11 @@ class AttributionModel:
                     # step is exact
                     logits = fwd(params, cfg, e, composite, kv_begin=kv_begin,
                                  logits_at=T0 + k - 1).logits
-                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
-                    if eos_token_id is not None:
-                        nxt = jnp.where(done, eos_token_id, nxt)
-                        done = done | (nxt == eos_token_id)
-                    buf = jax.lax.dynamic_update_slice_in_dim(
-                        buf, nxt[:, None], T0 + k, axis=1)
-                    return buf, done
+                    return _greedy_update(buf, done, logits, T0 + k,
+                                          eos_token_id)
 
-                buf, _ = jax.lax.fori_loop(0, N, body, (buf, done0))
+                buf, _ = jax.lax.fori_loop(
+                    0, N, body, (buf, jnp.zeros((B,), bool)))
                 return buf
             fn = self._jit[key] = jax.jit(run) if jit else run
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
@@ -807,19 +808,11 @@ class MultimodalAttributionModel:
     def _merged_prefix(self, params, ids, pix, mask, composite):
         """Prompt embeds with the projected image tokens scattered in —
         the image is encoded ONCE here; decode steps are text-only."""
-        from lxt_tpu.models import gemma3, siglip
+        from lxt_tpu.models import gemma3
 
-        vision_out = siglip.forward(params["vision"], self.cfg.vision, pix,
-                                    composite)
-        img = gemma3.project_image_features(params, self.cfg, vision_out,
-                                            composite)
         e = gemma3.embed(params["text"], ids, self.cfg.text)
-        B, T, D = e.shape
-        flat = img.reshape(-1, D).astype(e.dtype)
-        idx = jnp.clip(jnp.cumsum(mask.reshape(-1)) - 1, 0, None)
-        merged = jnp.where(mask.reshape(-1)[:, None], flat[idx],
-                           e.reshape(-1, D))
-        return merged.reshape(B, T, D)
+        return gemma3.merge_image_embeds(params, self.cfg, e, pix, mask,
+                                         composite)
 
     def generate(self, input_ids, pixel_values, max_new_tokens: int, *,
                  eos_token_id: Optional[int] = None, use_cache: bool = True,
@@ -855,12 +848,10 @@ class MultimodalAttributionModel:
                 logits0, caches = decode.gemma3_prefill(
                     params["text"], cfg.text, merged0, T0 + N,
                     composite=composite)
-                nxt = jnp.argmax(logits0[:, 0, :], -1).astype(ids0.dtype)
-                done = (jnp.zeros((B,), bool) if eos_token_id is None
-                        else nxt == eos_token_id)
                 buf = jnp.concatenate(
-                    [ids0, nxt[:, None],
-                     jnp.zeros((B, N - 1), ids0.dtype)], axis=1)
+                    [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
+                buf, done = _greedy_update(buf, jnp.zeros((B,), bool),
+                                           logits0, T0, eos_token_id)
 
                 def body(k, state):
                     buf, done, caches = state
@@ -870,12 +861,8 @@ class MultimodalAttributionModel:
                     logits, caches = decode.gemma3_decode_step(
                         params["text"], cfg.text, e, caches, T0 + k - 1,
                         composite=composite)
-                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
-                    if eos_token_id is not None:
-                        nxt = jnp.where(done, eos_token_id, nxt)
-                        done = done | (nxt == eos_token_id)
-                    buf = jax.lax.dynamic_update_slice_in_dim(
-                        buf, nxt[:, None], T0 + k, axis=1)
+                    buf, done = _greedy_update(buf, done, logits, T0 + k,
+                                               eos_token_id)
                     return buf, done, caches
 
                 buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
@@ -888,7 +875,6 @@ class MultimodalAttributionModel:
                 B = ids0.shape[0]
                 buf = jnp.concatenate(
                     [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
-                done0 = jnp.zeros((B,), bool)
 
                 def body(k, state):
                     buf, done = state
@@ -897,15 +883,11 @@ class MultimodalAttributionModel:
                     logits = gemma3.forward(
                         params["text"], cfg.text, e, composite,
                         logits_at=T0 + k - 1).logits
-                    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
-                    if eos_token_id is not None:
-                        nxt = jnp.where(done, eos_token_id, nxt)
-                        done = done | (nxt == eos_token_id)
-                    buf = jax.lax.dynamic_update_slice_in_dim(
-                        buf, nxt[:, None], T0 + k, axis=1)
-                    return buf, done
+                    return _greedy_update(buf, done, logits, T0 + k,
+                                          eos_token_id)
 
-                buf, _ = jax.lax.fori_loop(0, N, body, (buf, done0))
+                buf, _ = jax.lax.fori_loop(
+                    0, N, body, (buf, jnp.zeros((B,), bool)))
                 return buf
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, ids0, pix, mask)
