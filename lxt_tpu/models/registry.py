@@ -94,11 +94,22 @@ SUPPORTED_FAMILIES = (
 )
 
 
-def _greedy_update(buf, done, logits, pos, eos_token_id):
-    """One greedy-decode bookkeeping step, shared by every generate loop
-    (text/multimodal x cached/uncached): argmax the frontier logits,
-    latch rows that already emitted eos, write the token at ``pos``."""
-    nxt = jnp.argmax(logits[:, 0, :], -1).astype(buf.dtype)
+def _greedy_update(buf, done, logits, pos, eos_token_id, rng=None,
+                   temperature: float = 0.0, top_k=None):
+    """One decode bookkeeping step, shared by every generate loop
+    (text/multimodal x cached/uncached): pick the next token from the
+    frontier logits — argmax, or (``rng`` given) a temperature/top-k
+    sample — latch rows that already emitted eos, write it at ``pos``."""
+    row = logits[:, 0, :]
+    if rng is None:
+        nxt = jnp.argmax(row, -1)
+    else:
+        logt = row.astype(jnp.float32) / temperature
+        if top_k is not None:
+            kth = jax.lax.top_k(logt, int(top_k))[0][:, -1:]
+            logt = jnp.where(logt < kth, -jnp.inf, logt)
+        nxt = jax.random.categorical(rng, logt, axis=-1)
+    nxt = nxt.astype(buf.dtype)
     if eos_token_id is not None:
         nxt = jnp.where(done, eos_token_id, nxt)
         done = done | (nxt == eos_token_id)
@@ -215,10 +226,14 @@ class AttributionModel:
 
     def generate(self, input_ids, max_new_tokens: int, *,
                  eos_token_id: Optional[int] = None, kv_begin=None,
-                 use_cache: bool = True, jit=True):
-        """Greedy decode, so a checkpoint alone (torch-free
+                 temperature: float = 0.0, top_k: Optional[int] = None,
+                 key=None, use_cache: bool = True, jit=True):
+        """Decode a continuation, so a checkpoint alone (torch-free
         ``from_pretrained``) can produce the response it then explains
-        (``attribute_response(out, ids.shape[1])``). One compiled program:
+        (``attribute_response(out, ids.shape[1])``). Greedy by default;
+        pass ``key`` (a ``jax.random.PRNGKey``) with ``temperature > 0``
+        (optionally ``top_k``) to sample — the realistic serving flow is
+        explaining what the model *actually* said. One compiled program:
         Llama-family models run KV-cached incremental decoding (prefill +
         per-token steps, ``models/decode.py`` — O(T + N·T·D) instead of N
         full-prefix forwards); other families (``use_cache=False`` forces
@@ -232,6 +247,8 @@ class AttributionModel:
         if self.family == "bert":
             raise ValueError("generate needs a causal LM head; "
                              "BERT is an encoder")
+        if key is not None and not temperature > 0:
+            raise ValueError("sampling (key=) needs temperature > 0")
         fwd, cfg = self._fns["forward"], self.cfg
         embed = self._fns["embed"]
         composite = self.composite   # forward VALUES are composite-invariant
@@ -241,21 +258,40 @@ class AttributionModel:
         if N < 1:
             raise ValueError(f"max_new_tokens must be >= 1, got {N}")
         cached = use_cache and "prefill" in self._fns
-        key = ("generate", ids0.shape, N, eos_token_id,
-               kv_begin is not None, cached, jit)
-        fn = self._jit.get(key)
+        sampled = key is not None
+        temperature = float(temperature)
+        # normalize typed (jax.random.key) or legacy (PRNGKey uint32[2])
+        # keys to raw data so the compiled fn takes one argument form
+        if sampled and jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
+            skey = jnp.asarray(key, jnp.uint32)
+        elif sampled:
+            skey = jax.random.key_data(key)
+        else:
+            skey = jnp.zeros((2,), jnp.uint32)
+
+        def pick(buf, done, logits, pos, skey, k):
+            rng = (jax.random.fold_in(jax.random.wrap_key_data(skey), k)
+                   if sampled else None)
+            return _greedy_update(buf, done, logits, pos, eos_token_id,
+                                  rng=rng, temperature=temperature,
+                                  top_k=top_k)
+
+        jkey = ("generate", ids0.shape, N, eos_token_id,
+                kv_begin is not None, sampled, temperature, top_k, cached,
+                jit)
+        fn = self._jit.get(jkey)
         if fn is None and cached:
             pre, step = self._fns["prefill"], self._fns["decode_step"]
 
-            def run(params, ids0, kv_begin):
+            def run(params, ids0, kv_begin, skey):
                 B = ids0.shape[0]
                 e0 = embed(params, ids0, cfg)
                 logits0, caches = pre(params, cfg, e0, T0 + N,
                                       kv_begin=kv_begin, composite=composite)
                 buf = jnp.concatenate(
                     [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
-                buf, done = _greedy_update(buf, jnp.zeros((B,), bool),
-                                           logits0, T0, eos_token_id)
+                buf, done = pick(buf, jnp.zeros((B,), bool), logits0, T0,
+                                 skey, 0)
 
                 def body(k, state):
                     buf, done, caches = state
@@ -265,15 +301,14 @@ class AttributionModel:
                     logits, caches = step(params, cfg, e, caches,
                                           T0 + k - 1, kv_begin=kv_begin,
                                           composite=composite)
-                    buf, done = _greedy_update(buf, done, logits, T0 + k,
-                                               eos_token_id)
+                    buf, done = pick(buf, done, logits, T0 + k, skey, k)
                     return buf, done, caches
 
                 buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
                 return buf
-            fn = self._jit[key] = jax.jit(run) if jit else run
+            fn = self._jit[jkey] = jax.jit(run) if jit else run
         elif fn is None:
-            def run(params, ids0, kv_begin):
+            def run(params, ids0, kv_begin, skey):
                 B = ids0.shape[0]
                 buf = jnp.concatenate(
                     [ids0, jnp.zeros((B, N), ids0.dtype)], axis=1)
@@ -286,15 +321,14 @@ class AttributionModel:
                     # step is exact
                     logits = fwd(params, cfg, e, composite, kv_begin=kv_begin,
                                  logits_at=T0 + k - 1).logits
-                    return _greedy_update(buf, done, logits, T0 + k,
-                                          eos_token_id)
+                    return pick(buf, done, logits, T0 + k, skey, k)
 
                 buf, _ = jax.lax.fori_loop(
                     0, N, body, (buf, jnp.zeros((B,), bool)))
                 return buf
-            fn = self._jit[key] = jax.jit(run) if jit else run
+            fn = self._jit[jkey] = jax.jit(run) if jit else run
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
-        return fn(self.params, ids0, kb)
+        return fn(self.params, ids0, kb, skey)
 
     def attribute_response(self, input_ids, response_start: int, *,
                            composite=None, kv_begin=None, via: str = "scan",

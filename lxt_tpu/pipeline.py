@@ -173,11 +173,16 @@ class AttributionPipeline:
                 else [str(t) for t in s])
 
     def respond(self, prompts, max_new_tokens: int, composite=None,
-                eos_token_id="auto") -> List[ResponseAttribution]:
-        """Generate a greedy continuation per prompt AND explain every
-        token of it — the full "why did the model answer this?" flow in
-        two fused programs (one decode loop + one multi-site attribution
-        sharing a single forward), batched across prompts.
+                eos_token_id="auto", temperature: float = 0.0,
+                top_k: Optional[int] = None,
+                seed: int = 0) -> List[ResponseAttribution]:
+        """Generate a continuation per prompt AND explain every token of
+        it — the full "why did the model answer this?" flow in two fused
+        programs (one decode loop + one multi-site attribution sharing a
+        single forward), batched across prompts. Greedy by default;
+        ``temperature > 0`` samples (optionally ``top_k``-truncated),
+        deterministic per ``seed`` — explaining what the model *actually*
+        said.
 
         ``eos_token_id="auto"`` reads the tokenizer; pass ``None`` to
         always emit ``max_new_tokens``. Rows that hit eos are trimmed
@@ -192,6 +197,10 @@ class AttributionPipeline:
         if eos_token_id == "auto":
             eos_token_id = getattr(self.tokenizer, "eos_token_id", None)
         composite = composites.resolve(composite or self.composite)
+        sample_kw = {}
+        if temperature > 0:
+            sample_kw = dict(temperature=float(temperature), top_k=top_k,
+                             key=jax.random.PRNGKey(int(seed)))
         ids, kv_begin, seqs = self._encode(prompts)
         T0 = ids.shape[1]
         kv_begin = jnp.asarray(kv_begin)
@@ -202,7 +211,7 @@ class AttributionPipeline:
             kv_begin = jax.device_put(
                 kv_begin, NamedSharding(self.mesh, P("data")))
         out_dev = self.model.generate(ids, N, eos_token_id=eos_token_id,
-                                      kv_begin=kv_begin)
+                                      kv_begin=kv_begin, **sample_kw)
         # keep ids on device between the two programs: the generated batch
         # retains its (possibly data-sharded) layout into the attribution
         values, rel = self.model.attribute_response(

@@ -54,6 +54,11 @@ class _Request:
     # generate-and-explain: emit up to this many tokens and resolve the
     # Future to a ResponseAttribution (one Heatmap per generated token)
     respond_tokens: Optional[int] = None
+    # sampling controls for respond (0.0 = greedy); requests sharing the
+    # same (temperature, top_k, seed) coalesce into one decode batch
+    temperature: float = 0.0
+    top_k: Optional[int] = None
+    seed: int = 0
 
 
 class ServerOverloadedError(RuntimeError):
@@ -107,8 +112,9 @@ class AttributionServer:
     # -- client side --------------------------------------------------------
 
     def submit(self, prompt: str, composite=None, topk: int = 1,
-               respond_tokens: Optional[int] = None
-               ) -> "concurrent.futures.Future":
+               respond_tokens: Optional[int] = None,
+               temperature: float = 0.0, top_k: Optional[int] = None,
+               seed: int = 0) -> "concurrent.futures.Future":
         """Enqueue one prompt; the Future resolves to a :class:`Heatmap`
         (with ``topk>1``, a list of the k candidate Heatmaps; with
         ``respond_tokens``, a :class:`ResponseAttribution` — the greedy
@@ -134,6 +140,11 @@ class AttributionServer:
                 raise ValueError(
                     f"respond_tokens must be in [1, "
                     f"{self.max_respond_tokens}], got {respond_tokens}")
+        temperature = float(temperature)
+        if temperature < 0 or (temperature > 0 and respond_tokens is None):
+            self.requests_rejected += 1
+            raise ValueError("temperature needs respond_tokens and must "
+                             "be >= 0")
         tokenizer = getattr(self.pipeline, "tokenizer", None)
         ids = None
         if tokenizer is not None:   # bare-callable pipelines skip the guard
@@ -154,7 +165,7 @@ class AttributionServer:
             try:
                 self._queue.put_nowait(
                     _Request(prompt, composite, fut, ids, topk,
-                             respond_tokens))
+                             respond_tokens, temperature, top_k, int(seed)))
             except queue.Full:
                 self.requests_rejected += 1
                 raise ServerOverloadedError(
@@ -163,10 +174,10 @@ class AttributionServer:
         return fut
 
     def attribute(self, prompt: str, composite=None, topk: int = 1,
-                  respond_tokens: Optional[int] = None):
+                  respond_tokens: Optional[int] = None, **kw):
         """Blocking convenience wrapper around :meth:`submit`."""
         return self.submit(prompt, composite, topk=topk,
-                           respond_tokens=respond_tokens).result()
+                           respond_tokens=respond_tokens, **kw).result()
 
     def close(self):
         """Reject new submissions; the worker exits after in-flight work."""
@@ -215,19 +226,23 @@ class AttributionServer:
         return True
 
     def _process(self, batch):
-        # one pipeline call per distinct (composite, topk, respond) in the
-        # drain (Composites are hashable frozen dataclasses; None = default)
+        # one pipeline call per distinct (composite, topk, respond,
+        # sampling) in the drain (Composites are hashable frozen
+        # dataclasses; None = default)
         groups = {}
         for req in batch:
-            groups.setdefault((req.composite, req.topk, req.respond_tokens),
-                              []).append(req)
-        for (composite, topk, respond_tokens), reqs in groups.items():
+            groups.setdefault(
+                (req.composite, req.topk, req.respond_tokens,
+                 req.temperature, req.top_k, req.seed), []).append(req)
+        for (composite, topk, respond_tokens, temperature, top_k,
+             seed), reqs in groups.items():
             try:
                 prompts = [r.prompt if r.ids is None else r.ids
                            for r in reqs]
                 if respond_tokens is not None:
                     heatmaps = self.pipeline.respond(
-                        prompts, respond_tokens, composite=composite)
+                        prompts, respond_tokens, composite=composite,
+                        temperature=temperature, top_k=top_k, seed=seed)
                 else:
                     kw = {"topk": topk} if topk > 1 else {}
                     heatmaps = self.pipeline(prompts, composite=composite,
@@ -303,11 +318,13 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
         503 when the queue is full, 504 when ``request_timeout_s`` elapses
         first.
       - ``POST /v1/respond`` body ``{"prompt": str, "max_new_tokens": N}``
-        (or ``"prompts"``) -> ``{"responses": [{"response": str,
-        "response_tokens": [...], "prompt_tokens": [...],
-        "heatmaps": [...]}]}`` — greedy continuation plus one heatmap per
-        generated token (trimmed at eos). Same 400/503/504 semantics;
-        ``max_new_tokens`` is capped by ``max_respond_tokens``.
+        (or ``"prompts"``; optional ``"temperature"``/``"top_k"``/
+        ``"seed"`` — temperature 0 is greedy, > 0 samples) ->
+        ``{"responses": [{"response": str, "response_tokens": [...],
+        "prompt_tokens": [...], "heatmaps": [...]}]}`` — the continuation
+        plus one heatmap per generated token (trimmed at eos). Same
+        400/503/504 semantics; ``max_new_tokens`` is capped by
+        ``max_respond_tokens``.
       - ``GET /healthz`` -> ``{"ok": true, "served": N, "rejected": N,
         "batches": [...], "jit_cache": {"programs": N, "evictions": N}}``
 
@@ -359,8 +376,15 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                     raise ValueError("'prompts' must be a list of strings")
                 topk = int(req.get("topk", 1))
                 respond_tokens = None
+                sample_kw = {}
                 if self.path == "/v1/respond":
                     respond_tokens = int(req["max_new_tokens"])
+                    sample_kw = {
+                        "temperature": float(req.get("temperature", 0.0)),
+                        "top_k": (int(req["top_k"]) if "top_k" in req
+                                  else None),
+                        "seed": int(req.get("seed", 0)),
+                    }
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})
                 return
@@ -368,7 +392,8 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
             try:
                 for p in prompts:
                     futures.append(server.submit(
-                        p, topk=topk, respond_tokens=respond_tokens))
+                        p, topk=topk, respond_tokens=respond_tokens,
+                        **sample_kw))
             except (PromptTooLongError, ValueError) as e:
                 self._reply(400, {"error": str(e)})
                 return

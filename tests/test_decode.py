@@ -170,3 +170,31 @@ def test_mixtral_cached_matches_uncached_and_hf():
     a = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=True))
     b = np.asarray(m.generate(ids, 4, kv_begin=kb, use_cache=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sampled_generate():
+    """temperature>0 + key: deterministic per key, different across keys,
+    and top_k=1 degenerates to greedy exactly."""
+    cfg = jl.LlamaConfig(**BASE)
+    m = _model(cfg)
+    ids = np.random.RandomState(11).randint(1, cfg.vocab_size, (2, 5))
+
+    k0, k1 = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
+    a = np.asarray(m.generate(ids, 8, temperature=1.0, key=k0))
+    a2 = np.asarray(m.generate(ids, 8, temperature=1.0, key=k0))
+    b = np.asarray(m.generate(ids, 8, temperature=1.0, key=k1))
+    np.testing.assert_array_equal(a, a2)            # same key -> same draw
+    assert not np.array_equal(a, b)                 # (vocab 256, N=8)
+
+    greedy = np.asarray(m.generate(ids, 6))
+    top1 = np.asarray(m.generate(ids, 6, temperature=0.7, top_k=1, key=k0))
+    np.testing.assert_array_equal(top1, greedy)
+
+    import pytest
+    with pytest.raises(ValueError, match="temperature"):
+        m.generate(ids, 2, key=k0)                  # key without temperature
+
+    # sampling rides the cached and uncached paths identically
+    c = np.asarray(m.generate(ids, 8, temperature=1.0, key=k0,
+                              use_cache=False))
+    np.testing.assert_array_equal(a, c)

@@ -137,3 +137,50 @@ def test_server_respond_and_http_route():
         httpd.shutdown()
         httpd.server_close()
         server.close()
+
+
+def test_respond_sampled():
+    """Sampled respond explains the sampled continuation: the maps'
+    target ids ARE the sampled tokens, deterministic per seed."""
+    model, _, _ = _model()
+    pipe = AttributionPipeline(model, ToyTokenizer())
+    prompts = ["alpha beta gamma", "x y"]
+
+    r1 = pipe.respond(prompts, 4, eos_token_id=None, temperature=1.0, seed=3)
+    r2 = pipe.respond(prompts, 4, eos_token_id=None, temperature=1.0, seed=3)
+    for a, b in zip(r1, r2):
+        assert a.response_tokens == b.response_tokens
+    greedy = pipe.respond(prompts, 4, eos_token_id=None)
+    assert any(a.response_tokens != g.response_tokens
+               for a, g in zip(r1, greedy))
+
+    # maps explain the sampled ids (not the greedy ones): re-derive the
+    # continuation at the model level with the same seed and padding
+    tok = ToyTokenizer()
+    ids, kv_begin, _ = pipe._encode(prompts)
+    out = np.asarray(model.generate(ids, 4, kv_begin=np.asarray(kv_begin),
+                                    temperature=1.0,
+                                    key=jax.random.PRNGKey(3)))
+    for i, res in enumerate(r1):
+        gen = [int(t) for t in out[i, ids.shape[1]:]]
+        assert [h.target_token_id for h in res.heatmaps] == gen
+
+
+def test_server_respond_sampling_groups():
+    model, _, _ = _model()
+    pipe = AttributionPipeline(model, ToyTokenizer())
+    server = AttributionServer(pipe, max_batch=4, max_wait_ms=100.0,
+                               max_respond_tokens=8)
+    try:
+        f1 = server.submit("alpha beta", respond_tokens=3,
+                           temperature=1.0, seed=5)
+        f2 = server.submit("alpha beta", respond_tokens=3)
+        s, g = f1.result(timeout=300), f2.result(timeout=300)
+        assert isinstance(s, ResponseAttribution)
+        assert isinstance(g, ResponseAttribution)
+        # temperature without respond_tokens is rejected at submit
+        import pytest
+        with pytest.raises(ValueError, match="temperature"):
+            server.submit("alpha", temperature=1.0)
+    finally:
+        server.close()
