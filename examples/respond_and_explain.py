@@ -52,6 +52,12 @@ def main():
             drivers = ", ".join(f"{hm.tokens[i]}:{hm.relevance[i]:+.2f}"
                                 for i in top)
             print(f"  {tok!r:16} <- {drivers}")
+        from lxt_tpu.utils import clean_tokens, html_response_heatmap
+        path = html_response_heatmap(
+            clean_tokens(res.heatmaps[0].tokens), res.response_tokens,
+            np.stack([h.raw_relevance for h in res.heatmaps]),
+            path="response_heatmap.html")
+        print("wrote", path)
     else:
         from lxt_tpu.models import llama as jllama
         from lxt_tpu.models.registry import AttributionModel, _family_table

@@ -1,7 +1,8 @@
 """Utilities: heatmap rendering, token cleanup, profiling, faithfulness."""
 
 from lxt_tpu.utils.faithfulness import aopc_scores, perturbation_curve
-from lxt_tpu.utils.viz import clean_tokens, html_heatmap, pdf_heatmap
+from lxt_tpu.utils.viz import (clean_tokens, html_heatmap,
+                               html_response_heatmap, pdf_heatmap)
 
-__all__ = ["clean_tokens", "html_heatmap", "pdf_heatmap",
-           "perturbation_curve", "aopc_scores"]
+__all__ = ["clean_tokens", "html_heatmap", "html_response_heatmap",
+           "pdf_heatmap", "perturbation_curve", "aopc_scores"]

@@ -145,3 +145,47 @@ def html_heatmap(words, relevances, cmap="bwr", path="heatmap.html"):
     os.makedirs(path.parent, exist_ok=True)
     path.write_text(doc)
     return path
+
+
+def html_response_heatmap(tokens, response_tokens, relevance,
+                          cmap="bwr", path="response_heatmap.html"):
+    """Response-attribution matrix as one self-contained HTML table.
+
+    ``tokens``: the full sequence (prompt + response, the Heatmaps'
+    ``.tokens``); ``response_tokens``: the K generated tokens (row
+    labels); ``relevance``: ``[K, len(tokens)]`` — row k is the map
+    explaining why ``response_tokens[k]`` was generated (e.g. stacked
+    ``ResponseAttribution.heatmaps[k].relevance``). Rows are normalized
+    independently to [-1, 1]. Cells carry the raw value as a tooltip.
+    """
+    tokens = [str(t) for t in tokens]
+    K = len(response_tokens)
+    rows = []
+    for k in range(K):
+        row = [float(r) for r in relevance[k]]
+        if len(row) != len(tokens):
+            raise ValueError(
+                f"relevance row {k} has {len(row)} entries for "
+                f"{len(tokens)} tokens")
+        denom = max(abs(r) for r in row) or 1.0
+        cells = []
+        for tok, rel in zip(tokens, row):
+            r, g, b = _colormap(rel / denom, cmap)
+            cells.append(
+                f'<td style="background-color: rgb({r},{g},{b});'
+                f' padding:1px 4px;" title="{rel:+.4f}">'
+                f"{_html.escape(tok)}</td>")
+        label = _html.escape(str(response_tokens[k]))
+        rows.append(f'<tr><th style="text-align:right; padding-right:'
+                    f'8px;">{label}</th>{"".join(cells)}</tr>')
+    doc = ("<!doctype html><meta charset='utf-8'>"
+           "<body style=\"font-family: monospace; line-height: 1.6;"
+           " margin: 2em;\">"
+           "<p>row k: why the model generated that token "
+           "(red = supports, blue = contradicts)</p>"
+           '<table style="border-collapse: collapse;">'
+           + "".join(rows) + "</table></body>")
+    path = Path(path)
+    os.makedirs(path.parent, exist_ok=True)
+    path.write_text(doc)
+    return path

@@ -198,3 +198,19 @@ def test_sampled_generate():
     c = np.asarray(m.generate(ids, 8, temperature=1.0, key=k0,
                               use_cache=False))
     np.testing.assert_array_equal(a, c)
+
+
+def test_quantized_cached_matches_uncached():
+    """int8 weight-only params ride the cached path (_layer_at tree-maps
+    over QuantizedTensor leaves, which carry the stacked L axis)."""
+    from lxt_tpu.ops.quant import quantize_params
+
+    cfg = jl.LlamaConfig(**BASE)
+    params = quantize_params(jl.init_params(cfg, jax.random.PRNGKey(0)),
+                             bits=8)
+    m = AttributionModel("llama", cfg, params, lxt_tpu.attnlrp,
+                         _family_table()["llama"])
+    ids = np.random.RandomState(12).randint(1, cfg.vocab_size, (2, 6))
+    a = np.asarray(m.generate(ids, 5, use_cache=True))
+    b = np.asarray(m.generate(ids, 5, use_cache=False))
+    np.testing.assert_array_equal(a, b)

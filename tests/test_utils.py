@@ -46,3 +46,22 @@ def test_pdf_heatmap_falls_back_without_latex(tmp_path):
 def test_pdf_heatmap_rejects_unnormalized(tmp_path):
     with pytest.raises(AssertionError):
         pdf_heatmap(["a"], np.asarray([2.0]), path=tmp_path / "x.pdf")
+
+
+def test_html_response_heatmap(tmp_path):
+    from lxt_tpu.utils import html_response_heatmap
+
+    tokens = ["why", "is", "the", "sky", "blue", "Ray", "leigh"]
+    resp = ["Ray", "leigh"]
+    rel = [[0.1, -0.2, 0.0, 0.9, 0.5, 0.0, 0.0],
+           [0.0, 0.1, 0.0, 0.3, 0.2, 0.8, 0.0]]
+    p = html_response_heatmap(tokens, resp, rel,
+                              path=tmp_path / "resp.html")
+    doc = p.read_text()
+    assert doc.count("<tr>") == 2
+    assert "Ray" in doc and "sky" in doc
+    assert "+0.9000" in doc            # raw value tooltip survives
+
+    import pytest
+    with pytest.raises(ValueError, match="entries"):
+        html_response_heatmap(tokens, resp, [[0.0]], path=tmp_path / "x.html")
