@@ -147,7 +147,7 @@ def topk_relevance(logits_fn, inputs_embeds, k: int = 5, *, position=-1,
 
 def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
                          aux_input=None, sum_features: bool = True,
-                         via: str = "scan"):
+                         contrastive: bool = False, via: str = "scan"):
     """K relevance maps for K (position, token) sites, ONE forward pass.
 
     ``logits_fn(embeds) -> [B, T, V]``; ``positions [K]`` int positions,
@@ -162,6 +162,12 @@ def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
     ``logits_fn(embeds, aux)`` and the return gains a third element: the
     per-site aux relevance (G*I over ``aux``, last axis summed under
     ``sum_features`` — channels, for NHWC pixels).
+
+    ``contrastive``: each site's target becomes ``logit(token) -
+    logit(rival)`` where the rival is the strongest OTHER token at that
+    position — "why this token instead of the runner-up" (the reference's
+    contrastive-explanation recipe, docs/source/quickstart.rst, lifted to
+    every site of a response). ``values`` are then the logit margins.
     """
     if aux_input is None:
         logits, vjp_fn = jax.vjp(logits_fn, inputs_embeds)
@@ -184,10 +190,17 @@ def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
 
     def pull(site):
         pos, tok_b = site
+        V = logits.shape[-1]
         row = jnp.take(logits, pos, axis=1)              # [B, V]
-        ct = jnp.zeros_like(logits).at[:, pos, :].set(
-            jax.nn.one_hot(tok_b, logits.shape[-1], dtype=logits.dtype))
+        seed = jax.nn.one_hot(tok_b, V, dtype=logits.dtype)
         value = jnp.take_along_axis(row, tok_b[:, None], -1)[:, 0]
+        if contrastive:
+            # rival = strongest token at the site EXCLUDING the target
+            masked = jnp.where(seed > 0, -jnp.inf, row.astype(jnp.float32))
+            rival = jnp.argmax(masked, axis=-1)
+            seed = seed - jax.nn.one_hot(rival, V, dtype=logits.dtype)
+            value = value - jnp.take_along_axis(row, rival[:, None], -1)[:, 0]
+        ct = jnp.zeros_like(logits).at[:, pos, :].set(seed)
         if aux_input is None:
             (grad,) = vjp_fn(ct)
             return value, _gxi(inputs_embeds, grad)

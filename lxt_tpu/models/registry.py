@@ -331,7 +331,8 @@ class AttributionModel:
         return fn(self.params, ids0, kb, skey)
 
     def attribute_response(self, input_ids, response_start: int, *,
-                           composite=None, kv_begin=None, via: str = "scan",
+                           composite=None, kv_begin=None,
+                           contrastive: bool = False, via: str = "scan",
                            jit=True):
         """One relevance map PER RESPONSE TOKEN, all sharing one forward.
 
@@ -341,9 +342,11 @@ class AttributionModel:
         position that predicted it (``response_start + k - 1``) — "why did
         the model generate each token of this response" in a single fused
         program instead of one re-run per generated token. ``kv_begin [B]``
-        marks per-example left padding (serving batch layout). Returns
-        ``(values [K, B], relevance [K, B, T])``, ``K = T -
-        response_start``.
+        marks per-example left padding (serving batch layout).
+        ``contrastive``: each map explains the MARGIN over the strongest
+        rival token instead ("why this token and not the runner-up");
+        ``values`` become the margins. Returns ``(values [K, B],
+        relevance [K, B, T])``, ``K = T - response_start``.
         """
         from lxt_tpu.attribution import multi_site_relevance
 
@@ -357,7 +360,7 @@ class AttributionModel:
                 f"for T={ids.shape[1]}")
         embeds = self.embed(ids)
         key = ("response", embeds.shape, embeds.dtype.name, composite,
-               response_start, kv_begin is not None, via, jit)
+               response_start, kv_begin is not None, contrastive, via, jit)
         fn = self._jit.get(key)
         if fn is None:
             def run(params, e, ids, kv_begin):
@@ -366,7 +369,7 @@ class AttributionModel:
                 return multi_site_relevance(
                     lambda ee: fwd(params, cfg, ee, composite,
                                    kv_begin=kv_begin).logits,
-                    e, positions, tokens, via=via)
+                    e, positions, tokens, contrastive=contrastive, via=via)
             fn = self._jit[key] = jax.jit(run) if jit else run
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
         return fn(self.params, embeds, ids, kb)
@@ -928,10 +931,12 @@ class MultimodalAttributionModel:
 
     def attribute_response(self, input_ids, pixel_values,
                            response_start: int, *, composite=None,
-                           via: str = "scan", jit=True):
+                           contrastive: bool = False, via: str = "scan",
+                           jit=True):
         """One joint token+pixel relevance map PER RESPONSE TOKEN, all
         sharing one forward ("why did the model generate each token of
-        its caption, and which pixels drove it"). Returns ``(values
+        its caption, and which pixels drove it"). ``contrastive``:
+        margins over the strongest rival token instead. Returns ``(values
         [K, B], token_relevance [K, B, T], image_heatmap [K, B, H, W])``,
         ``K = T - response_start``."""
         from lxt_tpu.attribution import multi_site_relevance
@@ -948,7 +953,7 @@ class MultimodalAttributionModel:
                 f"for T={ids.shape[1]}")
         embeds = gemma3.embed(self.params["text"], ids, self.cfg.text)
         key = ("response", embeds.shape, pix.shape, embeds.dtype.name,
-               composite, response_start, via, jit)
+               composite, response_start, contrastive, via, jit)
         fn = self._jit.get(key)
         if fn is None:
             cfg = self.cfg
@@ -959,7 +964,8 @@ class MultimodalAttributionModel:
                 return multi_site_relevance(
                     lambda ee, pp: gemma3.multimodal_forward(
                         params, cfg, ee, pp, m, composite).logits,
-                    e, positions, tokens, aux_input=p, via=via)
+                    e, positions, tokens, aux_input=p,
+                    contrastive=contrastive, via=via)
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, embeds, pix, mask, ids)
 

@@ -174,8 +174,8 @@ class AttributionPipeline:
 
     def respond(self, prompts, max_new_tokens: int, composite=None,
                 eos_token_id="auto", temperature: float = 0.0,
-                top_k: Optional[int] = None,
-                seed: int = 0) -> List[ResponseAttribution]:
+                top_k: Optional[int] = None, seed: int = 0,
+                contrastive: bool = False) -> List[ResponseAttribution]:
         """Generate a continuation per prompt AND explain every token of
         it — the full "why did the model answer this?" flow in two fused
         programs (one decode loop + one multi-site attribution sharing a
@@ -189,7 +189,10 @@ class AttributionPipeline:
         (the eos token itself keeps its map). With ``mesh=``, the batch
         shards over the ``data`` axis (inputs are placed with data
         shardings; jit compiles per input sharding, so the decode loop
-        and the attribution both run batch-parallel).
+        and the attribution both run batch-parallel). ``contrastive``:
+        each map explains the margin over the strongest rival token
+        ("why this token and not the runner-up"); ``Heatmap.value``
+        becomes that margin.
         """
         N = int(max_new_tokens)
         if N < 1:
@@ -215,7 +218,8 @@ class AttributionPipeline:
         # keep ids on device between the two programs: the generated batch
         # retains its (possibly data-sharded) layout into the attribution
         values, rel = self.model.attribute_response(
-            out_dev, T0, composite=composite, kv_begin=kv_begin)
+            out_dev, T0, composite=composite, kv_begin=kv_begin,
+            contrastive=contrastive)
         # host-side post-processing only (eager jnp ops each pay a device
         # round-trip over a remote-TPU tunnel — see __call__)
         out = np.asarray(out_dev)

@@ -59,6 +59,8 @@ class _Request:
     temperature: float = 0.0
     top_k: Optional[int] = None
     seed: int = 0
+    # respond maps explain the margin over the strongest rival token
+    contrastive: bool = False
 
 
 class ServerOverloadedError(RuntimeError):
@@ -114,7 +116,8 @@ class AttributionServer:
     def submit(self, prompt: str, composite=None, topk: int = 1,
                respond_tokens: Optional[int] = None,
                temperature: float = 0.0, top_k: Optional[int] = None,
-               seed: int = 0) -> "concurrent.futures.Future":
+               seed: int = 0,
+               contrastive: bool = False) -> "concurrent.futures.Future":
         """Enqueue one prompt; the Future resolves to a :class:`Heatmap`
         (with ``topk>1``, a list of the k candidate Heatmaps; with
         ``respond_tokens``, a :class:`ResponseAttribution` — the greedy
@@ -165,7 +168,8 @@ class AttributionServer:
             try:
                 self._queue.put_nowait(
                     _Request(prompt, composite, fut, ids, topk,
-                             respond_tokens, temperature, top_k, int(seed)))
+                             respond_tokens, temperature, top_k, int(seed),
+                             bool(contrastive)))
             except queue.Full:
                 self.requests_rejected += 1
                 raise ServerOverloadedError(
@@ -233,16 +237,18 @@ class AttributionServer:
         for req in batch:
             groups.setdefault(
                 (req.composite, req.topk, req.respond_tokens,
-                 req.temperature, req.top_k, req.seed), []).append(req)
+                 req.temperature, req.top_k, req.seed,
+                 req.contrastive), []).append(req)
         for (composite, topk, respond_tokens, temperature, top_k,
-             seed), reqs in groups.items():
+             seed, contrastive), reqs in groups.items():
             try:
                 prompts = [r.prompt if r.ids is None else r.ids
                            for r in reqs]
                 if respond_tokens is not None:
                     heatmaps = self.pipeline.respond(
                         prompts, respond_tokens, composite=composite,
-                        temperature=temperature, top_k=top_k, seed=seed)
+                        temperature=temperature, top_k=top_k, seed=seed,
+                        contrastive=contrastive)
                 else:
                     kw = {"topk": topk} if topk > 1 else {}
                     heatmaps = self.pipeline(prompts, composite=composite,
@@ -384,6 +390,7 @@ def http_server(server: AttributionServer, host: str = "127.0.0.1",
                         "top_k": (int(req["top_k"]) if "top_k" in req
                                   else None),
                         "seed": int(req.get("seed", 0)),
+                        "contrastive": bool(req.get("contrastive", False)),
                     }
             except (KeyError, ValueError, TypeError) as e:
                 self._reply(400, {"error": f"bad request: {e}"})

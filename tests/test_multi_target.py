@@ -241,3 +241,52 @@ def test_generate_eos_latching():
     first = int(np.asarray(model.generate(ids, 1))[0, -1])
     out = np.asarray(model.generate(ids, 6, eos_token_id=first))
     assert (out[0, 4:] == first).all()
+
+
+def test_contrastive_response_is_map_difference():
+    """Contrastive site k == map(token) - map(rival) by vjp linearity,
+    with the rival being the strongest non-target token at the site."""
+    from lxt_tpu.attribution import multi_site_relevance
+
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(21).randint(1, 256, (2, 5))
+    out = np.asarray(model.generate(ids, 3))
+    T0, B = ids.shape[1], ids.shape[0]
+
+    fwd, cfg = model._fns["forward"], model.cfg
+    e = model.embed(out)
+    f = lambda ee: fwd(model.params, cfg, ee, model.composite).logits
+
+    positions = np.arange(T0 - 1, out.shape[1] - 1)
+    toks = out[:, T0:].T.copy()                         # [K, B]
+    logits = np.asarray(model.logits(out))
+    rivals = []
+    for k, p in enumerate(positions):
+        row = logits[:, p].copy()
+        row[np.arange(B), toks[k]] = -np.inf
+        rivals.append(row.argmax(-1))
+    rivals = np.stack(rivals)
+
+    va, ra = multi_site_relevance(f, e, positions, toks)
+    vb, rb = multi_site_relevance(f, e, positions, rivals)
+    vc, rc = multi_site_relevance(f, e, positions, toks, contrastive=True)
+    np.testing.assert_allclose(np.asarray(vc), np.asarray(va - vb),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(ra - rb),
+                               rtol=0, atol=2e-4)
+
+    # and through the public surface
+    values, rels = model.attribute_response(out, T0, contrastive=True)
+    np.testing.assert_allclose(np.asarray(values), np.asarray(vc),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rels), np.asarray(rc),
+                               rtol=0, atol=1e-5)
