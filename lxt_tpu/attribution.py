@@ -215,6 +215,49 @@ def multi_site_relevance(logits_fn, inputs_embeds, positions, tokens, *,
     return jax.lax.map(pull, (positions, tokens))
 
 
+def multi_site_latent_relevance(forward_fn, inputs_embeds, positions,
+                                tokens, probe_shape, *, via: str = "scan"):
+    """Input AND per-layer relevance for K (position, token) sites, one
+    forward.
+
+    ``forward_fn(embeds, probes) -> (logits [B, T, V], hidden_states
+    [L+1, B, T, D])`` with ``probes`` zeros of ``probe_shape =
+    [L, B, T, D]`` added to each layer output (the latent-relevance hook
+    contract of :func:`latent_relevance`, lifted to many sites). Site k
+    targets the logit of ``tokens[k]`` at ``positions[k]``; its probe
+    gradient times the (shared) hidden states is the relevance trace of
+    that site through the layers. Returns ``(values [K, B], input_rel
+    [K, B, T], latent_rel [K, L, B, T])`` — e.g. "which layer moved
+    relevance onto which prompt token, for each generated token".
+    """
+    probes = jnp.zeros(probe_shape, inputs_embeds.dtype)
+    (logits, hiddens), vjp_fn = jax.vjp(forward_fn, inputs_embeds, probes)
+    positions = jnp.asarray(positions)
+    tokens = jnp.asarray(tokens)
+    if tokens.ndim == 1:
+        tokens = jnp.broadcast_to(tokens[:, None],
+                                  (tokens.shape[0], logits.shape[0]))
+    h32 = hiddens[1:].astype(jnp.float32)
+
+    def pull(site):
+        pos, tok_b = site
+        row = jnp.take(logits, pos, axis=1)
+        ct = jnp.zeros_like(logits).at[:, pos, :].set(
+            jax.nn.one_hot(tok_b, logits.shape[-1], dtype=logits.dtype))
+        g_e, g_pr = vjp_fn((ct, jnp.zeros_like(hiddens)))
+        rel = (inputs_embeds.astype(jnp.float32)
+               * g_e.astype(jnp.float32)).sum(-1)
+        latent = (h32 * g_pr.astype(jnp.float32)).sum(-1)     # [L, B, T]
+        value = jnp.take_along_axis(row, tok_b[:, None], -1)[:, 0]
+        return value, rel, latent
+
+    if via == "vmap":
+        return jax.vmap(pull)((positions, tokens))
+    if via != "scan":
+        raise ValueError(f"via must be 'scan' or 'vmap', got {via!r}")
+    return jax.lax.map(pull, (positions, tokens))
+
+
 def contrastive_target(logits, token_a, token_b, position=-1):
     """Contrastive explanation target: logit(a) - logit(b) at ``position``
     (reference docs/source/quickstart.rst GPT-2 contrastive example)."""

@@ -374,6 +374,46 @@ class AttributionModel:
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
         return fn(self.params, embeds, ids, kb)
 
+    def attribute_response_latent(self, input_ids, response_start: int, *,
+                                  composite=None, via: str = "scan",
+                                  jit=True):
+        """Per-layer relevance traces for EVERY response token, one
+        forward: map k's probe gradients times the shared hidden states
+        show which layers moved relevance onto which positions while
+        generating token k (the reference's layer x token latent trace,
+        docs/latent-feature-attribution, lifted to a whole response).
+        Returns ``(values [K, B], input_rel [K, B, T], latent_rel
+        [K, L, B, T])``."""
+        from lxt_tpu.attribution import multi_site_latent_relevance
+
+        composite = composites.resolve(composite or self.composite)
+        fwd, cfg = self._fns["forward"], self.cfg
+        ids = jnp.asarray(input_ids)
+        response_start = int(response_start)
+        if not 1 <= response_start < ids.shape[1]:
+            raise ValueError(
+                f"response_start must be in [1, T), got {response_start} "
+                f"for T={ids.shape[1]}")
+        embeds = self.embed(ids)
+        B, T, D = embeds.shape
+        L = cfg.num_layers
+        key = ("response_latent", embeds.shape, embeds.dtype.name, composite,
+               response_start, via, jit)
+        fn = self._jit.get(key)
+        if fn is None:
+            def run(params, e, ids):
+                positions = jnp.arange(response_start - 1, ids.shape[1] - 1)
+                tokens = ids[:, response_start:].T          # [K, B]
+
+                def f(ee, probes):
+                    out = fwd(params, cfg, ee, composite, probes=probes,
+                              output_hidden_states=True)
+                    return out.logits, out.hidden_states
+                return multi_site_latent_relevance(
+                    f, e, positions, tokens, (L, B, T, D), via=via)
+            fn = self._jit[key] = jax.jit(run) if jit else run
+        return fn(self.params, embeds, ids)
+
     def attribute_latent(self, input_ids, *, target: Optional[Callable] = None,
                          position: int = -1, composite=None):
         """Input relevance + per-layer latent relevance in ONE backward

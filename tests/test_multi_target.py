@@ -290,3 +290,44 @@ def test_contrastive_response_is_map_difference():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(rels), np.asarray(rc),
                                rtol=0, atol=1e-5)
+
+
+def test_attribute_response_latent():
+    """Latent response traces: input maps match attribute_response, and
+    site 0's layer trace matches the single-target attribute_latent."""
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    model = lxt_tpu.from_hf(hf)
+    ids = np.random.RandomState(22).randint(1, 256, (2, 5))
+    out = np.asarray(model.generate(ids, 3))
+    T0 = ids.shape[1]
+
+    values, rel, latent = model.attribute_response_latent(out, T0)
+    assert np.asarray(latent).shape == (3, 2, 2, out.shape[1])  # [K,L,B,T]
+    assert np.isfinite(np.asarray(latent)).all()
+
+    v2, r2 = model.attribute_response(out, T0)
+    np.testing.assert_allclose(np.asarray(values), np.asarray(v2),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rel), np.asarray(r2),
+                               rtol=0, atol=1e-5)
+
+    # cross-check site 0 against the single-target latent path
+    pos, tok = T0 - 1, jnp.asarray(out[:, T0])
+
+    def tgt(logits):
+        row = logits[:, pos, :]
+        return jnp.take_along_axis(row, tok[:, None], -1).sum()
+
+    _, in_rel, lat = model.attribute_latent(out, target=tgt)
+    np.testing.assert_allclose(np.asarray(rel)[0], np.asarray(in_rel),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(latent)[0],
+                               np.asarray(lat).sum(-1), rtol=0, atol=1e-5)
