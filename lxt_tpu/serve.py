@@ -461,8 +461,11 @@ def build_server(args) -> AttributionServer:
         dtype = np.dtype(ml_dtypes.bfloat16)
     else:
         dtype = np.dtype(args.dtype)
+    # text_only: the HTTP surface serves prompt/response attribution, so a
+    # multimodal checkpoint (e.g. Gemma-3 with its vision tower) loads as
+    # its language model instead of erroring in the pipeline
     model = from_pretrained(args.model, composite=composite, dtype=dtype,
-                            quantize_bits=args.bits)
+                            quantize_bits=args.bits, text_only=True)
 
     from transformers import AutoTokenizer
     tokenizer = AutoTokenizer.from_pretrained(args.model)

@@ -184,3 +184,43 @@ def test_server_respond_sampling_groups():
             server.submit("alpha", temperature=1.0)
     finally:
         server.close()
+
+
+def test_build_server_from_checkpoint_dir(tmp_path):
+    """The CLI assembly path (checkpoint dir -> torch-free from_pretrained
+    -> pipeline -> server) serves attribute AND respond end-to-end."""
+    import argparse
+
+    import torch
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    from lxt_tpu.serve import build_server
+
+    torch.manual_seed(2)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.save_pretrained(tmp_path)
+    tok = Tokenizer(models.WordLevel({f"w{i}": i for i in range(256)},
+                                     unk_token="w0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    PreTrainedTokenizerFast(tokenizer_object=tok, eos_token="w1",
+                            pad_token="w0").save_pretrained(tmp_path)
+
+    args = argparse.Namespace(
+        model=str(tmp_path), composite=None, dtype="float32", bits=None,
+        max_batch=2, max_wait_ms=10.0, max_queue=8, max_prompt_tokens=64,
+        max_respond_tokens=8, data_parallel=1)
+    server = build_server(args)
+    try:
+        hm = server.attribute("w3 w4 w5")
+        assert np.isfinite(hm.raw_relevance).all()
+        res = server.attribute("w3 w4 w5", respond_tokens=2)
+        assert isinstance(res, ResponseAttribution)
+        assert 1 <= len(res.heatmaps) <= 2      # may trim at eos
+    finally:
+        server.close()
