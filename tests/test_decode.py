@@ -214,3 +214,32 @@ def test_quantized_cached_matches_uncached():
     a = np.asarray(m.generate(ids, 5, use_cache=True))
     b = np.asarray(m.generate(ids, 5, use_cache=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_decode_logits_close_at_bf16():
+    """Production dtype: per-step decode logits track the full forward at
+    bf16 tolerances (reduction orders differ between the flash prefill
+    and the einsum steps, so exactness is not required — closeness is)."""
+    from lxt_tpu.models import decode
+
+    cfg = jl.LlamaConfig(**{**BASE, "dtype": "bfloat16"})
+    m = _model(cfg)
+    ids = np.random.RandomState(13).randint(1, cfg.vocab_size, (2, 7))
+    T0, N = ids.shape[1], 3
+    out = np.asarray(m.generate(ids, N, use_cache=True))
+
+    e = m.embed(out)
+    full = np.asarray(m._fns["forward"](
+        m.params, cfg, e, lxt_tpu.attnlrp).logits, dtype=np.float32)
+
+    logits0, caches = decode.prefill(m.params, cfg, m.embed(ids), T0 + N)
+    np.testing.assert_allclose(
+        np.asarray(logits0[:, 0], dtype=np.float32), full[:, T0 - 1],
+        rtol=0, atol=0.05)
+    for k in range(1, N):
+        tok = jnp.asarray(out[:, T0 + k - 1: T0 + k])
+        le, caches = decode.decode_step(
+            m.params, cfg, m.embed(tok), caches, T0 + k - 1)
+        np.testing.assert_allclose(
+            np.asarray(le[:, 0], dtype=np.float32), full[:, T0 + k - 1],
+            rtol=0, atol=0.05)
