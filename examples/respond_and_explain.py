@@ -32,6 +32,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default=None, help="local HF checkpoint dir")
     ap.add_argument("-n", "--max-new-tokens", type=int, default=8)
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="> 0 samples the response (deterministic per --seed)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--contrastive", action="store_true",
+                    help="maps explain the margin over the runner-up token")
     args = ap.parse_args()
 
     if args.model:
@@ -45,7 +50,9 @@ def main():
         pipe = AttributionPipeline(model, tokenizer)
         prompt = ("The highest mountain on Earth measured from sea level "
                   "is located in")
-        (res,) = pipe.respond([prompt], args.max_new_tokens)
+        (res,) = pipe.respond([prompt], args.max_new_tokens,
+                              temperature=args.temperature, seed=args.seed,
+                              contrastive=args.contrastive)
         print("response:", res.response_text)
         for tok, hm in zip(res.response_tokens, res.heatmaps):
             top = np.argsort(np.abs(hm.relevance))[::-1][:5]
