@@ -477,6 +477,34 @@ def main():
         np.savez(out_path, **result)
         print("golden written:", out_path)
         return
+    if composite == "response":
+        # per-site golden for the respond surface: the reference explains
+        # one (position, token) per FULL forward+backward; site k targets
+        # the logit of ids[0, start+k] at the position that predicted it.
+        # The repo's attribute_response must reproduce every map from ONE
+        # shared forward.
+        mod, maps, model = build_tiny("llama", patch_composite="attnlrp")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            monkey_patch(mod, maps.attnLRP)
+        ids = torch.randint(0, 256, (1, 12),
+                            generator=torch.Generator().manual_seed(1))
+        start = 8
+        rels, vals = [], []
+        for k in range(ids.shape[1] - start):
+            emb = model.get_input_embeddings()(ids).detach().requires_grad_()
+            logits = model(inputs_embeds=emb, use_cache=False).logits
+            val = logits[0, start + k - 1, ids[0, start + k]]
+            val.backward()
+            rels.append((emb * emb.grad).detach().float().sum(-1)[0])
+            vals.append(val.detach().float())
+        result["response.ids"] = ids.numpy()
+        result["response.start"] = np.asarray(start)
+        result["response.rel"] = torch.stack(rels).numpy()
+        result["response.values"] = torch.stack(vals).numpy()
+        np.savez(out_path, **result)
+        print("golden written:", out_path)
+        return
     if composite == "openclip":
         x, y, heatmap, top = golden_openclip()
         result["openclip.x"] = x.numpy()

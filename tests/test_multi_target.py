@@ -331,3 +331,42 @@ def test_attribute_response_latent():
                                rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(latent)[0],
                                np.asarray(lat).sum(-1), rtol=0, atol=1e-5)
+
+
+def test_attribute_response_golden_vs_reference(reference_lxt,
+                                                tmp_path_factory):
+    """GOLDEN: every map of attribute_response equals the torch
+    reference's single-target attnLRP backward at that (position, token)
+    — K reference forward+backward runs reproduced by ONE shared
+    forward here."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    out = tmp_path_factory.mktemp("golden") / "response.npz"
+    script = os.path.join(os.path.dirname(__file__), "_reference_golden.py")
+    subprocess.run([_sys.executable, script, "response", str(out)],
+                   check=True, capture_output=True, text=True)
+    data = dict(np.load(out))
+    ids = data["response.ids"]
+    start = int(data["response.start"])
+    ref_rel = data["response.rel"]                     # [K, T]
+    ref_vals = data["response.values"]                 # [K]
+
+    from tests._reference_golden import build_tiny
+    _, _, hf_model = build_tiny("llama")
+    cfg = jllama.LlamaConfig.from_hf(hf_model.config)
+    params = jllama.params_from_hf(hf_model.state_dict(), cfg)
+    from lxt_tpu.models.registry import AttributionModel, _family_table
+    model = AttributionModel("llama", cfg, params, lxt_tpu.attnlrp,
+                             _family_table()["llama"])
+
+    values, rel = model.attribute_response(ids, start)
+    values, rel = np.asarray(values), np.asarray(rel)
+    assert rel.shape == (ids.shape[1] - start, 1, ids.shape[1])
+    for k in range(ref_rel.shape[0]):
+        np.testing.assert_allclose(values[k, 0], ref_vals[k], rtol=2e-4)
+        a, b = rel[k, 0], ref_rel[k]
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.9999, (k, cos)
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-4)
