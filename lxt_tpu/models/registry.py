@@ -94,6 +94,40 @@ SUPPORTED_FAMILIES = (
 )
 
 
+def _run_decode_loop(N, k0, state, body, eos_token_id):
+    """Decode-loop driver shared by every generate: ``state = (buf, done,
+    ...)``, ``body(k, state) -> state``. A ``while_loop`` instead of a
+    ``fori_loop`` so the program exits as soon as EVERY row has emitted
+    ``eos_token_id`` — a generous ``max_new_tokens`` cap then costs only
+    as many steps as the longest answer actually needs."""
+    def cond(ks):
+        k, state = ks
+        more = k < N
+        if eos_token_id is not None:
+            more &= ~jnp.all(state[1])
+        return more
+
+    def wrapped(ks):
+        k, state = ks
+        return k + 1, body(k, state)
+
+    _, state = jax.lax.while_loop(cond, wrapped, (jnp.int32(k0), state))
+    return state
+
+
+def _fill_after_eos(buf, T0, eos_token_id):
+    """Positions after each row's first eos become eos (the loop writes
+    them that way too — this covers the slots an early exit never
+    reached)."""
+    if eos_token_id is None:
+        return buf
+    gen = buf[:, T0:]
+    is_eos = (gen == eos_token_id).astype(jnp.int32)
+    after = (jnp.cumsum(is_eos, axis=1) - is_eos) > 0
+    gen = jnp.where(after, jnp.asarray(eos_token_id, gen.dtype), gen)
+    return jnp.concatenate([buf[:, :T0], gen], axis=1)
+
+
 def _greedy_update(buf, done, logits, pos, eos_token_id, rng=None,
                    temperature: float = 0.0, top_k=None):
     """One decode bookkeeping step, shared by every generate loop
@@ -304,8 +338,9 @@ class AttributionModel:
                     buf, done = pick(buf, done, logits, T0 + k, skey, k)
                     return buf, done, caches
 
-                buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
-                return buf
+                buf, _, _ = _run_decode_loop(N, 1, (buf, done, caches),
+                                             body, eos_token_id)
+                return _fill_after_eos(buf, T0, eos_token_id)
             fn = self._jit[jkey] = jax.jit(run) if jit else run
         elif fn is None:
             def run(params, ids0, kv_begin, skey):
@@ -323,9 +358,9 @@ class AttributionModel:
                                  logits_at=T0 + k - 1).logits
                     return pick(buf, done, logits, T0 + k, skey, k)
 
-                buf, _ = jax.lax.fori_loop(
-                    0, N, body, (buf, jnp.zeros((B,), bool)))
-                return buf
+                buf, _ = _run_decode_loop(N, 0, (buf, jnp.zeros((B,), bool)),
+                                          body, eos_token_id)
+                return _fill_after_eos(buf, T0, eos_token_id)
             fn = self._jit[jkey] = jax.jit(run) if jit else run
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
         return fn(self.params, ids0, kb, skey)
@@ -942,8 +977,9 @@ class MultimodalAttributionModel:
                                                eos_token_id)
                     return buf, done, caches
 
-                buf, _, _ = jax.lax.fori_loop(1, N, body, (buf, done, caches))
-                return buf
+                buf, _, _ = _run_decode_loop(N, 1, (buf, done, caches),
+                                             body, eos_token_id)
+                return _fill_after_eos(buf, T0, eos_token_id)
             fn = self._jit[key] = jax.jit(run) if jit else run
         elif fn is None:
             def run(params, ids0, pix, mask):
@@ -963,9 +999,9 @@ class MultimodalAttributionModel:
                     return _greedy_update(buf, done, logits, T0 + k,
                                           eos_token_id)
 
-                buf, _ = jax.lax.fori_loop(
-                    0, N, body, (buf, jnp.zeros((B,), bool)))
-                return buf
+                buf, _ = _run_decode_loop(N, 0, (buf, jnp.zeros((B,), bool)),
+                                          body, eos_token_id)
+                return _fill_after_eos(buf, T0, eos_token_id)
             fn = self._jit[key] = jax.jit(run) if jit else run
         return fn(self.params, ids0, pix, mask)
 
