@@ -128,6 +128,88 @@ def _fill_after_eos(buf, T0, eos_token_id):
     return jnp.concatenate([buf[:, :T0], gen], axis=1)
 
 
+def _padding_args(family, kv_begin, attention_mask, kv_end=None):
+    """Validated padding spec for batched variable-length prompts.
+
+    Causal families are LEFT-padded (serving layout): ``kv_begin [B]`` is
+    each row's first real-token index (structural — stays flash-eligible)
+    or an arbitrary ``attention_mask [B, T]`` (lowers to an additive bias).
+    BERT is RIGHT-padded (HF convention): ``kv_end [B]`` is each row's
+    number of real tokens, or ``attention_mask``. The reference handles
+    this implicitly through the HF attention_mask
+    (examples/quantized_llama.py:35-44); here the one-call attribution
+    surface takes it explicitly.
+
+    Returns ``(names, values)`` — the arrays ride as jit ARGUMENTS while
+    the tuple of names keys the jit cache.
+    """
+    kw = {}
+    if family == "bert":
+        if kv_begin is not None:
+            raise ValueError(
+                "BERT batches are right-padded (HF convention): pass "
+                "kv_end=[#real tokens per row] or attention_mask, "
+                "not kv_begin")
+        if kv_end is not None:
+            kw["kv_end"] = jnp.asarray(kv_end, jnp.int32)
+    else:
+        if kv_end is not None:
+            raise ValueError(
+                "kv_end is the BERT (right-padded) convention; causal "
+                "families take kv_begin=[first real index per row] "
+                "or attention_mask")
+        if kv_begin is not None:
+            kw["kv_begin"] = jnp.asarray(kv_begin, jnp.int32)
+    if attention_mask is not None:
+        if kw:
+            raise ValueError(
+                "pass attention_mask OR kv_begin/kv_end, not both")
+        kw["attention_mask"] = jnp.asarray(attention_mask)
+    names = tuple(sorted(kw))
+    return names, tuple(kw[n] for n in names)
+
+
+def _finalize(run, check, jit):
+    """Compile ``run`` with the requested sanitizer baked into its trace.
+
+    ``check`` is part of every jit cache key, so the trace-time flags in
+    :mod:`lxt_tpu.ops.check` become an internal detail: a program compiled
+    with ``check='nan'`` asserts finite relevance at every rule backward
+    (discharged via checkify after the program returns), and
+    ``check='conservation'`` (optionally ``'conservation+nan'``) traces
+    with uniform-redistribution mode on — feed the result to
+    :func:`lxt_tpu.ops.check.conservation_error`. The
+    jitted-before-context footgun (check.py module docstring) cannot occur
+    through this API: the context is entered INSIDE the traced function.
+    """
+    if check is None:
+        return jax.jit(run) if jit else run
+    from lxt_tpu.ops import check as ck
+    modes = ("nan", "conservation", "conservation+nan")
+    if check not in modes:
+        raise ValueError(
+            f"check must be one of {modes} or None, got {check!r}")
+
+    def traced(*args):
+        ctx = (ck.nan_check() if check == "nan"
+               else ck.conservation_check(raise_on_nan="nan" in check))
+        with ctx:
+            return run(*args)
+
+    if "nan" not in check:
+        return jax.jit(traced) if jit else traced
+    from jax.experimental import checkify
+    cfn = checkify.checkify(traced, errors=checkify.user_checks)
+    jfn = jax.jit(cfn) if jit else cfn
+
+    def wrapped(*args):
+        err, out = jfn(*args)
+        checkify.check_error(err)
+        return out
+
+    return wrapped
+
+
 def _greedy_update(buf, done, logits, pos, eos_token_id, rng=None,
                    temperature: float = 0.0, top_k=None):
     """One decode bookkeeping step, shared by every generate loop
@@ -185,41 +267,58 @@ class AttributionModel:
         return fn(self.params, embeds)
 
     def attribute(self, input_ids, *, target: Optional[Callable] = None,
-                  position: int = -1, token=None, composite=None, jit=True):
+                  position: int = -1, token=None, composite=None,
+                  kv_begin=None, attention_mask=None, kv_end=None,
+                  check=None, jit=True):
         """Per-token input relevance, one fused forward+backward.
 
         Default target: the argmax logit at ``position`` (the reference's
         canonical flow, examples/quantized_llama.py:39-47). Returns
         ``(target_value, relevance [B, T])``.
+
+        ``kv_begin [B]`` / ``attention_mask [B, T]`` mark per-example left
+        padding (``kv_end [B]`` for right-padded BERT) — see
+        :func:`_padding_args`; with left padding, ``position=-1`` still
+        names the last (real) column. ``check='nan'`` asserts finite
+        relevance at every rule backward; ``'conservation'`` traces in
+        uniform-redistribution mode (explicit-path semantics — under these
+        Gradient*Input composites use it only via
+        :func:`lxt_tpu.ops.check.conservation_error`'s caveats).
         """
         composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         tok = None if token is None else jnp.asarray(token)
+        mnames, mvals = _padding_args(self.family, kv_begin, attention_mask,
+                                      kv_end)
         key = ("attribute", embeds.shape, embeds.dtype.name, composite,
-               position, target, tok is not None, jit)
+               position, target, tok is not None, mnames, check, jit)
         fn = self._jit.get(key)
         if fn is None:
-            def run(params, e, tok):
+            def run(params, e, tok, mvals):
+                kw = dict(zip(mnames, mvals))
                 def tgt(ee):
-                    logits = fwd(params, cfg, ee, composite).logits
+                    logits = fwd(params, cfg, ee, composite, **kw).logits
                     if target is not None:
                         return target(logits)
                     if logits.ndim == 2:  # classification head (BERT)
                         return logits.max(axis=-1).sum()
                     return select_logit(logits, position=position, token=tok)
                 return input_relevance(tgt, e)
-            fn = self._jit[key] = jax.jit(run) if jit else run
-        return fn(self.params, embeds, tok)
+            fn = self._jit[key] = _finalize(run, check, jit)
+        return fn(self.params, embeds, tok, mvals)
 
     def attribute_multi(self, input_ids, tokens, *, position: int = -1,
-                        composite=None, via: str = "scan", jit=True):
+                        composite=None, kv_begin=None, attention_mask=None,
+                        kv_end=None, check=None, via: str = "scan",
+                        jit=True):
         """K relevance maps for K candidate tokens sharing ONE forward.
 
         ``tokens``: ``[K]`` (same candidates every batch row) or ``[K, B]``
         int ids. Returns ``(values [K, B], relevance [K, B, T])`` — e.g. a
         contrastive set, computed as one fused program instead of K
         ``attribute`` calls (see :func:`lxt_tpu.multi_token_relevance`).
+        Padding/``check`` semantics as in :meth:`attribute`.
         """
         from lxt_tpu.attribution import multi_token_relevance
 
@@ -227,36 +326,45 @@ class AttributionModel:
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
         toks = jnp.asarray(tokens)
+        mnames, mvals = _padding_args(self.family, kv_begin, attention_mask,
+                                      kv_end)
         key = ("multi", embeds.shape, embeds.dtype.name, composite,
-               position, toks.shape, via, jit)
+               position, toks.shape, mnames, check, via, jit)
         fn = self._jit.get(key)
         if fn is None:
-            def run(params, e, toks):
+            def run(params, e, toks, mvals):
+                kw = dict(zip(mnames, mvals))
                 return multi_token_relevance(
-                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    lambda ee: fwd(params, cfg, ee, composite, **kw).logits,
                     e, toks, position=position, via=via)
-            fn = self._jit[key] = jax.jit(run) if jit else run
-        return fn(self.params, embeds, toks)
+            fn = self._jit[key] = _finalize(run, check, jit)
+        return fn(self.params, embeds, toks, mvals)
 
     def attribute_topk(self, input_ids, k: int = 5, *, position: int = -1,
-                       composite=None, via: str = "scan", jit=True):
+                       composite=None, kv_begin=None, attention_mask=None,
+                       kv_end=None, check=None, via: str = "scan",
+                       jit=True):
         """Explain the model's own top-k candidates at ``position`` in one
-        pass: ``(tokens [K, B], values [K, B], relevance [K, B, T])``."""
+        pass: ``(tokens [K, B], values [K, B], relevance [K, B, T])``.
+        Padding/``check`` semantics as in :meth:`attribute`."""
         from lxt_tpu.attribution import topk_relevance
 
         composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
+        mnames, mvals = _padding_args(self.family, kv_begin, attention_mask,
+                                      kv_end)
         key = ("topk", embeds.shape, embeds.dtype.name, composite,
-               position, k, via, jit)
+               position, k, mnames, check, via, jit)
         fn = self._jit.get(key)
         if fn is None:
-            def run(params, e):
+            def run(params, e, mvals):
+                kw = dict(zip(mnames, mvals))
                 return topk_relevance(
-                    lambda ee: fwd(params, cfg, ee, composite).logits,
+                    lambda ee: fwd(params, cfg, ee, composite, **kw).logits,
                     e, k, position=position, via=via)
-            fn = self._jit[key] = jax.jit(run) if jit else run
-        return fn(self.params, embeds)
+            fn = self._jit[key] = _finalize(run, check, jit)
+        return fn(self.params, embeds, mvals)
 
     def generate(self, input_ids, max_new_tokens: int, *,
                  eos_token_id: Optional[int] = None, kv_begin=None,
@@ -367,8 +475,8 @@ class AttributionModel:
 
     def attribute_response(self, input_ids, response_start: int, *,
                            composite=None, kv_begin=None,
-                           contrastive: bool = False, via: str = "scan",
-                           jit=True):
+                           contrastive: bool = False, check=None,
+                           via: str = "scan", jit=True):
         """One relevance map PER RESPONSE TOKEN, all sharing one forward.
 
         ``input_ids [B, T]`` is prompt + generated continuation;
@@ -380,7 +488,8 @@ class AttributionModel:
         marks per-example left padding (serving batch layout).
         ``contrastive``: each map explains the MARGIN over the strongest
         rival token instead ("why this token and not the runner-up");
-        ``values`` become the margins. Returns ``(values [K, B],
+        ``values`` become the margins. ``check`` semantics as in
+        :meth:`attribute`. Returns ``(values [K, B],
         relevance [K, B, T])``, ``K = T - response_start``.
         """
         from lxt_tpu.attribution import multi_site_relevance
@@ -395,7 +504,8 @@ class AttributionModel:
                 f"for T={ids.shape[1]}")
         embeds = self.embed(ids)
         key = ("response", embeds.shape, embeds.dtype.name, composite,
-               response_start, kv_begin is not None, contrastive, via, jit)
+               response_start, kv_begin is not None, contrastive, check,
+               via, jit)
         fn = self._jit.get(key)
         if fn is None:
             def run(params, e, ids, kv_begin):
@@ -405,7 +515,7 @@ class AttributionModel:
                     lambda ee: fwd(params, cfg, ee, composite,
                                    kv_begin=kv_begin).logits,
                     e, positions, tokens, contrastive=contrastive, via=via)
-            fn = self._jit[key] = jax.jit(run) if jit else run
+            fn = self._jit[key] = _finalize(run, check, jit)
         kb = None if kv_begin is None else jnp.asarray(kv_begin)
         return fn(self.params, embeds, ids, kb)
 
