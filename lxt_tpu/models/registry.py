@@ -672,7 +672,7 @@ def from_hf(hf_model, composite: composites.Composite = None,
 
 
 def from_pretrained(model_dir, composite: composites.Composite = None,
-                    dtype=None, quantize_bits: int = None,
+                    dtype=None, quantize_bits=None,
                     text_only: bool = False):
     """Load an AttributionModel straight from an HF checkpoint DIRECTORY —
     no torch model is ever instantiated: the config comes from
@@ -680,9 +680,20 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     mmap safetensors loader (:mod:`lxt_tpu.io`), so an 8B checkpoint never
     holds a second full-precision torch copy in host RAM.
 
-    ``quantize_bits`` (4/8) applies the per-family weight-only
+    ``quantize_bits`` (4, 8, or "nf4") applies the per-family weight-only
     quantization spec after conversion (the bitsandbytes role in the
-    reference's quantized examples, examples/quantized_llama.py:13-19).
+    reference's quantized examples, examples/quantized_llama.py:13-19);
+    "nf4" is the blockwise normal-float codebook matching bitsandbytes'
+    ``load_in_4bit`` numerics class.
+
+    bitsandbytes-SERIALIZED 4-bit checkpoints (saved from the reference's
+    quantized flow) are detected by their ``*.quant_state.bitsandbytes__*``
+    keys, dequantized on the host
+    (:func:`lxt_tpu.ops.quant.ingest_bnb_state_dict`), and — unless
+    ``quantize_bits`` says otherwise — re-quantized as "nf4", which is
+    representationally EXACT for bnb-dequantized values (every value is a
+    codebook point of its block, so absmax and indices reconstruct
+    bit-identically).
     """
     from transformers import AutoConfig
 
@@ -694,6 +705,9 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     # thread dtype into the loader: widening a bf16 checkpoint to a host
     # f32 dict only to cast back down would double peak host memory
     state = load_checkpoint_state_dict(model_dir, dtype=dtype or np.float32)
+    from lxt_tpu.ops.quant import ingest_bnb_state_dict
+    if ingest_bnb_state_dict(state) and quantize_bits is None:
+        quantize_bits = "nf4"
     model = _convert(state, hf_config, composite, dtype, text_only=text_only)
     if quantize_bits:
         if not isinstance(model, AttributionModel):

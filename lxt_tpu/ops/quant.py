@@ -1,4 +1,4 @@
-"""Weight-only quantization (int8 / int4) for attribution of large models.
+"""Weight-only quantization (int8 / int4 / nf4) for attribution of large models.
 
 Replaces the reference's bitsandbytes dependency (4-bit/8-bit quantized
 attribution, ``examples/quantized_llama.py:13-19``, composites mapping
@@ -12,46 +12,97 @@ that XLA fuses into the consuming matmul; HBM traffic (the true cost of big
 weights on one chip) drops 2x/4x, which is what makes Mixtral-scale
 attribution fit (reference quotes ~30 GB for Mixtral 4-bit,
 docs/explicit_quickstart.rst:182-183).
+
+NF4 (``bits="nf4"``) reproduces the numerics class of the reference's
+quantized setting (bitsandbytes ``bnb_4bit_quant_type="nf4"``,
+examples/quantized_llama.py:13-19): a 16-entry normal-float codebook with
+per-block absmax scales (block 64 along the input axis — exactly
+bitsandbytes' flat-order blocks once the torch ``[out, in]`` weight is
+transposed to our ``[in, out]``). :func:`ingest_bnb_state_dict` additionally
+reads bitsandbytes-SERIALIZED 4-bit checkpoints (the ``weight.absmax`` /
+``weight.quant_map`` / ``weight.quant_state.bitsandbytes__nf4`` key scheme,
+including double-quantized absmax) back to full precision on the host, so a
+checkpoint saved from the reference's quantized flow loads directly.
 """
 
 import dataclasses
+import json
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+#: The NF4 codebook (QLoRA, Dettmers et al. 2023): the 16 quantiles of a
+#: standard normal, normalized to [-1, 1] — identical to bitsandbytes'
+#: ``create_normal_map`` output used for ``quant_type="nf4"``.
+NF4_CODE = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], np.float32)
+
+#: Decision thresholds: midpoints between adjacent code entries. bitsandbytes'
+#: ``dQuantizeNF4`` compares with strict ``>`` against exactly these midpoints,
+#: which ``searchsorted(..., side='left')`` reproduces (ties round DOWN).
+_NF4_MID = (NF4_CODE[1:] + NF4_CODE[:-1]) / 2.0
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantizedTensor:
-    """Symmetric weight-only quantized tensor.
+    """Weight-only quantized tensor.
 
-    ``q``: int8 values, or uint8 with two int4 nibbles packed along axis -2.
-    ``scale``: f32 per-output-channel scale, broadcastable to the dequantized
-    shape. ``bits`` is static metadata (4 or 8).
+    ``q``: int8 values (bits=8), or uint8 with two 4-bit values packed along
+    axis -2 (bits=4: signed nibbles; bits="nf4": codebook indices).
+    ``scale``: f32 per-output-channel scale ``[..., 1, out]`` (int8/int4), or
+    per-block absmax ``[..., in/block, out]`` (nf4). ``bits`` and ``block``
+    are static metadata.
     """
 
     q: Any
     scale: Any
-    bits: int = 8
+    bits: Any = 8
+    block: int = 0
 
     def tree_flatten(self):
-        return (self.q, self.scale), self.bits
+        return (self.q, self.scale), (self.bits, self.block)
 
     @classmethod
-    def tree_unflatten(cls, bits, leaves):
-        return cls(leaves[0], leaves[1], bits)
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], *aux)
 
     @property
     def shape(self):
-        if self.bits == 4:
+        if self.bits in (4, "nf4"):
             s = list(self.q.shape)
             s[-2] *= 2
             return tuple(s)
         return self.q.shape
 
 
-def _quantize_one(w32, bits):
+def _nf4_block(K, block):
+    """Largest power-of-two block <= ``block`` dividing K (real-model input
+    dims are multiples of 64; tiny test geometries shrink gracefully)."""
+    while block > 2 and K % block:
+        block //= 2
+    if K % block:
+        raise ValueError(f"nf4 needs an even input dimension, got {K}")
+    return block
+
+
+def _quantize_one(w32, bits, block=64):
+    if bits == "nf4":
+        K, N = w32.shape[-2], w32.shape[-1]
+        blocks = w32.reshape(w32.shape[:-2] + (K // block, block, N))
+        absmax = jnp.abs(blocks).max(axis=-2)          # [..., K/block, N]
+        norm = blocks / jnp.maximum(absmax[..., None, :], 1e-12)
+        idx = jnp.searchsorted(jnp.asarray(_NF4_MID), norm, side="left")
+        idx = idx.reshape(w32.shape).astype(jnp.uint8)
+        lo = idx[..., 0::2, :]
+        hi = idx[..., 1::2, :]
+        return (lo | (hi << 4)).astype(jnp.uint8), absmax
     absmax = jnp.abs(w32).max(axis=-2, keepdims=True)
     if bits == 8:
         scale = absmax / 127.0
@@ -65,30 +116,47 @@ def _quantize_one(w32, bits):
     return (lo | (hi << 4)).astype(jnp.uint8), scale
 
 
-def quantize(w, bits: int = 8) -> QuantizedTensor:
-    """Quantize ``[..., in, out]`` weights per output channel (axis -1).
+def quantize(w, bits=8, block: int = 64) -> QuantizedTensor:
+    """Quantize ``[..., in, out]`` weights: per output channel (axis -1) for
+    int8/int4, per (input-block, output-channel) NF4 codebook for "nf4"
+    (``block`` along the input axis, bitsandbytes' default 64 — in the
+    transposed torch layout these are exactly bnb's flat-order blocks).
 
     Layer-stacked (ndim >= 3) weights are processed one leading slice at a
     time with ``lax.map`` so the f32 intermediate never exceeds one layer's
     matrix — required to quantize 8B-scale stacks on a 16 GB chip."""
-    if bits not in (8, 4):
-        raise ValueError(f"unsupported bits: {bits}")
-    if bits == 4 and w.shape[-2] % 2:
-        raise ValueError("int4 packing needs an even input dimension")
+    if bits not in (8, 4, "nf4"):
+        raise ValueError(f"unsupported bits: {bits!r} (8, 4 or 'nf4')")
+    if bits in (4, "nf4") and w.shape[-2] % 2:
+        raise ValueError("4-bit packing needs an even input dimension")
+    block = _nf4_block(w.shape[-2], block) if bits == "nf4" else 0
     if w.ndim >= 3:
         lead = w.shape[:-2]
         flat = w.reshape((-1,) + w.shape[-2:])
         q, scale = jax.lax.map(
-            lambda x: _quantize_one(x.astype(jnp.float32), bits), flat)
+            lambda x: _quantize_one(x.astype(jnp.float32), bits, block), flat)
         return QuantizedTensor(q.reshape(lead + q.shape[1:]),
-                               scale.reshape(lead + scale.shape[1:]), bits)
-    q, scale = _quantize_one(jnp.asarray(w, jnp.float32), bits)
-    return QuantizedTensor(q, scale, bits)
+                               scale.reshape(lead + scale.shape[1:]),
+                               bits, block)
+    q, scale = _quantize_one(jnp.asarray(w, jnp.float32), bits, block)
+    return QuantizedTensor(q, scale, bits, block)
 
 
 def dequantize(qt: QuantizedTensor, dtype=jnp.float32):
     if qt.bits == 8:
         w = qt.q.astype(jnp.float32) * qt.scale
+        return w.astype(dtype)
+    if qt.bits == "nf4":
+        lo = (qt.q & 0xF).astype(jnp.int32)
+        hi = (qt.q >> 4).astype(jnp.int32)
+        stacked = jnp.stack([lo, hi], axis=-2)        # [..., in/2, 2, out]
+        shape = list(qt.q.shape)
+        shape[-2] *= 2
+        idx = stacked.reshape(shape)
+        vals = jnp.asarray(NF4_CODE)[idx]             # [..., in, out]
+        K, N = shape[-2], shape[-1]
+        blocks = vals.reshape(tuple(shape[:-2]) + (K // qt.block, qt.block, N))
+        w = (blocks * qt.scale[..., None, :]).reshape(shape)
         return w.astype(dtype)
     lo = (qt.q & 0xF).astype(jnp.int32) - 8
     hi = (qt.q >> 4).astype(jnp.int32) - 8
@@ -111,7 +179,10 @@ def quant_matmul(x, qt: QuantizedTensor, bias=None):
     the per-output-channel scale applies once on the output (measured ~13%
     faster than materializing, and more precise — int-valued bf16 operands
     are exact, the scale is applied in f32)."""
-    if qt.bits == 8:
+    if qt.bits in (8, "nf4"):
+        # nf4 dequant is a 16-entry gather + per-block scale; the codebook
+        # lookup is nonlinear so the nibble-plane split below doesn't apply —
+        # XLA fuses the gather/scale into the dot operand instead
         y = jnp.matmul(x, dequantize(qt, x.dtype))
     else:
         lo = ((qt.q & 0xF).astype(jnp.int8) - 8).astype(x.dtype)
@@ -119,6 +190,78 @@ def quant_matmul(x, qt: QuantizedTensor, bias=None):
         y = jnp.matmul(x[..., 0::2], lo) + jnp.matmul(x[..., 1::2], hi)
         y = (y * qt.scale).astype(x.dtype)
     return y if bias is None else y + bias
+
+
+# ---------------------------------------------------------------------------
+# bitsandbytes serialized-checkpoint ingest (host-side, numpy)
+# ---------------------------------------------------------------------------
+
+def dequantize_bnb_4bit(packed, absmax, shape, blocksize=64, code=None,
+                        nested_absmax=None, nested_quant_map=None,
+                        nested_blocksize=256, nested_offset=0.0):
+    """Dequantize one bitsandbytes 4-bit tensor to f32 (numpy, host-side).
+
+    Reproduces bnb's ``dequantize_4bit`` semantics: ``packed`` uint8 holds two
+    codebook indices per byte in FLAT row-major order of the torch ``shape``,
+    FIRST element in the HIGH nibble; each run of ``blocksize`` flat elements
+    shares one ``absmax``. With double quantization (``nested_*`` given) the
+    absmax themselves are uint8 indices into ``nested_quant_map`` with a
+    second-level blockwise ``nested_absmax`` scale plus a global
+    ``nested_offset`` (the mean bnb subtracts before nesting).
+
+    ``code`` defaults to :data:`NF4_CODE`; pass the checkpoint's own stored
+    ``quant_map`` (covers fp4 checkpoints too — the map *is* the format).
+    """
+    code = NF4_CODE if code is None else np.asarray(code, np.float32)
+    packed = np.asarray(packed, np.uint8).reshape(-1)
+    absmax = np.asarray(absmax)
+    if nested_absmax is not None:
+        nqm = np.asarray(nested_quant_map, np.float32)
+        na = np.asarray(nested_absmax, np.float32)
+        scaled = nqm[absmax.astype(np.int64).reshape(-1)]
+        scaled *= np.repeat(na, nested_blocksize)[:scaled.size]
+        absmax = scaled + np.float32(nested_offset)
+    absmax = absmax.astype(np.float32).reshape(-1)
+    n = int(np.prod(shape))
+    flat = np.empty(packed.size * 2, np.float32)
+    flat[0::2] = code[packed >> 4]
+    flat[1::2] = code[packed & 0xF]
+    flat = flat[:n] * np.repeat(absmax, blocksize)[:n]
+    return flat.reshape(shape)
+
+
+def ingest_bnb_state_dict(state):
+    """Rewrite bitsandbytes-serialized 4-bit entries of an HF state dict to
+    plain full-precision arrays, IN PLACE; returns the list of rewritten
+    weight names (empty for a non-bnb checkpoint).
+
+    Covers the key scheme ``QuantState.as_dict(packed=True)`` saves:
+    ``<w>`` (packed uint8), ``<w>.absmax``, ``<w>.quant_map``,
+    ``<w>.quant_state.bitsandbytes__{nf4,fp4}`` (JSON metadata as uint8),
+    and ``<w>.nested_absmax``/``<w>.nested_quant_map`` when the checkpoint
+    used double quantization. This is the checkpoint the reference's
+    quantized flow produces when saved (examples/quantized_llama.py:13-19).
+    """
+    suffixes = (".quant_state.bitsandbytes__nf4",
+                ".quant_state.bitsandbytes__fp4")
+    ingested = []
+    for qs_key in [k for k in list(state) if k.endswith(suffixes)]:
+        base = qs_key[:qs_key.index(".quant_state.bitsandbytes__")]
+        meta = json.loads(np.asarray(state[qs_key], np.uint8).tobytes())
+        aux = {}
+        if f"{base}.nested_absmax" in state:
+            aux = dict(
+                nested_absmax=state.pop(f"{base}.nested_absmax"),
+                nested_quant_map=state.pop(f"{base}.nested_quant_map"),
+                nested_blocksize=int(meta.get("nested_blocksize", 256)),
+                nested_offset=float(meta.get("nested_offset", 0.0)))
+        state[base] = dequantize_bnb_4bit(
+            state.pop(base), state.pop(f"{base}.absmax"), meta["shape"],
+            blocksize=int(meta["blocksize"]),
+            code=state.pop(f"{base}.quant_map", None), **aux)
+        del state[qs_key]
+        ingested.append(base)
+    return ingested
 
 
 #: Explicit per-family quantizable leaves (the linear projection matrices,
@@ -138,12 +281,14 @@ FAMILY_QUANTIZABLE = {
 }
 
 
-def quantize_params(params, bits: int = 8, min_ndim: int = 2,
+def quantize_params(params, bits=8, min_ndim: int = 2,
                     family: str = None,
                     skip=("embed", "wte", "wpe", "word_emb", "pos_emb",
                           "type_emb", "lm_head")):
     """Quantize the weight matrices in a model pytree (norms, biases and
     embeddings stay full precision, like bitsandbytes' Linear-only scope).
+    ``bits``: 8, 4, or "nf4" (blockwise normal-float codebook, the
+    reference's bitsandbytes ``load_in_4bit`` numerics class).
 
     With ``family`` given, EXACTLY the leaves in
     :data:`FAMILY_QUANTIZABLE[family]` are quantized (explicit spec);

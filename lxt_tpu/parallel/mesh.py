@@ -208,7 +208,8 @@ def family_param_shardings(family: str, params, mesh: Mesh):
             scale_spec = P(*(None if p.scale.shape[i] == 1 else ax
                              for i, ax in enumerate(entries)))
             return QuantizedTensor(NamedSharding(mesh, s),
-                                   NamedSharding(mesh, scale_spec), p.bits)
+                                   NamedSharding(mesh, scale_spec),
+                                   p.bits, p.block)
         return NamedSharding(mesh, s)
 
     return jax.tree.map(one, params, specs,

@@ -12,7 +12,7 @@ from lxt_tpu.models import llama as jllama
 from lxt_tpu.ops.quant import QuantizedTensor, dequantize, quantize, quantize_params
 
 
-@pytest.mark.parametrize("bits", [8, 4])
+@pytest.mark.parametrize("bits", [8, 4, "nf4"])
 def test_quantize_roundtrip(bits):
     w = jax.random.normal(jax.random.PRNGKey(0), (64, 32))
     qt = quantize(w, bits)
@@ -32,7 +32,201 @@ def test_int4_packing_layout():
     assert jnp.argsort(w2[:, 0]).tolist() == jnp.argsort(w[:, 0]).tolist()
 
 
-@pytest.mark.parametrize("bits", [8, 4])
+# ---------------------------------------------------------------------------
+# NF4: blockwise normal-float codebook (the reference's bitsandbytes
+# load_in_4bit numerics class, examples/quantized_llama.py:13-19)
+# ---------------------------------------------------------------------------
+
+def _bnb_quantize_ref(w_flat, blocksize=64, code=None):
+    """Independent numpy model of bitsandbytes' 4-bit blockwise quantizer:
+    flat row-major blocks of ``blocksize`` share one absmax; values map to
+    the NEAREST codebook entry; two indices pack per byte, FIRST element in
+    the HIGH nibble (bnb kQuantizeBlockwise layout)."""
+    from lxt_tpu.ops.quant import NF4_CODE
+    code = NF4_CODE if code is None else code
+    assert w_flat.size % blocksize == 0
+    blocks = w_flat.reshape(-1, blocksize).astype(np.float32)
+    absmax = np.abs(blocks).max(axis=1)
+    norm = blocks / np.maximum(absmax[:, None], 1e-12)
+    idx = np.argmin(np.abs(norm[..., None] - code), axis=-1)
+    flat_idx = idx.reshape(-1).astype(np.uint8)
+    packed = (flat_idx[0::2] << 4) | flat_idx[1::2]
+    return packed, absmax.astype(np.float32), code[idx] * absmax[:, None]
+
+
+def test_nf4_code_values_exact():
+    """Weights that ARE codebook points reconstruct bit-exactly (the
+    representational-exactness invariant the bnb re-quantization relies on)."""
+    from lxt_tpu.ops.quant import NF4_CODE
+    rng = np.random.RandomState(0)
+    absmax = rng.uniform(0.5, 2.0, (2, 16)).astype(np.float32)  # 2 K-blocks
+    idx = rng.randint(0, 16, (128, 16))
+    w = NF4_CODE[idx] * np.repeat(absmax, 64, axis=0)           # [128, 16]
+    qt = quantize(jnp.asarray(w), "nf4", block=64)
+    assert qt.block == 64 and qt.q.shape == (64, 16)
+    assert qt.scale.shape == (2, 16)
+    np.testing.assert_array_equal(np.asarray(dequantize(qt)), w)
+
+
+def test_nf4_requantize_idempotent():
+    """quantize(dequantize(q)) reproduces q and scale exactly."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (128, 24))
+    qt = quantize(w, "nf4")
+    qt2 = quantize(dequantize(qt), "nf4")
+    np.testing.assert_array_equal(np.asarray(qt.q), np.asarray(qt2.q))
+    np.testing.assert_array_equal(np.asarray(qt.scale), np.asarray(qt2.scale))
+
+
+def test_nf4_matches_bnb_semantics():
+    """Our [in, out]-layout NF4 with K-axis blocks equals the bnb flat-order
+    reference on the transposed torch [out, in] weight — same blocks, same
+    codebook decisions, same dequantized values."""
+    rng = np.random.RandomState(7)
+    w_torch = rng.randn(24, 128).astype(np.float32)        # [out, in], in%64==0
+    _, _, deq_flat = _bnb_quantize_ref(w_torch.reshape(-1))
+    want = deq_flat.reshape(24, 128).T                     # ours: [in, out]
+
+    qt = quantize(jnp.asarray(w_torch.T), "nf4", block=64)
+    np.testing.assert_allclose(np.asarray(dequantize(qt)), want,
+                               rtol=0, atol=0)
+
+
+def test_bnb_ingest_state_dict():
+    """bitsandbytes-serialized checkpoint entries (packed uint8 + absmax +
+    quant_map + JSON quant_state, with and without double-quantized absmax)
+    dequantize back to the reference values and vanish from the dict."""
+    import json as _json
+
+    from lxt_tpu.ops.quant import NF4_CODE, ingest_bnb_state_dict
+
+    rng = np.random.RandomState(11)
+    shape = (16, 128)
+    w = rng.randn(*shape).astype(np.float32)
+    packed, absmax, deq = _bnb_quantize_ref(w.reshape(-1))
+    want = deq.reshape(shape)
+
+    def qs_tensor(meta):
+        return np.frombuffer(_json.dumps(meta).encode(), np.uint8).copy()
+
+    # plain (no double quant)
+    state = {
+        "a.weight": packed.reshape(-1, 1).copy(),
+        "a.weight.absmax": absmax.copy(),
+        "a.weight.quant_map": NF4_CODE.copy(),
+        "a.weight.quant_state.bitsandbytes__nf4": qs_tensor(
+            {"blocksize": 64, "quant_type": "nf4", "dtype": "bfloat16",
+             "shape": list(shape)}),
+        "other": np.ones(3, np.float32),
+    }
+    assert ingest_bnb_state_dict(state) == ["a.weight"]
+    assert set(state) == {"a.weight", "other"}
+    np.testing.assert_array_equal(state["a.weight"], want)
+
+    # double-quantized absmax: uint8 indices into a nested map, second-level
+    # blockwise scale, global offset (bnb nested scheme)
+    offset = np.float32(absmax.mean())
+    centered = absmax - offset
+    nested_bs = 16
+    nmap = np.linspace(-1.0, 1.0, 256).astype(np.float32)
+    nabs = np.abs(centered.reshape(-1, nested_bs)).max(axis=1).astype(np.float32)
+    nrm = centered.reshape(-1, nested_bs) / np.maximum(nabs[:, None], 1e-12)
+    aidx = np.argmin(np.abs(nrm[..., None] - nmap), axis=-1).astype(np.uint8)
+    absmax_dq = (nmap[aidx.reshape(-1).astype(np.int64)]
+                 * np.repeat(nabs, nested_bs) + offset)
+    state2 = {
+        "b.weight": packed.reshape(-1, 1).copy(),
+        "b.weight.absmax": aidx.reshape(-1),
+        "b.weight.quant_map": NF4_CODE.copy(),
+        "b.weight.nested_absmax": nabs,
+        "b.weight.nested_quant_map": nmap,
+        "b.weight.quant_state.bitsandbytes__nf4": qs_tensor(
+            {"blocksize": 64, "quant_type": "nf4", "dtype": "bfloat16",
+             "shape": list(shape), "nested_blocksize": nested_bs,
+             "nested_offset": float(offset), "nested_dtype": "float32"}),
+    }
+    assert ingest_bnb_state_dict(state2) == ["b.weight"]
+    assert set(state2) == {"b.weight"}
+    # reconstruct expected with the dequantized absmax
+    flat_idx = np.empty(packed.size * 2, np.uint8)
+    flat_idx[0::2] = packed >> 4
+    flat_idx[1::2] = packed & 0xF
+    want2 = (NF4_CODE[flat_idx.astype(np.int64)]
+             * np.repeat(absmax_dq, 64)).reshape(shape)
+    np.testing.assert_allclose(state2["b.weight"], want2, rtol=0, atol=0)
+
+    # non-bnb dict: no-op
+    plain = {"w": np.ones(4, np.float32)}
+    assert ingest_bnb_state_dict(plain) == []
+
+
+def test_from_pretrained_bnb_checkpoint(tmp_path):
+    """A bitsandbytes-serialized llama checkpoint loads through
+    from_pretrained: bnb entries are ingested, the model defaults to NF4
+    re-quantization (representationally exact), and attribution runs."""
+    import torch
+    from safetensors.numpy import save_file
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    from lxt_tpu.models.registry import from_pretrained
+    from lxt_tpu.ops.quant import NF4_CODE
+
+    torch.manual_seed(5)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.config.save_pretrained(tmp_path)
+
+    state = {}
+    dequantized = {}
+    for name, p in hf.state_dict().items():
+        arr = p.detach().numpy().astype(np.float32)
+        is_proj = name.endswith(".weight") and arr.ndim == 2 and (
+            "_proj" in name) and arr.size % 64 == 0
+        if not is_proj:
+            state[name] = arr
+            continue
+        packed, absmax, deq = _bnb_quantize_ref(arr.reshape(-1))
+        dequantized[name] = deq.reshape(arr.shape)
+        state[name] = packed.reshape(-1, 1)
+        state[f"{name}.absmax"] = absmax
+        state[f"{name}.quant_map"] = NF4_CODE.copy()
+        state[f"{name}.quant_state.bitsandbytes__nf4"] = np.frombuffer(
+            json_bytes({"blocksize": 64, "quant_type": "nf4",
+                        "dtype": "float32", "shape": list(arr.shape)}),
+            np.uint8).copy()
+    assert dequantized, "no projection matched the bnb rewrite"
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    model = from_pretrained(tmp_path)
+    from lxt_tpu.ops.quant import QuantizedTensor
+    assert isinstance(model.params["layers"]["wq"], QuantizedTensor)
+    assert model.params["layers"]["wq"].bits == "nf4"
+    # the nf4 re-quantization is representationally exact vs the ingested
+    # (bnb-dequantized) weight
+    got = np.asarray(dequantize(model.params["layers"]["wq"]))[0]
+    want = dequantized["model.layers.0.self_attn.q_proj.weight"].T
+    np.testing.assert_array_equal(got, want.astype(np.float32))
+
+    ids = np.random.RandomState(1).randint(0, 256, (1, 8))
+    value, rel = model.attribute(ids)
+    assert bool(jnp.isfinite(rel).all())
+
+    # explicit quantize_bits="nf4" on a PLAIN checkpoint also works
+    hf.save_pretrained(tmp_path / "plain")
+    m2 = from_pretrained(tmp_path / "plain", quantize_bits="nf4")
+    assert m2.params["layers"]["wq"].bits == "nf4"
+    _, rel2 = m2.attribute(ids)
+    assert bool(jnp.isfinite(rel2).all())
+
+
+def json_bytes(d):
+    import json as _json
+    return _json.dumps(d).encode()
+
+
+@pytest.mark.parametrize("bits", [8, 4, "nf4"])
 def test_quantized_llama_attribution(bits):
     cfg = jllama.LlamaConfig(
         vocab_size=128, hidden_size=64, intermediate_size=128, num_layers=2,
@@ -106,7 +300,7 @@ def test_quant_matmul_matches_dequantized():
     w = jax.random.normal(jax.random.PRNGKey(1), (64, 48))
     b = jax.random.normal(jax.random.PRNGKey(2), (48,))
 
-    for bits in (8, 4):
+    for bits in (8, 4, "nf4"):
         qt = quantize(w, bits)
         ref = x @ dequantize(qt) + b
         out = quant_matmul(x, qt, b)
