@@ -50,6 +50,24 @@ def main():
             print(f"conv_gamma={cg:4} linear_gamma={lg:4} "
                   f"pos-fraction={pos / tot:.3f}")
 
+    # -- per-DEPTH gamma grid -------------------------------------------------
+    # gamma denoises most in early blocks; sweep how many leading blocks get
+    # it (Composite.override_layers — rules vary with STATIC layer depth, the
+    # per-layer zennit rule maps of the reference's vit example)
+    print("\nper-depth gamma (linear_gamma=0.25 on the first N blocks):")
+    for n in range(cfg.num_layers + 1):
+        comp = (lxt_tpu.cp_lrp.with_gamma(conv_gamma=0.25)
+                .override_layers((0, n), linear_rule=("gamma", 0.25)))
+
+        def target(x, comp=comp):
+            return jvit.forward(params, cfg, x, comp).logits[0, top1]
+
+        grad = jax.jit(jax.grad(target))(img)
+        heat = jvit.patch_relevance(img, grad)[0]
+        pos = float(jnp.clip(heat, 0, None).sum())
+        tot = float(jnp.abs(heat).sum())
+        print(f"  gamma on blocks [0, {n}): pos-fraction={pos / tot:.3f}")
+
 
 if __name__ == "__main__":
     main()

@@ -57,6 +57,9 @@ def __getattr__(name):
     if name == "load_checkpoint_params":
         from lxt_tpu.io import load_checkpoint_params
         return load_checkpoint_params
+    if name in ("audit", "AuditEntry", "UnruledOpError"):
+        from lxt_tpu import rule_audit as _audit
+        return getattr(_audit, name)
     if name in ("AttributionServer", "http_server"):
         import lxt_tpu.serve as _s
         return getattr(_s, name)
@@ -70,5 +73,6 @@ __all__ = [
     "multi_token_relevance", "topk_relevance", "multi_site_relevance",
     "load_checkpoint_params", "AttributionServer", "http_server",
     "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
+    "audit", "AuditEntry", "UnruledOpError",
     "__version__",
 ]

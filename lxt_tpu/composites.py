@@ -31,12 +31,52 @@ import jax
 import jax.numpy as jnp
 
 from lxt_tpu.ops.rules import (
+    alphabeta_conv2d,
+    alphabeta_linear,
     divide_gradient,
     gamma_conv2d,
     gamma_linear,
     identity_rule,
     stop_gradient,
 )
+
+
+def _norm_rule_spec(rule):
+    """Canonicalize a linear/conv rule spec: None, ("gamma", g),
+    ("alphabeta", a, b) with a - b = 1, ("zplus",) -> ("alphabeta", 1, 0),
+    ("epsilon",)/("pass",) -> None (epsilon is already the implicit G*I
+    behavior; zennit's Pass keeps plain gradient)."""
+    if rule is None:
+        return None
+    if isinstance(rule, str):
+        rule = (rule,)
+    kind = rule[0]
+    if kind in ("epsilon", "pass"):
+        return None
+    if kind == "gamma":
+        return ("gamma", float(rule[1]))
+    if kind == "zplus":
+        return ("alphabeta", 1.0, 0.0)
+    if kind == "alphabeta":
+        a, b = float(rule[1]), float(rule[2])
+        if abs(a - b - 1.0) > 1e-6:
+            raise ValueError(
+                f"alphabeta needs alpha - beta = 1 (conservation), got "
+                f"alpha={a}, beta={b}")
+        return ("alphabeta", a, b)
+    raise ValueError(
+        f"unknown rule spec {rule!r}; use None, 'epsilon', 'pass', "
+        f"('gamma', g), ('alphabeta', a, b) or 'zplus'")
+
+
+def _rule_text(rule):
+    if rule is None:
+        return "epsilon rule (implicit via G*I)"
+    if rule[0] == "gamma":
+        return f"gamma rule (gamma={rule[1]})"
+    if rule[1:] == (1.0, 0.0):
+        return "z+ rule (alphabeta 1,0)"
+    return f"alpha-beta rule (alpha={rule[1]}, beta={rule[2]})"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +105,24 @@ class Composite:
     conv_gamma: Optional[float] = None
     #: gamma-rule strength for linear layers (ViT), None = plain autodiff.
     linear_gamma: Optional[float] = None
+    #: explicit LRP rule for linear layers, superseding ``linear_gamma``:
+    #: None (epsilon implicit via G*I), ("gamma", g), ("alphabeta", a, b)
+    #: (a - b = 1), or ("zplus",) == ("alphabeta", 1, 0). The zennit rule
+    #: zoo the reference composes through zennit LayerMapComposites
+    #: (examples/vit_torch.py:59-65), implemented natively.
+    linear_rule: Optional[tuple] = None
+    #: explicit LRP rule for conv layers (same forms as ``linear_rule``).
+    conv_rule: Optional[tuple] = None
+    #: per-layer-depth overrides: tuple of ``(selector, changes)`` where
+    #: ``selector`` is an int layer index or a half-open ``(start, stop)``
+    #: range (``stop=None`` = to the end) and ``changes`` is a tuple of
+    #: ``(field, value)`` pairs. Later entries win. Rules are trace-time
+    #: static, so models run their layer stack UNROLLED (one compiled body
+    #: per distinct per-layer composite) when overrides are present —
+    #: :meth:`for_layer` resolves the composite at each static depth.
+    #: Replaces the reference's per-layer zennit rule maps
+    #: (vit_torch.py:59-65) and {type: rule} dicts (explicit/core.py:10-41).
+    layer_overrides: tuple = ()
 
     # -- rule sites ---------------------------------------------------------
 
@@ -132,28 +190,51 @@ class Composite:
             y = y + bias
         return y
 
+    def _linear_rule(self):
+        if self.linear_rule is not None:
+            return _norm_rule_spec(self.linear_rule)
+        if self.linear_gamma is not None:
+            return ("gamma", self.linear_gamma)
+        return None
+
+    def _conv_rule(self):
+        if self.conv_rule is not None:
+            return _norm_rule_spec(self.conv_rule)
+        if self.conv_gamma is not None:
+            return ("gamma", self.conv_gamma)
+        return None
+
     def linear(self, x, w, b=None):
         """Dense layer, ``w: [in, out]``. Under Gradient*Input, a plain linear
-        already implements the epsilon rule; gamma composites redistribute.
-        Accepts int8/int4 :class:`~lxt_tpu.ops.quant.QuantizedTensor` weights
-        — the dequantization fuses into the matmul (int4 runs as two
+        already implements the epsilon rule; gamma/alpha-beta/z+ composites
+        redistribute explicitly (``linear_rule``).
+        Accepts int8/int4/nf4 :class:`~lxt_tpu.ops.quant.QuantizedTensor`
+        weights — the dequantization fuses into the matmul (int4 runs as two
         half-contraction matmuls over the nibble planes, see
         :func:`~lxt_tpu.ops.quant.quant_matmul`); weights carry no relevance
         under LRP, so rules are untouched."""
         from lxt_tpu.ops.quant import QuantizedTensor, dequantize, quant_matmul
+        rule = self._linear_rule()
         if isinstance(w, QuantizedTensor):
-            if self.linear_gamma is None:
+            if rule is None:
                 return quant_matmul(x, w, b)
             w = dequantize(w, x.dtype)
-        if self.linear_gamma is not None:
-            return gamma_linear(x, w, b, self.linear_gamma)
-        y = jnp.matmul(x, w)
-        return y if b is None else y + b
+        if rule is None:
+            y = jnp.matmul(x, w)
+            return y if b is None else y + b
+        if rule[0] == "gamma":
+            return gamma_linear(x, w, b, rule[1])
+        return alphabeta_linear(x, w, b, rule[1], rule[2])
 
     def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID"):
-        """NHWC conv; gamma rule if configured (ViT patch embedding)."""
-        if self.conv_gamma is not None:
-            return gamma_conv2d(x, w, b, strides, padding, self.conv_gamma)
+        """NHWC conv; gamma/alpha-beta rule if configured (ViT patch
+        embedding)."""
+        rule = self._conv_rule()
+        if rule is not None:
+            if rule[0] == "gamma":
+                return gamma_conv2d(x, w, b, strides, padding, rule[1])
+            return alphabeta_conv2d(x, w, b, strides, padding,
+                                    rule[1], rule[2])
         out = jax.lax.conv_general_dilated(
             x, w, window_strides=strides, padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -169,6 +250,78 @@ class Composite:
                           else linear_gamma),
             name=self.name if self.name.endswith("+gamma")
             else f"{self.name}+gamma")
+
+    def with_rules(self, linear="keep", conv="keep"):
+        """Derive a variant with explicit linear/conv LRP rules — the zennit
+        rule-zoo surface (reference vit_torch.py:59-65 composes zennit
+        LayerMapComposites of Gamma rules; AlphaBeta/ZPlus/Pass come from
+        the same zoo). Specs: None/'epsilon'/'pass' (implicit epsilon via
+        G*I), ('gamma', g), ('alphabeta', a, b), 'zplus'. 'keep' leaves the
+        current value."""
+        lr = self.linear_rule if linear == "keep" else _norm_rule_spec(linear)
+        cr = self.conv_rule if conv == "keep" else _norm_rule_spec(conv)
+        return dataclasses.replace(
+            self, linear_rule=lr, conv_rule=cr,
+            name=f"{self.name}+rules" if not self.name.endswith("+rules")
+            else self.name)
+
+    # -- per-layer-depth rule maps -------------------------------------------
+
+    def override_layers(self, layers, **changes):
+        """Return a variant whose rule fields change on the selected layer
+        DEPTHS — the per-layer rule maps the reference builds with zennit
+        LayerMapComposites and {type: rule} dicts (vit_torch.py:59-65,
+        explicit/core.py:10-41). ``layers``: an int depth or a half-open
+        ``(start, stop)`` range (``stop=None`` = through the last layer;
+        negative indices count from the end). Later overrides win.
+
+        Example — gamma on the first 4 blocks only::
+
+            comp = cp_lrp.override_layers((0, 4), linear_rule=("gamma", 0.25))
+
+        Models consult :meth:`for_layer` at each STATIC depth; with
+        overrides present the layer stack runs unrolled (rules are
+        trace-time static), trading compile time for per-depth rules.
+        """
+        valid = {f.name for f in dataclasses.fields(self)} - {
+            "name", "layer_overrides"}
+        for k in changes:
+            if k not in valid:
+                raise ValueError(f"unknown Composite field {k!r}; "
+                                 f"overridable: {sorted(valid)}")
+        sel = ((int(layers), int(layers) + 1) if isinstance(layers, int)
+               else (int(layers[0]),
+                     None if layers[1] is None else int(layers[1])))
+        norm = {}
+        for k, v in changes.items():
+            if k in ("linear_rule", "conv_rule"):
+                v = _norm_rule_spec(v)
+            norm[k] = v
+        entry = (sel, tuple(sorted(norm.items())))
+        return dataclasses.replace(
+            self, layer_overrides=self.layer_overrides + (entry,),
+            name=f"{self.name}+L{sel[0]}:{sel[1]}")
+
+    def for_layer(self, i: int, num_layers: Optional[int] = None):
+        """Resolve the composite governing STATIC layer depth ``i``
+        (0-based). Models with a stacked-layer driver call this per depth
+        when :attr:`layer_overrides` is non-empty; the result carries no
+        further overrides."""
+        if not self.layer_overrides:
+            return self
+        fields = {}
+        for (start, stop), changes in self.layer_overrides:
+            lo = start if start >= 0 else (
+                None if num_layers is None else start + num_layers)
+            hi = (num_layers if stop is None else
+                  (stop if stop >= 0 else
+                   (None if num_layers is None else stop + num_layers)))
+            if lo is None or (hi is None and stop is not None and stop < 0):
+                raise ValueError(
+                    "negative layer_overrides indices need num_layers")
+            if lo <= i and (hi is None or i < hi):
+                fields.update(dict(changes))
+        return dataclasses.replace(self, layer_overrides=(), **fields)
 
     def summary(self, verbose: bool = True) -> str:
         """Human-readable audit of the rule assigned at every site — parity
@@ -194,14 +347,13 @@ class Composite:
             ("norm denominators", {
                 "identity": "identity rule via stop-grad std (Prop 3.4)",
                 "vanilla": "plain autodiff"}[self.norm]),
-            ("linear layers", "epsilon rule (implicit via G*I)"
-             if self.linear_gamma is None else
-             f"gamma rule (gamma={self.linear_gamma})"),
-            ("conv layers", "epsilon rule (implicit via G*I)"
-             if self.conv_gamma is None else
-             f"gamma rule (gamma={self.conv_gamma})"),
+            ("linear layers", _rule_text(self._linear_rule())),
+            ("conv layers", _rule_text(self._conv_rule())),
             ("biases", "relevance sink (absorbed, as in the reference)"),
         ]
+        for (start, stop), changes in self.layer_overrides:
+            span = f"layers [{start}, {'end' if stop is None else stop})"
+            rows.append((span, ", ".join(f"{k}={v!r}" for k, v in changes)))
         width = max(len(site) for site, _ in rows)
         lines = [f"Composite '{self.name}'"]
         lines += [f"  {site.ljust(width)}  ->  {rule}" for site, rule in rows]

@@ -43,13 +43,13 @@ def identity_rule_fn(fn: Callable) -> Callable:
     def wrapped(x):
         return fn(x)
 
-    def fwd(x):
+    def _identity_fn_fwd(x):
         return fn(x), None
 
-    def bwd(_, rel_out):
+    def _identity_fn_bwd(_, rel_out):
         return (maybe_redistribute((rel_out,), (rel_out,))[0],)
 
-    wrapped.defvjp(fwd, bwd)
+    wrapped.defvjp(_identity_fn_fwd, _identity_fn_bwd)
     return wrapped
 
 
@@ -71,11 +71,11 @@ def _generic_epsilon(fn, n_divide, epsilon):
     def wrapped(*inputs):
         return fn(*inputs)
 
-    def fwd(*inputs):
+    def _epsilon_fwd(*inputs):
         out = fn(*inputs)
         return out, (inputs, out)
 
-    def bwd(res, rel_out):
+    def _epsilon_bwd(res, rel_out):
         inputs, out = res
         rel_norm = rel_out / stabilize(n_divide * out, epsilon)
         _, vjp_fn = jax.vjp(fn, *inputs)
@@ -83,7 +83,7 @@ def _generic_epsilon(fn, n_divide, epsilon):
         rels = tuple(g * x for g, x in zip(grads, inputs))
         return maybe_redistribute(rels, (rel_out,))
 
-    wrapped.defvjp(fwd, bwd)
+    wrapped.defvjp(_epsilon_fwd, _epsilon_bwd)
     return wrapped
 
 
@@ -107,17 +107,17 @@ def uniform_rule(fn: Callable, n_inputs: Optional[int] = None) -> Callable:
     def wrapped(*inputs):
         return fn(*inputs)
 
-    def fwd(*inputs):
+    def _uniform_fwd(*inputs):
         return fn(*inputs), tuple(jnp.shape(x) for x in inputs)
 
-    def bwd(shapes, rel_out):
+    def _uniform_bwd(shapes, rel_out):
         n = n_inputs if n_inputs is not None else len(shapes)
         rel = rel_out / n
         rels = tuple(jnp.broadcast_to(rel, s) if rel.shape == s
                      else _reduce_to(rel, s) for s in shapes)
         return maybe_redistribute(rels, (rel_out,))
 
-    wrapped.defvjp(fwd, bwd)
+    wrapped.defvjp(_uniform_fwd, _uniform_bwd)
     return wrapped
 
 
@@ -147,10 +147,10 @@ def taylor_decomposition(fn: Callable, ref: Sequence, bias: bool = False,
     def wrapped(*inputs):
         return fn(*inputs)
 
-    def fwd(*inputs):
+    def _taylor_fwd(*inputs):
         return fn(*inputs), inputs
 
-    def bwd(inputs, rel_out):
+    def _taylor_bwd(inputs, rel_out):
         if bias:
             denom = fn(*inputs)
         else:
@@ -163,7 +163,7 @@ def taylor_decomposition(fn: Callable, ref: Sequence, bias: bool = False,
             rels = distribute_bias(inputs, rels)
         return maybe_redistribute(rels, (rel_out,))
 
-    wrapped.defvjp(fwd, bwd)
+    wrapped.defvjp(_taylor_fwd, _taylor_bwd)
     return wrapped
 
 

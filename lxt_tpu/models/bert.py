@@ -136,25 +136,27 @@ def forward(
         kv_end = jnp.asarray(kv_end, jnp.int32)
     H, hd = cfg.num_heads, cfg.hd
 
-    def layer_fn(h, xs):
-        lp, probe = xs
-        q = common.split_heads(composite.linear(h, lp["wq"], lp["bq"]), H, hd)
-        k = common.split_heads(composite.linear(h, lp["wk"], lp["bk"]), H, hd)
-        v = common.split_heads(composite.linear(h, lp["wv"], lp["bv"]), H, hd)
-        attn = attention(q, k, v, bias=bias, composite=composite,
-                         impl=attn_impl, kv_end=kv_end)
-        a = composite.linear(common.merge_heads(attn), lp["wo"], lp["bo"])
-        h = composite.layer_norm(h + a, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        x = composite.act(act_fn, composite.linear(h, lp["wi"], lp["bi"]))
-        x = composite.linear(x, lp["wout"], lp["bout"])
-        h = composite.layer_norm(h + x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe = xs
+            q = common.split_heads(comp.linear(h, lp["wq"], lp["bq"]), H, hd)
+            k = common.split_heads(comp.linear(h, lp["wk"], lp["bk"]), H, hd)
+            v = common.split_heads(comp.linear(h, lp["wv"], lp["bv"]), H, hd)
+            attn = attention(q, k, v, bias=bias, composite=comp,
+                             impl=attn_impl, kv_end=kv_end)
+            a = comp.linear(common.merge_heads(attn), lp["wo"], lp["bo"])
+            h = comp.layer_norm(h + a, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            x = comp.act(act_fn, comp.linear(h, lp["wi"], lp["bi"]))
+            x = comp.linear(x, lp["wout"], lp["bout"])
+            h = comp.layer_norm(h + x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
-    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
-    h, hiddens = run_layers(body, inputs_post, (params["layers"], probes))
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, layer_driver, inputs_post,
+        (params["layers"], probes))
 
     pooled = composite.act(
         jnp.tanh, composite.linear(h[:, 0], params["pooler_w"], params["pooler_b"]))

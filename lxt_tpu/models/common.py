@@ -227,6 +227,40 @@ def unrolled(f, h, xs):
     return h, None
 
 
+def run_stacked_layers(make_layer, composite, remat, layer_driver, h, xs):
+    """Drive a model's stacked layer axis. ``make_layer(comp)`` returns the
+    scan-shaped layer body ``layer_fn(h, xs_slice) -> (h, y)``.
+
+    With ``composite.layer_overrides`` (per-depth rule maps,
+    :meth:`lxt_tpu.Composite.override_layers`) the stack runs UNROLLED,
+    resolving ``composite.for_layer(i, L)`` at each static depth — rules
+    are trace-time static, so a depth-varying composite cannot live inside
+    one scanned body. Otherwise one compiled body runs under the default
+    ``lax.scan`` (or the provided ``layer_driver``: pipeline parallel,
+    :func:`unrolled`, ...).
+    """
+    overrides = getattr(composite, "layer_overrides", ())
+    if overrides:
+        if layer_driver is not None and layer_driver is not unrolled:
+            raise ValueError(
+                "composite.layer_overrides require the unrolled layer "
+                "stack; a custom layer_driver (e.g. pipeline parallel) "
+                "cannot vary rules with depth")
+        L = jax.tree_util.tree_leaves(xs)[0].shape[0]
+        ys = []
+        for i in range(L):
+            body = remat_wrap(make_layer(composite.for_layer(i, L)), remat)
+            xi = jax.tree_util.tree_map(lambda a: a[i], xs)
+            h, y = body(h, xi)
+            ys.append(y)
+        if ys and ys[0] is not None:
+            return h, jnp.stack(ys)
+        return h, None
+    body = remat_wrap(make_layer(composite), remat)
+    run = layer_driver or (lambda f, c, x: jax.lax.scan(f, c, x))
+    return run(body, h, xs)
+
+
 def remat_wrap(layer_fn, remat):
     """Rematerialization policy for a scanned layer body.
 

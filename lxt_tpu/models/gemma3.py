@@ -155,46 +155,51 @@ def forward(
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     is_sliding = layer_sliding_flags(cfg)
 
-    def layer_fn(h, xs):
-        lp, probe, sliding = xs
-        res = h
-        x = gemma_rms_norm(h, lp["ln_in"], cfg.rms_eps, composite)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
-        q = gemma_rms_norm(q, lp["q_norm"], cfg.rms_eps, composite)
-        k = gemma_rms_norm(k, lp["k_norm"], cfg.rms_eps, composite)
-        # select local vs global rope/mask for this layer (scanned scalar flag)
-        cos = jnp.where(sliding > 0, cos_l, cos_g)
-        sin = jnp.where(sliding > 0, sin_l, sin_g)
-        # full-attention layers must use an unbounded window, NOT T: under
-        # ring/sequence-parallel attention T is the LOCAL shard length and
-        # window comparisons run in global coordinates (parallel/ring.py)
-        window = jnp.where(sliding > 0, cfg.sliding_window,
-                           jnp.int32(2**30)).astype(jnp.int32)
-        q, k = common.apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, window=window, bias=bias,
-                         composite=composite, scale=scale, impl=attn_impl,
-                         kv_begin=kv_begin)
-        attn_out = composite.linear(common.merge_heads(attn), lp["wo"])
-        attn_out = gemma_rms_norm(attn_out, lp["ln_post_attn"], cfg.rms_eps, composite)
-        h = res + attn_out
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe, sliding = xs
+            res = h
+            x = gemma_rms_norm(h, lp["ln_in"], cfg.rms_eps, comp)
+            q = common.split_heads(comp.linear(x, lp["wq"]), H, hd)
+            k = common.split_heads(comp.linear(x, lp["wk"]), Hkv, hd)
+            v = common.split_heads(comp.linear(x, lp["wv"]), Hkv, hd)
+            q = gemma_rms_norm(q, lp["q_norm"], cfg.rms_eps, comp)
+            k = gemma_rms_norm(k, lp["k_norm"], cfg.rms_eps, comp)
+            # select local vs global rope/mask for this layer (scanned
+            # scalar flag)
+            cos = jnp.where(sliding > 0, cos_l, cos_g)
+            sin = jnp.where(sliding > 0, sin_l, sin_g)
+            # full-attention layers must use an unbounded window, NOT T:
+            # under ring/sequence-parallel attention T is the LOCAL shard
+            # length and window comparisons run in global coordinates
+            # (parallel/ring.py)
+            window = jnp.where(sliding > 0, cfg.sliding_window,
+                               jnp.int32(2**30)).astype(jnp.int32)
+            q, k = common.apply_rope(q, k, cos, sin)
+            attn = attention(q, k, v, causal=True, window=window, bias=bias,
+                             composite=comp, scale=scale, impl=attn_impl,
+                             kv_begin=kv_begin)
+            attn_out = comp.linear(common.merge_heads(attn), lp["wo"])
+            attn_out = gemma_rms_norm(attn_out, lp["ln_post_attn"],
+                                      cfg.rms_eps, comp)
+            h = res + attn_out
 
-        res = h
-        x = gemma_rms_norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        mlp_out = composite.linear(g, lp["wd"])
-        mlp_out = gemma_rms_norm(mlp_out, lp["ln_post_ff"], cfg.rms_eps, composite)
-        h = res + mlp_out
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+            res = h
+            x = gemma_rms_norm(h, lp["ln_pre_ff"], cfg.rms_eps, comp)
+            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"]),
+                               comp.linear(x, lp["wu"]))
+            mlp_out = comp.linear(g, lp["wd"])
+            mlp_out = gemma_rms_norm(mlp_out, lp["ln_post_ff"],
+                                     cfg.rms_eps, comp)
+            h = res + mlp_out
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
-    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
-    h, hiddens = run_layers(body, inputs_embeds,
-                            (params["layers"], probes, is_sliding))
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, layer_driver, inputs_embeds,
+        (params["layers"], probes, is_sliding))
 
     h = gemma_rms_norm(h, params["final_norm"], cfg.rms_eps, composite)
     if logits_at is not None:

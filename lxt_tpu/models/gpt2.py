@@ -123,31 +123,33 @@ def forward(
     H, hd = cfg.num_heads, cfg.hd
     layer_idx = jnp.arange(cfg.num_layers, dtype=jnp.float32)
 
-    def layer_fn(h, xs):
-        lp, probe, idx = xs
-        x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = common.split_heads(q, H, hd)
-        k = common.split_heads(k, H, hd)
-        v = common.split_heads(v, H, hd)
-        scale = hd ** -0.5
-        if cfg.scale_attn_by_inverse_layer_idx:
-            scale = scale / (idx + 1.0)
-        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
-                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
-        h = h + composite.linear(common.merge_heads(attn), lp["w_proj"], lp["b_proj"])
-        x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        x = composite.act(act_fn, composite.linear(x, lp["w_fc"], lp["b_fc"]))
-        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe, idx = xs
+            x = comp.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            qkv = comp.linear(x, lp["w_attn"], lp["b_attn"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = common.split_heads(q, H, hd)
+            k = common.split_heads(k, H, hd)
+            v = common.split_heads(v, H, hd)
+            scale = hd ** -0.5
+            if cfg.scale_attn_by_inverse_layer_idx:
+                scale = scale / (idx + 1.0)
+            attn = attention(q, k, v, causal=True, bias=bias, composite=comp,
+                             scale=scale, impl=attn_impl, kv_begin=kv_begin)
+            h = h + comp.linear(common.merge_heads(attn), lp["w_proj"],
+                                lp["b_proj"])
+            x = comp.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"]))
+            h = h + comp.linear(x, lp["w_out"], lp["b_out"])
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
-    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
-    h, hiddens = run_layers(body, inputs_sum,
-                            (params["layers"], probes, layer_idx))
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, layer_driver, inputs_sum,
+        (params["layers"], probes, layer_idx))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     if logits_at is not None:

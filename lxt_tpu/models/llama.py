@@ -250,50 +250,55 @@ def forward(
     from lxt_tpu.ops.flash_attention import bthd_supported
     bthd = "bthd" in attn_impl.split("+") and bthd_supported(H, Hkv, hd)
 
-    def layer_fn(h, xs):
-        lp, probe = xs
-        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = composite.linear(x, lp["wq"], lp.get("bq"))
-        k = composite.linear(x, lp["wk"], lp.get("bk"))
-        v = composite.linear(x, lp["wv"], lp.get("bv"))
-        if bthd:
-            q = q.reshape(B, T, H, hd)
-            k = k.reshape(B, T, Hkv, hd)
-            v = v.reshape(B, T, Hkv, hd)
-        else:
-            q, k, v = jax.lax.optimization_barrier((q, k, v))
-            q = common.split_heads(q, H, hd)
-            k = common.split_heads(k, Hkv, hd)
-            v = common.split_heads(v, Hkv, hd)
-        if cfg.qk_norm:
-            q = composite.rms_norm(q, lp["q_norm"], cfg.rms_eps)
-            k = composite.rms_norm(k, lp["k_norm"], cfg.rms_eps)
-        # rope is passed INTO the dispatcher: the flash path fuses the
-        # rotation into the kernels (apply_rope between the projections and
-        # the custom call cost ~25 ms/step — XLA folded it into the q/k
-        # matmuls at ~50% MXU efficiency); non-flash paths apply it there
-        attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
-                         bias=bias, composite=composite, rope=(cos, sin),
-                         scale=scale, impl=attn_impl, kv_begin=kv_begin,
-                         layout="bthd" if bthd else "bhtd")
-        if bthd:
-            merged = attn.reshape(B, T, H * hd)
-        else:
-            merged = jax.lax.optimization_barrier(common.merge_heads(attn))
-        h = h + composite.linear(merged, lp["wo"])
-        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        h = h + composite.linear(g, lp["wd"])
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe = xs
+            x = comp.rms_norm(h, lp["ln1"], cfg.rms_eps)
+            q = comp.linear(x, lp["wq"], lp.get("bq"))
+            k = comp.linear(x, lp["wk"], lp.get("bk"))
+            v = comp.linear(x, lp["wv"], lp.get("bv"))
+            if bthd:
+                q = q.reshape(B, T, H, hd)
+                k = k.reshape(B, T, Hkv, hd)
+                v = v.reshape(B, T, Hkv, hd)
+            else:
+                q, k, v = jax.lax.optimization_barrier((q, k, v))
+                q = common.split_heads(q, H, hd)
+                k = common.split_heads(k, Hkv, hd)
+                v = common.split_heads(v, Hkv, hd)
+            if cfg.qk_norm:
+                q = comp.rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                k = comp.rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            # rope is passed INTO the dispatcher: the flash path fuses the
+            # rotation into the kernels (apply_rope between the projections
+            # and the custom call cost ~25 ms/step — XLA folded it into the
+            # q/k matmuls at ~50% MXU efficiency); non-flash paths apply it
+            # there
+            attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
+                             bias=bias, composite=comp, rope=(cos, sin),
+                             scale=scale, impl=attn_impl, kv_begin=kv_begin,
+                             layout="bthd" if bthd else "bhtd")
+            if bthd:
+                merged = attn.reshape(B, T, H * hd)
+            else:
+                merged = jax.lax.optimization_barrier(
+                    common.merge_heads(attn))
+            h = h + comp.linear(merged, lp["wo"])
+            x = comp.rms_norm(h, lp["ln2"], cfg.rms_eps)
+            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"]),
+                               comp.linear(x, lp["wu"]))
+            h = h + comp.linear(g, lp["wd"])
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
     # layer_driver (optional) replaces the plain layer scan — e.g. the
-    # pipeline-parallel GPipe driver (parallel/pipeline_parallel.py)
-    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
-    h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
+    # pipeline-parallel GPipe driver (parallel/pipeline_parallel.py);
+    # composite.layer_overrides unroll the stack with per-depth composites
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, layer_driver,
+        inputs_embeds, (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     if logits_at is not None:

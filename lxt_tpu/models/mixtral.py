@@ -108,7 +108,14 @@ def _route(x, lp, cfg, composite):
     router_logits = composite.linear(x, lp["w_router"])
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_w, top_idx = jax.lax.top_k(probs, cfg.experts_per_token)
-    top_w = top_w / top_w.sum(-1, keepdims=True)
+    # renormalization denominator under the norm rule: stop-grad makes the
+    # renorm LINEAR in top_w, so G*I through it IS the epsilon rule — the
+    # efficient-framing counterpart of the reference's NormWeight ->
+    # EpsilonRule (mixtral.py:1233); 'vanilla' keeps plain autodiff
+    denom = top_w.sum(-1, keepdims=True)
+    if composite.norm == "identity":
+        denom = jax.lax.stop_gradient(denom)
+    top_w = top_w / denom
     return top_w, top_idx
 
 
@@ -209,25 +216,27 @@ def forward(
     scale = cfg.hd ** -0.5
     H, Hkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.hd
 
-    def layer_fn(h, xs):
-        lp, probe = xs
-        x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        attn = attention(q, k, v, causal=True, bias=bias, composite=composite,
-                         scale=scale, impl=attn_impl, kv_begin=kv_begin)
-        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
-        x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
-        h = h + moe_block(x, lp, cfg, composite, act_fn)
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe = xs
+            x = comp.rms_norm(h, lp["ln1"], cfg.rms_eps)
+            q = common.split_heads(comp.linear(x, lp["wq"]), H, hd)
+            k = common.split_heads(comp.linear(x, lp["wk"]), Hkv, hd)
+            v = common.split_heads(comp.linear(x, lp["wv"]), Hkv, hd)
+            q, k = apply_rope(q, k, cos, sin)
+            attn = attention(q, k, v, causal=True, bias=bias, composite=comp,
+                             scale=scale, impl=attn_impl, kv_begin=kv_begin)
+            h = h + comp.linear(common.merge_heads(attn), lp["wo"])
+            x = comp.rms_norm(h, lp["ln2"], cfg.rms_eps)
+            h = h + moe_block(x, lp, cfg, comp, act_fn)
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
-    run_layers = layer_driver or (lambda f, h, xs: jax.lax.scan(f, h, xs))
-    h, hiddens = run_layers(body, inputs_embeds, (params["layers"], probes))
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, layer_driver, inputs_embeds,
+        (params["layers"], probes))
 
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     if logits_at is not None:

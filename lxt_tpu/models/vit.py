@@ -107,25 +107,29 @@ def forward(
     inputs_post = h
     H, hd = cfg.num_heads, cfg.hd
 
-    def layer_fn(h, xs):
-        lp, probe = xs
-        x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        qkv = composite.linear(x, lp["w_qkv"], lp["b_qkv"])
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = common.split_heads(q, H, hd)
-        k = common.split_heads(k, H, hd)
-        v = common.split_heads(v, H, hd)
-        attn = attention(q, k, v, composite=composite, impl="einsum")
-        h = h + composite.linear(common.merge_heads(attn), lp["w_proj"], lp["b_proj"])
-        x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        x = composite.act(act_fn, composite.linear(x, lp["w_fc"], lp["b_fc"]))
-        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
-        if probe is not None:
-            h = h + probe
-        return h, (h if output_hidden_states else None)
+    def make_layer(comp):
+        def layer_fn(h, xs):
+            lp, probe = xs
+            x = comp.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
+            qkv = comp.linear(x, lp["w_qkv"], lp["b_qkv"])
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = common.split_heads(q, H, hd)
+            k = common.split_heads(k, H, hd)
+            v = common.split_heads(v, H, hd)
+            attn = attention(q, k, v, composite=comp, impl="einsum")
+            h = h + comp.linear(common.merge_heads(attn), lp["w_proj"],
+                                lp["b_proj"])
+            x = comp.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
+            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"]))
+            h = h + comp.linear(x, lp["w_out"], lp["b_out"])
+            if probe is not None:
+                h = h + probe
+            return h, (h if output_hidden_states else None)
+        return layer_fn
 
-    body = common.remat_wrap(layer_fn, remat)
-    h, hiddens = jax.lax.scan(body, inputs_post, (params["layers"], probes))
+    h, hiddens = common.run_stacked_layers(
+        make_layer, composite, remat, None, inputs_post,
+        (params["layers"], probes))
 
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     if cfg.openclip:

@@ -188,3 +188,104 @@ def _gamma_conv2d_bwd(strides, padding, gamma, res, g):
 
 
 gamma_conv2d.defvjp(_gamma_conv2d_fwd, _gamma_conv2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# alpha-beta rule (zennit rule-zoo parity: AlphaBeta / ZPlus)
+# ---------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def alphabeta_linear(x, w, b, alpha=2.0, beta=1.0):
+    """Linear layer with the alpha-beta LRP backward in the G*I framing.
+
+    R_j = sum_k (alpha * z+_jk / z+_k  -  beta * z-_jk / z-_k) R_k, where
+    z+ collects the positive contributions (x+w+ and x-w-, plus b+) and z-
+    the negative ones (x+w- and x-w+, plus b-); alpha - beta = 1 conserves.
+    ``("zplus",)`` == alpha=1, beta=0 (Montavon's z+ rule). Replaces the
+    zennit AlphaBeta/ZPlus hooks the reference reaches through
+    ``monkey_patch_zennit`` (lxt/efficient/zennit_patches.py:26-78), in the
+    same grad->relevance->grad sandwich as :func:`gamma_linear`.
+    """
+    return jnp.matmul(x, w) + (b if b is not None else 0.0)
+
+
+def _alphabeta_linear_fwd(x, w, b, alpha, beta):
+    out = jnp.matmul(x, w) + (b if b is not None else 0.0)
+    return out, (x, w, b, out)
+
+
+def _alphabeta_linear_bwd(alpha, beta, res, g):
+    x, w, b, out = res
+    f32 = jnp.float32
+    x32, w32, g32, out32 = (t.astype(f32) for t in (x, w, g, out))
+    xp, xn = jnp.clip(x32, 0, None), jnp.clip(x32, None, 0)
+    wp, wn = jnp.clip(w32, 0, None), jnp.clip(w32, None, 0)
+    zp = jnp.matmul(xp, wp) + jnp.matmul(xn, wn)
+    zn = jnp.matmul(xp, wn) + jnp.matmul(xn, wp)
+    if b is not None:
+        b32 = b.astype(f32)
+        zp = zp + jnp.clip(b32, 0, None)
+        zn = zn + jnp.clip(b32, None, 0)
+    rel_out = g32 * out32
+    rp = rel_out / _stabilize(zp)
+    rel_in = alpha * (xp * jnp.matmul(rp, wp.T) + xn * jnp.matmul(rp, wn.T))
+    if beta != 0.0:
+        rn = rel_out / _stabilize(zn)
+        rel_in = rel_in - beta * (xp * jnp.matmul(rn, wn.T)
+                                  + xn * jnp.matmul(rn, wp.T))
+    grad_x = rel_in / _stabilize(x32)
+    (grad_x,) = maybe_redistribute((grad_x,), (g,))
+    return (grad_x.astype(x.dtype), jnp.zeros_like(w),
+            None if b is None else jnp.zeros_like(b))
+
+
+alphabeta_linear.defvjp(_alphabeta_linear_fwd, _alphabeta_linear_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def alphabeta_conv2d(x, w, b, strides, padding, alpha=2.0, beta=1.0):
+    """NHWC conv2d with the alpha-beta LRP backward (see
+    :func:`alphabeta_linear`). ``w``: [kh, kw, cin, cout]."""
+    return _conv2d(x, w, b, strides, padding)
+
+
+def _alphabeta_conv2d_fwd(x, w, b, strides, padding, alpha, beta):
+    return _conv2d(x, w, b, strides, padding), (x, w, b)
+
+
+def _alphabeta_conv2d_bwd(strides, padding, alpha, beta, res, g):
+    x, w, b = res
+    f32 = jnp.float32
+    x32, w32, g32 = x.astype(f32), w.astype(f32), g.astype(f32)
+    xp, xn = jnp.clip(x32, 0, None), jnp.clip(x32, None, 0)
+    wp, wn = jnp.clip(w32, 0, None), jnp.clip(w32, None, 0)
+
+    def conv(xx, ww):
+        return _conv2d(xx, ww, None, strides, padding)
+
+    out = _conv2d(x32, w32, b.astype(f32) if b is not None else None,
+                  strides, padding)
+    rel_out = g32 * out
+    zp = conv(xp, wp) + conv(xn, wn)
+    zn = conv(xp, wn) + conv(xn, wp)
+    if b is not None:
+        b32 = b.astype(f32)
+        zp = zp + jnp.clip(b32, 0, None)
+        zn = zn + jnp.clip(b32, None, 0)
+
+    def conv_t(gg, ww):
+        _, vjp_fn = jax.vjp(lambda xx: conv(xx, ww), x32)
+        return vjp_fn(gg)[0]
+
+    rp = rel_out / _stabilize(zp)
+    rel_in = alpha * (xp * conv_t(rp, wp) + xn * conv_t(rp, wn))
+    if beta != 0.0:
+        rn = rel_out / _stabilize(zn)
+        rel_in = rel_in - beta * (xp * conv_t(rn, wn) + xn * conv_t(rn, wp))
+    grad_x = rel_in / _stabilize(x32)
+    (grad_x,) = maybe_redistribute((grad_x,), (g,))
+    return (grad_x.astype(x.dtype), jnp.zeros_like(w),
+            None if b is None else jnp.zeros_like(b))
+
+
+alphabeta_conv2d.defvjp(_alphabeta_conv2d_fwd, _alphabeta_conv2d_bwd)

@@ -1,0 +1,198 @@
+"""Relevance divergence vs the torch reference at FLAGSHIP geometry.
+
+The golden parity tests run hidden=64 / 2 layers / T=12 / f32; rule errors
+compound with depth and length, so the "<1e-4 relevance divergence"
+north-star (BASELINE.md) must be demonstrated where it's claimed:
+TinyLlama-1.1B geometry (22 layers, hidden 2048, GQA 32/4), T=1024.
+
+Protocol
+--------
+- ONE set of weights: torch ``LlamaForCausalLM`` (seed 0, f32). The torch
+  side runs the reference's monkey-patched AttnLRP / CP-LRP with gradient
+  checkpointing in a SUBPROCESS per composite (reference patching is global
+  and irreversible) on this host's CPU, f32 — the ground truth.
+- Our side converts the same weights and computes the same heatmap on the
+  default JAX device (the real TPU chip when attached, CPU otherwise):
+  * f32, einsum attention, highest matmul precision — isolates RULE error
+    from dtype error; this is the number the <1e-4 target governs.
+  * bf16, einsum and flash — the production regime; quantifies how much
+    divergence bf16 itself adds (reference examples run bf16 too,
+    examples/quantized_llama.py:19).
+
+Metrics per run: cosine similarity, normalized L2 divergence
+``|a-b|_2 / |b|_2``, max-abs difference of max-normalized heatmaps (the
+unit heatmaps are plotted in), and the explained-logit drift. Writes
+``PARITY_DIVERGENCE.json`` at the repo root.
+
+Usage: python scripts/measure_divergence.py [--seq 1024] [--layers 22]
+(smaller --layers/--seq for smoke runs; the committed artifact uses the
+full geometry).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+GEOM = dict(hidden_size=2048, intermediate_size=5632, num_hidden_layers=22,
+            num_attention_heads=32, num_key_value_heads=4, vocab_size=32000,
+            max_position_embeddings=2048, rms_norm_eps=1e-5,
+            tie_word_embeddings=False)
+
+_TORCH_SIDE = r"""
+import json, sys, warnings
+import numpy as np
+import torch
+
+composite, seq, out_path, geom = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], json.loads(sys.argv[4]))
+
+sys.path.insert(0, "/root/repo")
+from tests.conftest import _install_reference
+assert _install_reference()
+
+from transformers.models.llama import modeling_llama
+from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                      LlamaForCausalLM)
+import lxt.efficient.models.llama as maps
+from lxt.efficient.core import monkey_patch
+
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    monkey_patch(modeling_llama,
+                 {"attnlrp": maps.attnLRP, "cp_lrp": maps.cp_LRP}[composite])
+
+torch.manual_seed(0)
+model = LlamaForCausalLM(LlamaConfig(**geom, attn_implementation="eager"))
+model.train()                      # reference flow: train() + checkpointing
+model.gradient_checkpointing_enable()
+for p in model.parameters():
+    p.requires_grad = False
+
+ids = torch.randint(0, geom["vocab_size"], (1, seq),
+                    generator=torch.Generator().manual_seed(1))
+emb = model.get_input_embeddings()(ids).detach().requires_grad_()
+logits = model(inputs_embeds=emb, use_cache=False).logits
+val = logits[0, -1, :].max()
+val.backward()
+rel = (emb * emb.grad).float().sum(-1).detach()
+np.savez(out_path, rel=rel.numpy(), value=float(val),
+         ids=ids.numpy())
+print(f"torch {composite}: done, value={float(val):.6f}")
+"""
+
+
+def _metrics(ours, ref):
+    a = np.asarray(ours, np.float64).ravel()
+    b = np.asarray(ref, np.float64).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+    l2 = float(np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-30))
+    an = a / (np.abs(a).max() + 1e-30)
+    bn = b / (np.abs(b).max() + 1e-30)
+    return {"cosine": cos, "normalized_l2": l2,
+            "max_abs_normalized": float(np.abs(an - bn).max())}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--layers", type=int, default=22)
+    ap.add_argument("--out", default=os.path.join(ROOT,
+                                                  "PARITY_DIVERGENCE.json"))
+    args = ap.parse_args()
+    geom = dict(GEOM, num_hidden_layers=args.layers)
+
+    tmp = tempfile.mkdtemp()
+    ref = {}
+    for composite in ("attnlrp", "cp_lrp"):
+        out_npz = os.path.join(tmp, f"{composite}.npz")
+        subprocess.run(
+            [sys.executable, "-c", _TORCH_SIDE, composite, str(args.seq),
+             out_npz, json.dumps(geom)],
+            check=True, cwd=ROOT)
+        ref[composite] = np.load(out_npz)
+
+    # --- our side: same weights via the shared torch seed ------------------
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(**geom))
+    state = hf.state_dict()
+
+    import jax
+    import jax.numpy as jnp
+
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cfg = jllama.LlamaConfig.from_hf(hf.config)
+    params32 = jllama.params_from_hf(state, cfg)
+    del hf, state
+    ids = jnp.asarray(ref["attnlrp"]["ids"])
+
+    platform = jax.devices()[0].platform
+    results = {"config": {"geometry": geom, "seq": args.seq,
+                          "our_device": platform,
+                          "reference": "torch CPU f32, monkey-patched, "
+                                       "gradient checkpointing"},
+               "runs": {}}
+
+    def our_rel(params, comp, impl, dtype):
+        embeds = jllama.embed(params, ids).astype(dtype)
+
+        def target(e):
+            return select_logit(jllama.forward(
+                params, cfg, e, comp, remat=True, attn_impl=impl,
+                logits_at=-1).logits)
+
+        val, rel = jax.jit(lambda e: input_relevance(target, e))(embeds)
+        return float(val), np.asarray(jax.device_get(rel))
+
+    cases = [("f32", "einsum", jnp.float32),
+             ("bf16", "einsum", jnp.bfloat16)]
+    # flash kernels are TPU Pallas; skip on CPU hosts (interpret mode at
+    # this geometry is impractical) — kernel-vs-einsum equivalence is
+    # covered by tests/test_flash_attention.py
+    if platform != "cpu":
+        cases.append(("bf16", "flash", jnp.bfloat16))
+
+    params_by_dtype = {
+        jnp.float32: params32,
+        jnp.bfloat16: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params32),
+    }
+
+    for comp_name in ("attnlrp", "cp_lrp"):
+        comp = {"attnlrp": lxt_tpu.attnlrp, "cp_lrp": lxt_tpu.cp_lrp}[comp_name]
+        ref_rel = ref[comp_name]["rel"]
+        ref_val = float(ref[comp_name]["value"])
+        for dtype_name, impl, dtype in cases:
+            val, rel = our_rel(params_by_dtype[dtype], comp, impl, dtype)
+            m = _metrics(rel, ref_rel)
+            m["value_ours"] = val
+            m["value_reference"] = ref_val
+            m["value_rel_err"] = abs(val - ref_val) / (abs(ref_val) + 1e-30)
+            key = f"{comp_name}/{dtype_name}/{impl}"
+            results["runs"][key] = m
+            print(f"{key}: cos={m['cosine']:.8f} "
+                  f"l2={m['normalized_l2']:.3e} "
+                  f"maxabs_norm={m['max_abs_normalized']:.3e}")
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("written:", args.out)
+
+
+if __name__ == "__main__":
+    main()

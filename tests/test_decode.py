@@ -11,6 +11,8 @@ import lxt_tpu
 from lxt_tpu.models import llama as jl
 from lxt_tpu.models.registry import AttributionModel, _family_table
 
+pytestmark = pytest.mark.slow
+
 BASE = dict(vocab_size=256, hidden_size=64, intermediate_size=128,
             num_layers=2, num_heads=4, num_kv_heads=2, rms_eps=1e-6)
 

@@ -15,6 +15,9 @@ import numpy as np
 import lxt_tpu
 from lxt_tpu.models import bert as jbert
 from lxt_tpu.models import bert_explicit as jexb
+import pytest
+
+pytestmark = pytest.mark.golden
 
 
 def _tiny():

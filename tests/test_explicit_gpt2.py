@@ -18,6 +18,9 @@ import lxt_tpu
 from lxt_tpu.models import gpt2 as jgpt2
 from lxt_tpu.models import gpt2_explicit as jexg
 from lxt_tpu.models.llama_explicit import explicit_input_relevance
+import pytest
+
+pytestmark = pytest.mark.golden
 
 
 def _tiny():

@@ -20,6 +20,8 @@ from lxt_tpu.models import llama as jllama
 from lxt_tpu.models import llama_explicit as jex
 from tests.test_parity_explicit import golden_explicit  # noqa: F401 (fixture)
 
+pytestmark = pytest.mark.golden
+
 
 def _tiny():
     from tests._reference_golden import build_tiny_explicit

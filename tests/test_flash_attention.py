@@ -12,6 +12,8 @@ import lxt_tpu
 from lxt_tpu.ops.attention import attention
 from lxt_tpu.ops.flash_attention import flash_attention
 
+pytestmark = pytest.mark.kernels
+
 
 def _qkv(key, B=2, H=4, T=256, D=64):
     k1, k2, k3 = jax.random.split(key, 3)

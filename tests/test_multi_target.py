@@ -16,6 +16,8 @@ from lxt_tpu.attribution import (input_relevance, multi_token_relevance,
                                  select_logit, topk_relevance)
 from lxt_tpu.models import llama as jllama
 
+pytestmark = pytest.mark.golden
+
 
 @pytest.fixture(scope="module")
 def tiny():

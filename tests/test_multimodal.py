@@ -11,6 +11,8 @@ import lxt_tpu
 from lxt_tpu.attribution import select_logit
 from lxt_tpu.models import gemma3 as jg
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_mm():

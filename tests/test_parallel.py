@@ -7,6 +7,7 @@ inherits shardings (no resharding errors under strict GSPMD)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
@@ -17,6 +18,8 @@ from lxt_tpu.parallel import (
     make_mesh,
     shard_params,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _tiny_cfg():

@@ -15,6 +15,8 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance
 from lxt_tpu.models import bert as jbert
 
+pytestmark = pytest.mark.golden
+
 _CACHE = {}
 
 

@@ -27,6 +27,8 @@ from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import llama as jllama
 from lxt_tpu.models import mixtral as jmix
 
+pytestmark = pytest.mark.golden
+
 FAMILIES = ["mixtral", "phi3", "llama"]
 _CACHE = {}
 

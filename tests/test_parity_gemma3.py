@@ -17,6 +17,8 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import gemma3 as jg
 
+pytestmark = pytest.mark.golden
+
 _CACHE = {}
 
 

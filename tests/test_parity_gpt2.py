@@ -17,6 +17,8 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import gpt2 as jgpt2
 
+pytestmark = pytest.mark.golden
+
 _CACHE = {}
 
 

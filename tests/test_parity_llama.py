@@ -21,6 +21,8 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import llama as jllama
 
+pytestmark = pytest.mark.golden
+
 FAMILIES = ["llama", "qwen2", "qwen3"]
 _GOLDEN_CACHE = {}
 

@@ -30,6 +30,8 @@ import pytest
 import lxt_tpu
 from lxt_tpu.models import vit as jvit
 
+pytestmark = pytest.mark.golden
+
 _CACHE = {}
 
 

@@ -24,6 +24,8 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import llama as jllama
 
+pytestmark = pytest.mark.golden
+
 
 def _mistral_hf(sliding_window=8, T_max=128):
     from transformers.models.mistral.modeling_mistral import (

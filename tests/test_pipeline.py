@@ -12,6 +12,9 @@ import lxt_tpu
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import llama as jllama
 from lxt_tpu.pipeline import AttributionPipeline
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 class ToyTokenizer:

@@ -14,6 +14,8 @@ import lxt_tpu
 from lxt_tpu.models.registry import (
     from_hf, from_openclip, from_siglip, from_torchvision)
 
+pytestmark = pytest.mark.golden
+
 
 @pytest.fixture(scope="module")
 def torch_vit():

@@ -17,6 +17,8 @@ from lxt_tpu.serve import AttributionServer, http_server
 
 from test_pipeline import ToyTokenizer, _model
 
+pytestmark = pytest.mark.slow
+
 
 def test_respond_matches_unbatched():
     """Batched left-padded respond == per-prompt unpadded generate +

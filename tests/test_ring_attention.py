@@ -14,6 +14,8 @@ import lxt_tpu
 from lxt_tpu.ops.attention import attention
 from lxt_tpu.parallel.ring import ring_flash_attention
 
+pytestmark = pytest.mark.kernels
+
 
 @pytest.mark.parametrize("window", [None, 96])
 def test_ring_matches_monolithic(window):

@@ -16,6 +16,9 @@ from lxt_tpu.pipeline import AttributionPipeline
 from lxt_tpu.serve import AttributionServer, http_server
 
 from test_pipeline import ToyTokenizer, _model
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _pipeline():

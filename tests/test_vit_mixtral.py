@@ -12,6 +12,8 @@ from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import mixtral as jmix
 from lxt_tpu.models import vit as jvit
 
+pytestmark = pytest.mark.slow
+
 
 def _vit_cfg():
     return jvit.ViTConfig(image_size=32, patch_size=8, hidden_size=64,
