@@ -23,21 +23,23 @@ from lxt_tpu.composites import (
 )
 
 
-def from_hf(hf_model, composite=None, dtype=None, text_only=False):
+def from_hf(hf_model, composite=None, dtype=None, text_only=False,
+            family=None):
     """Convert a loaded HF torch model into an :class:`AttributionModel`
     (the one-call equivalent of the reference's ``monkey_patch``)."""
     from lxt_tpu.models.registry import from_hf as _from_hf
     return _from_hf(hf_model, composite=composite, dtype=dtype,
-                    text_only=text_only)
+                    text_only=text_only, family=family)
 
 
 def from_pretrained(model_dir, composite=None, dtype=None, quantize_bits=None,
-                    text_only=False):
+                    text_only=False, family=None):
     """Load an :class:`AttributionModel` straight from an HF checkpoint
     directory via the native safetensors reader (no torch model built)."""
     from lxt_tpu.models.registry import from_pretrained as _fp
     return _fp(model_dir, composite=composite, dtype=dtype,
-               quantize_bits=quantize_bits, text_only=text_only)
+               quantize_bits=quantize_bits, text_only=text_only,
+               family=family)
 
 
 def __getattr__(name):

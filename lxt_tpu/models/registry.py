@@ -589,18 +589,64 @@ class AttributionModel:
         return fn(self.params, embeds)
 
 
-def detect_family(hf_config) -> str:
+def _llama_structural_match(hf_config, state_dict) -> bool:
+    """True when an out-of-registry architecture is COMPUTATIONALLY Llama:
+    the config carries the Llama attribute set with a SiLU gated MLP and
+    RMSNorm, and the weights use the exact Llama parameter naming (so the
+    converter's key lookups and the forward's math both apply verbatim).
+    Many HF model_types are Llama re-registrations (SmolLM-era clones);
+    structurally different lookalikes (OLMo's non-parametric norm, StableLM's
+    partial rotary + LayerNorm, Cohere's fused-residual block) fail the key
+    check and stay unsupported."""
+    needed_cfg = ("vocab_size", "hidden_size", "intermediate_size",
+                  "num_hidden_layers", "num_attention_heads", "rms_norm_eps")
+    if not all(hasattr(hf_config, a) for a in needed_cfg):
+        return False
+    act = getattr(hf_config, "hidden_act",
+                  getattr(hf_config, "hidden_activation", None))
+    if act not in ("silu", "swish"):
+        return False
+    if state_dict is None:
+        return False
+    needed_keys = ("model.layers.0.self_attn.q_proj.weight",
+                   "model.layers.0.self_attn.o_proj.weight",
+                   "model.layers.0.mlp.gate_proj.weight",
+                   "model.layers.0.mlp.up_proj.weight",
+                   "model.layers.0.mlp.down_proj.weight",
+                   "model.layers.0.input_layernorm.weight",
+                   "model.layers.0.post_attention_layernorm.weight",
+                   "model.embed_tokens.weight", "model.norm.weight")
+    return all(k in state_dict for k in needed_keys)
+
+
+def detect_family(hf_config, state_dict=None) -> str:
     mt = getattr(hf_config, "model_type", None)
-    if mt not in SUPPORTED_FAMILIES:
-        supported = ", ".join(SUPPORTED_FAMILIES)
-        raise ValueError(
-            f"{mt!r} not yet supported. Supported models are: {supported}. "
-            f"Contributions welcome — add a family module under "
-            f"lxt_tpu/models/ and register it here.")
-    return mt
+    if mt in SUPPORTED_FAMILIES:
+        return mt
+    # out-of-registry model_type whose config AND parameter naming are
+    # exactly Llama's: run it through the llama family with a warning (the
+    # reference's monkey-patching would likewise only work on such clones
+    # if their modeling module reused Llama's function structure)
+    if _llama_structural_match(hf_config, state_dict):
+        import warnings
+
+        warnings.warn(
+            f"model_type {mt!r} is not registered, but its config and "
+            f"parameter naming match the Llama family exactly — converting "
+            f"as 'llama'. Pass family='llama' to silence this, or a "
+            f"different family to override.")
+        return "llama"
+    supported = ", ".join(SUPPORTED_FAMILIES)
+    raise ValueError(
+        f"{mt!r} not yet supported. Supported models are: {supported}. "
+        f"If the architecture matches one of these computationally, pass "
+        f"family='<name>' to from_hf/from_pretrained to force it. "
+        f"Contributions welcome — add a family module under "
+        f"lxt_tpu/models/ and register it here.")
 
 
-def _convert(state_dict, hf_config, composite, dtype, text_only=False):
+def _convert(state_dict, hf_config, composite, dtype, text_only=False,
+             family=None):
     """Shared state_dict -> AttributionModel conversion (torch tensors or
     numpy arrays — the family converters accept either)."""
     import numpy as np
@@ -624,7 +670,12 @@ def _convert(state_dict, hf_config, composite, dtype, text_only=False):
             if "lm_head.weight" in state_dict:
                 sd["lm_head.weight"] = state_dict["lm_head.weight"]
             state_dict = sd
-    family = detect_family(hf_config)
+    if family is not None:
+        if family not in SUPPORTED_FAMILIES:
+            supported = ", ".join(SUPPORTED_FAMILIES)
+            raise ValueError(f"family={family!r} is not one of: {supported}")
+    else:
+        family = detect_family(hf_config, state_dict)
     table = _family_table()[family]
 
     cfg = table["config"].from_hf(hf_config)
@@ -637,12 +688,17 @@ def _convert(state_dict, hf_config, composite, dtype, text_only=False):
 
 
 def from_hf(hf_model, composite: composites.Composite = None,
-            dtype=None, text_only: bool = False):
+            dtype=None, text_only: bool = False, family: str = None):
     """Convert a loaded HF torch model into an AttributionModel.
 
     ``composite`` defaults to AttnLRP except GPT-2, where the reference
     recommends CP-LRP (models/gpt2.py:24-26), and vision towers, which ship
     CP-LRP only (models/vit_torch.py:7-11).
+
+    ``family`` forces a registry family for out-of-registry ``model_type``s
+    that are computationally identical to a supported one (Llama-clone
+    re-registrations are common on the Hub); exact Llama clones — matching
+    config attributes AND parameter naming — are detected automatically.
 
     Also accepts config-less vision modules the way the reference's
     DEFAULT_MAP covers torchvision (lxt/efficient/models/__init__.py:10-18):
@@ -668,12 +724,12 @@ def from_hf(hf_model, composite: composites.Composite = None,
             "siglip", "siglip_vision_model"):
         return from_siglip(hf_model, composite=composite, dtype=dtype)
     return _convert(hf_model.state_dict(), hf_model.config, composite, dtype,
-                    text_only=text_only)
+                    text_only=text_only, family=family)
 
 
 def from_pretrained(model_dir, composite: composites.Composite = None,
                     dtype=None, quantize_bits=None,
-                    text_only: bool = False):
+                    text_only: bool = False, family: str = None):
     """Load an AttributionModel straight from an HF checkpoint DIRECTORY —
     no torch model is ever instantiated: the config comes from
     ``transformers.AutoConfig`` and the weights stream through the native
@@ -708,7 +764,8 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     from lxt_tpu.ops.quant import ingest_bnb_state_dict
     if ingest_bnb_state_dict(state) and quantize_bits is None:
         quantize_bits = "nf4"
-    model = _convert(state, hf_config, composite, dtype, text_only=text_only)
+    model = _convert(state, hf_config, composite, dtype, text_only=text_only,
+                     family=family)
     if quantize_bits:
         if not isinstance(model, AttributionModel):
             raise ValueError("quantize_bits applies to text models only")

@@ -212,3 +212,55 @@ def test_composite_by_name():
         model.logits(ids, composite="nope")
     with pytest.raises(TypeError, match="must be a lxt_tpu.Composite"):
         model.logits(ids, composite=42)
+
+
+def test_out_of_registry_llama_clone_auto_detected():
+    """A Hub model_type that is a pure Llama re-registration (same config
+    attributes, same parameter naming) converts via the structural fallback
+    with a warning; family='llama' silences it; family='nope' raises."""
+    import torch
+    from transformers.models.llama.modeling_llama import (LlamaConfig,
+                                                          LlamaForCausalLM)
+
+    torch.manual_seed(0)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.config.model_type = "smollm-clone"  # out-of-registry alias
+
+    with pytest.warns(UserWarning, match="match the Llama family"):
+        model = lxt_tpu.from_hf(hf)
+    assert model.family == "llama"
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")       # forcing must not warn
+        forced = lxt_tpu.from_hf(hf, family="llama")
+    ids = np.random.RandomState(0).randint(0, 256, (1, 8))
+    v1, r1 = model.attribute(ids)
+    v2, r2 = forced.attribute(ids)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2))
+
+    with pytest.raises(ValueError, match="family='nope' is not one of"):
+        lxt_tpu.from_hf(hf, family="nope")
+
+
+def test_structural_fallback_rejects_non_llama_layout():
+    """A config that quacks like Llama but whose weights use different
+    parameter naming must NOT silently convert (OLMo/StableLM shape)."""
+    from lxt_tpu.models.registry import _convert
+
+    class FakeConfig:
+        model_type = "not-llama"
+        vocab_size = 64
+        hidden_size = 16
+        intermediate_size = 32
+        num_hidden_layers = 1
+        num_attention_heads = 2
+        rms_norm_eps = 1e-5
+        hidden_act = "silu"
+
+    sd = {"transformer.h.0.attn.weight": np.zeros((16, 16), np.float32)}
+    with pytest.raises(ValueError, match="not yet supported"):
+        _convert(sd, FakeConfig(), None, None)
