@@ -47,6 +47,12 @@ NEG_INF = -1e30
 VMEM_LIMIT = 64 * 1024 * 1024
 LOG2E = 1.4426950408889634  # softmax runs in the exp2 domain: the 1/ln2
 LN2 = 0.6931471805599453    # factor folds into the score scale (VPU saving)
+# Every in-kernel dot pins DEFAULT precision: bf16 operands with f32
+# accumulation is the native MXU contraction. Without the pin, a global
+# jax_default_matmul_precision="highest" (set by parity scripts for the
+# XLA-level einsum path) leaks into the Pallas lowering and Mosaic rejects
+# the bf16 matmul with contract_precision<fp32> ("Bad lhs type").
+_PREC = jax.lax.Precision.DEFAULT
 
 
 def _interpret():
@@ -214,7 +220,7 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
             # every exp below is a native exp2 with no per-element multiply
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                preferred_element_type=jnp.float32, precision=_PREC) * (scale * LOG2E)
             if apply_mask:
                 s = _apply_mask(s, allowed)
 
@@ -233,7 +239,7 @@ def _fwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
                 p = jnp.where(m_cur <= NEG_INF / 2, 0.0, p)
             pv = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             lsum = p.sum(axis=-1, keepdims=True)
             if pairs:
                 l_scr[i, :, :1] = l_scr[i, :, :1] * alpha + lsum
@@ -309,7 +315,7 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
             q, k = _maybe_rope_qk(q, k, tabs)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                preferred_element_type=jnp.float32, precision=_PREC) * (scale * LOG2E)
             if apply_mask:
                 s = _apply_mask(s, allowed)
             m = s.max(axis=-1, keepdims=True)
@@ -325,7 +331,7 @@ def _fwd_kernel_single(w_ref, *refs, scale, causal, blk_q, blk_k,
             l_safe = jnp.where(empty, 1.0, l)
             acc = jax.lax.dot_general(
                 p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             outs.append(jnp.where(empty, 0.0, acc / l_safe))
             lse = jnp.where(empty, NEG_INF, (m + jnp.log2(l_safe)) * LN2)
             bcast = jnp.broadcast_to(lse, (blk_q, LSE_LANES))
@@ -372,11 +378,11 @@ def _fwd_kernel_single_split(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     def dot_nt(a, b):  # [m, D] x [n, D] -> [m, n]
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_PREC)
 
     def dot_nn(a, b):  # [m, n] x [n, D] -> [m, D]
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_PREC)
 
     # the three quarter-block masks are shared across pair halves
     sub_flags = (flags[0], False, flags[2])
@@ -789,7 +795,7 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
             q, k = _maybe_rope_qk(q, k, tabs)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                preferred_element_type=jnp.float32, precision=_PREC) * (scale * LOG2E)
             if apply_mask:
                 s = _apply_mask(s, allowed)
             p = jnp.exp2(s - lse * LOG2E)
@@ -799,11 +805,11 @@ def _dq_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
                 p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             ds = p * (dp - delta)
             dq_i = jax.lax.dot_general(
                 ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32, precision=_PREC) * scale
             if pairs:
                 dq_acc[i] += dq_i
             else:
@@ -872,7 +878,7 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
             q, k = _maybe_rope_qk(q, k, tabs)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                preferred_element_type=jnp.float32, precision=_PREC) * (scale * LOG2E)
             if apply_mask:
                 s = _apply_mask(s, allowed)
             p = jnp.exp2(s - lse * LOG2E)               # [blk_q, blk_k]
@@ -880,14 +886,14 @@ def _dkv_kernel(w_ref, *refs, scale, causal, blk_q, blk_k, guard_empty,
                 p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
             dv_i = jax.lax.dot_general(
                 p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             ds = p * (dp - delta)
             dk_i = jax.lax.dot_general(
                 ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32, precision=_PREC) * scale
             dks.append(dk_i)
             dvs.append(dv_i)
         _route_pair_kv(dk_acc, dv_acc, dks, dvs, pair_mode, psel)
@@ -958,7 +964,7 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
             q, k = _maybe_rope_qk(q, k, tabs)
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * (scale * LOG2E)
+                preferred_element_type=jnp.float32, precision=_PREC) * (scale * LOG2E)
             if apply_mask:
                 s = _apply_mask(s, allowed)
             p = jnp.exp2(s - lse * LOG2E)               # [blk_q, blk_k]
@@ -966,17 +972,17 @@ def _fused_bwd_kernel(w_ref, *refs, scale, causal, blk_q, blk_k,
                 p = jnp.where(lse <= NEG_INF / 2, 0.0, p)
             dv_i = jax.lax.dot_general(
                 p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             dp = jax.lax.dot_general(
                 do, v, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=_PREC)
             ds = (p * (dp - delta)).astype(q.dtype)
             dk_i = jax.lax.dot_general(
                 ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32, precision=_PREC) * scale
             dq = jax.lax.dot_general(
                 ds, k, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
+                preferred_element_type=jnp.float32, precision=_PREC) * scale
             if tabs is not None:
                 # each dq partial back-rotates independently (rope linear)
                 dq = _rope_block(dq, tabs[0], tabs[1], inverse=True)
@@ -1028,15 +1034,15 @@ def _fused_bwd_kernel_split(w_ref, *refs, scale, causal, blk_q, blk_k,
 
     def dot_nt(a, b):  # [m, D] x [n, D] -> [m, n]
         return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_PREC)
 
     def dot_tn(a, b):  # [m, n] x [m, D] -> [n, D]  (contract rows)
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_PREC)
 
     def dot_nn(a, b):  # [m, n] x [n, D] -> [m, D]
         return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32, precision=_PREC)
 
     pairs = pair_mode is not None
     psel = _pair_sel(pair_mode)  # top-level: program_id (see _pair_sel)
