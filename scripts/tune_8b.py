@@ -1,0 +1,75 @@
+"""One-off experiment: 8B-geometry int4 @ 4k attribution — layer-driver and
+kernel-option variants on the real chip, to pick the north-star bench config.
+
+Variants:
+  scan      : lax.scan + remat=True (the current bench_8b config)
+  unrolled  : unrolled driver + per-layer remat=True + '+split+delta+bthd'
+              kernel options (safe: no grad-of-scan — the compile pathology
+              the options are gated on lives in scan residual stacking)
+
+Prints one JSON line per variant.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import lxt_tpu
+from lxt_tpu.attribution import input_relevance, select_logit
+from lxt_tpu.models import common as jcommon
+from lxt_tpu.models import llama as jllama
+
+SEQ = int(os.environ.get("SEQ", 4096))
+ITERS = int(os.environ.get("ITERS", 3))
+
+cfg = jllama.LlamaConfig(
+    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+    num_layers=32, num_heads=32, num_kv_heads=8, rms_eps=1e-5,
+    rope_theta=500000.0, dtype="bfloat16")
+params = jllama.init_params(cfg, jax.random.PRNGKey(0), quantize_bits=4)
+ids = jax.random.randint(jax.random.PRNGKey(1), (1, SEQ), 0, cfg.vocab_size)
+embeds = jllama.embed(params, ids)
+
+VARIANTS = {
+    "scan": dict(attn_impl="auto", layer_driver=None),
+    "unrolled": dict(attn_impl="auto+split+delta+bthd",
+                     layer_driver=jcommon.unrolled),
+}
+only = os.environ.get("VARIANT")
+
+for name, opts in VARIANTS.items():
+    if only and name != only:
+        continue
+
+    def step(params, embeds, opts=opts):
+        def target(e):
+            return select_logit(jllama.forward(
+                params, cfg, e, lxt_tpu.attnlrp, remat=True,
+                logits_at=-1, **opts).logits)
+        return input_relevance(target, embeds)
+
+    jstep = jax.jit(step)
+
+    def chain(e, n):
+        val = None
+        for _ in range(n):
+            val, rel = jstep(params, e)
+            e = e + (rel[..., None] * 1e-6).astype(e.dtype)
+        return float(val)
+
+    t0 = time.time()
+    chain(embeds, 1)
+    compile_s = time.time() - t0
+    t0 = time.time(); chain(embeds, 1); t_one = time.time() - t0
+    t0 = time.time(); chain(embeds, 1 + ITERS); t_many = time.time() - t0
+    dt = (t_many - t_one) / ITERS
+    print(json.dumps({"variant": name, "s_per_attribution": round(dt, 3),
+                      "compile_s": round(compile_s, 1)}), flush=True)
