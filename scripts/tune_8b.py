@@ -8,6 +8,12 @@ Variants:
               the options are gated on lives in scan residual stacking)
 
 Prints one JSON line per variant.
+
+Measured (v5e, 2026-08-19): scan 1.766 s/attribution (compile ~12 s cached),
+unrolled 1.781 s (compile 111 s). A statistical tie — at b1/s4096 under full
+remat the step is recompute-bound, so the unrolled driver's kernel options
+(split-fwd/in-kernel-delta/bthd) don't move it. bench_8b keeps the scan
+driver: same speed, ~9x faster compile.
 """
 
 import json
