@@ -37,6 +37,8 @@ from lxt_tpu.ops.rules import (
     gamma_conv2d,
     gamma_linear,
     identity_rule,
+    modz_conv2d,
+    modz_linear,
     stop_gradient,
 )
 
@@ -44,6 +46,7 @@ from lxt_tpu.ops.rules import (
 def _norm_rule_spec(rule):
     """Canonicalize a linear/conv rule spec: None, ("gamma", g),
     ("alphabeta", a, b) with a - b = 1, ("zplus",) -> ("alphabeta", 1, 0),
+    ("flat",), ("wsquare",), ("zbox", low, high) (scalar input bounds),
     ("epsilon",)/("pass",) -> None (epsilon is already the implicit G*I
     behavior; zennit's Pass keeps plain gradient)."""
     if rule is None:
@@ -64,9 +67,17 @@ def _norm_rule_spec(rule):
                 f"alphabeta needs alpha - beta = 1 (conservation), got "
                 f"alpha={a}, beta={b}")
         return ("alphabeta", a, b)
+    if kind in ("flat", "wsquare"):
+        return (kind,)
+    if kind == "zbox":
+        low, high = float(rule[1]), float(rule[2])
+        if not low < high:
+            raise ValueError(f"zbox needs low < high, got {low}, {high}")
+        return ("zbox", low, high)
     raise ValueError(
         f"unknown rule spec {rule!r}; use None, 'epsilon', 'pass', "
-        f"('gamma', g), ('alphabeta', a, b) or 'zplus'")
+        f"('gamma', g), ('alphabeta', a, b), 'zplus', 'flat', 'wsquare' "
+        f"or ('zbox', low, high)")
 
 
 def _rule_text(rule):
@@ -74,6 +85,12 @@ def _rule_text(rule):
         return "epsilon rule (implicit via G*I)"
     if rule[0] == "gamma":
         return f"gamma rule (gamma={rule[1]})"
+    if rule[0] == "flat":
+        return "flat rule (uniform over fan-in)"
+    if rule[0] == "wsquare":
+        return "w^2 rule (weight-magnitude redistribution)"
+    if rule[0] == "zbox":
+        return f"z-box rule (input bounds [{rule[1]}, {rule[2]}])"
     if rule[1:] == (1.0, 0.0):
         return "z+ rule (alphabeta 1,0)"
     return f"alpha-beta rule (alpha={rule[1]}, beta={rule[2]})"
@@ -224,6 +241,8 @@ class Composite:
             return y if b is None else y + b
         if rule[0] == "gamma":
             return gamma_linear(x, w, b, rule[1])
+        if rule[0] in ("flat", "wsquare", "zbox"):
+            return modz_linear(x, w, b, rule)
         return alphabeta_linear(x, w, b, rule[1], rule[2])
 
     def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID"):
@@ -233,6 +252,8 @@ class Composite:
         if rule is not None:
             if rule[0] == "gamma":
                 return gamma_conv2d(x, w, b, strides, padding, rule[1])
+            if rule[0] in ("flat", "wsquare", "zbox"):
+                return modz_conv2d(x, w, b, strides, padding, rule)
             return alphabeta_conv2d(x, w, b, strides, padding,
                                     rule[1], rule[2])
         out = jax.lax.conv_general_dilated(
@@ -254,10 +275,13 @@ class Composite:
     def with_rules(self, linear="keep", conv="keep"):
         """Derive a variant with explicit linear/conv LRP rules — the zennit
         rule-zoo surface (reference vit_torch.py:59-65 composes zennit
-        LayerMapComposites of Gamma rules; AlphaBeta/ZPlus/Pass come from
-        the same zoo). Specs: None/'epsilon'/'pass' (implicit epsilon via
-        G*I), ('gamma', g), ('alphabeta', a, b), 'zplus'. 'keep' leaves the
-        current value."""
+        LayerMapComposites of Gamma rules; AlphaBeta/ZPlus/Flat/WSquare/
+        ZBox/Pass come from the same zoo). Specs: None/'epsilon'/'pass'
+        (implicit epsilon via G*I), ('gamma', g), ('alphabeta', a, b),
+        'zplus', 'flat', 'wsquare', ('zbox', low, high). 'keep' leaves the
+        current value. ZBox is the canonical first-layer rule for bounded
+        pixel inputs — combine with :meth:`override_layers` or apply it to
+        ``conv`` (the only conv in a ViT is the patch embedding)."""
         lr = self.linear_rule if linear == "keep" else _norm_rule_spec(linear)
         cr = self.conv_rule if conv == "keep" else _norm_rule_spec(conv)
         return dataclasses.replace(

@@ -289,3 +289,113 @@ def _alphabeta_conv2d_bwd(strides, padding, alpha, beta, res, g):
 
 
 alphabeta_conv2d.defvjp(_alphabeta_conv2d_fwd, _alphabeta_conv2d_bwd)
+
+
+# ---------------------------------------------------------------------------
+# flat / w-square / z-box rules (remaining zennit rule-zoo breadth)
+# ---------------------------------------------------------------------------
+#
+# All three share the modified-z sandwich the gamma rule uses (grad ->
+# relevance -> grad, reference lxt/efficient/zennit_patches.py:26-78), but
+# with input- and weight-modifiers instead of a weight offset:
+#
+#   flat    : x -> 1, w -> 1          R_j = sum_k R_k / N        (zennit Flat)
+#   wsquare : x -> 1, w -> w^2        R_j = sum_k w2_jk/z_k R_k  (zennit WSquare)
+#   zbox    : input-layer bounds rule R_j = sum_k (x w - l w+ - h w-)_jk/z_k R_k
+#             (zennit ZBox; low/high are the pixel bounds, scalars or arrays
+#             broadcastable to x)
+#
+# flat and wsquare ignore the input sign entirely (useful on the very first
+# layer to spread relevance by connectivity / weight magnitude); zbox is the
+# canonical first-conv rule for image models with bounded pixel intensities.
+
+
+def _modz_rel_in(kind, extra, x32, w32, b32, rel_out, mm, mm_t):
+    """Shared backward math; ``mm(x, w)``/``mm_t(g, w)`` abstract over
+    matmul vs conv (+ its transpose via vjp)."""
+    if kind == "flat":
+        ones_x, ones_w = jnp.ones_like(x32), jnp.ones_like(w32)
+        z = mm(ones_x, ones_w)
+        return ones_x * mm_t(rel_out / _stabilize(z), ones_w)
+    if kind == "wsquare":
+        ones_x, w_sq = jnp.ones_like(x32), w32 * w32
+        z = mm(ones_x, w_sq)
+        if b32 is not None:
+            z = z + b32 * b32  # bias absorbs its (squared) share, zennit-style
+        return ones_x * mm_t(rel_out / _stabilize(z), w_sq)
+    # zbox
+    low = jnp.broadcast_to(jnp.asarray(extra[0], x32.dtype), x32.shape)
+    high = jnp.broadcast_to(jnp.asarray(extra[1], x32.dtype), x32.shape)
+    wp, wn = jnp.clip(w32, 0, None), jnp.clip(w32, None, 0)
+    # bias cancels exactly in z: (f(x)+b) - (f+(l)+b+) - (f-(h)+b-) and
+    # b = b+ + b-, so z carries no bias term (matches zennit's three-subgraph
+    # construction)
+    z = mm(x32, w32) - mm(low, wp) - mm(high, wn)
+    s = rel_out / _stabilize(z)
+    return x32 * mm_t(s, w32) - low * mm_t(s, wp) - high * mm_t(s, wn)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def modz_linear(x, w, b, spec):
+    """Linear layer with a zennit-zoo modified-z LRP backward in the G*I
+    framing. ``spec``: ``('flat',)``, ``('wsquare',)`` or
+    ``('zbox', low, high)``. ``w``: [in, out]."""
+    return jnp.matmul(x, w) + (b if b is not None else 0.0)
+
+
+def _modz_linear_fwd(x, w, b, spec):
+    out = jnp.matmul(x, w) + (b if b is not None else 0.0)
+    return out, (x, w, b, out)
+
+
+def _modz_linear_bwd(spec, res, g):
+    x, w, b, out = res
+    f32 = jnp.float32
+    x32, w32, g32, out32 = (t.astype(f32) for t in (x, w, g, out))
+    b32 = None if b is None else b.astype(f32)
+    rel_in = _modz_rel_in(
+        spec[0], spec[1:], x32, w32, b32, g32 * out32,
+        jnp.matmul, lambda gg, ww: jnp.matmul(gg, ww.T))
+    grad_x = rel_in / _stabilize(x32)
+    (grad_x,) = maybe_redistribute((grad_x,), (g,))
+    return (grad_x.astype(x.dtype), jnp.zeros_like(w),
+            None if b is None else jnp.zeros_like(b))
+
+
+modz_linear.defvjp(_modz_linear_fwd, _modz_linear_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def modz_conv2d(x, w, b, strides, padding, spec):
+    """NHWC conv2d with a zennit-zoo modified-z LRP backward (see
+    :func:`modz_linear`). ``w``: [kh, kw, cin, cout]."""
+    return _conv2d(x, w, b, strides, padding)
+
+
+def _modz_conv2d_fwd(x, w, b, strides, padding, spec):
+    return _conv2d(x, w, b, strides, padding), (x, w, b)
+
+
+def _modz_conv2d_bwd(strides, padding, spec, res, g):
+    x, w, b = res
+    f32 = jnp.float32
+    x32, w32, g32 = x.astype(f32), w.astype(f32), g.astype(f32)
+    b32 = None if b is None else b.astype(f32)
+    out = _conv2d(x32, w32, b32, strides, padding)
+
+    def mm(xx, ww):
+        return _conv2d(xx, ww, None, strides, padding)
+
+    def mm_t(gg, ww):
+        _, vjp_fn = jax.vjp(lambda xx: mm(xx, ww), x32)
+        return vjp_fn(gg)[0]
+
+    rel_in = _modz_rel_in(spec[0], spec[1:], x32, w32, b32, g32 * out,
+                          mm, mm_t)
+    grad_x = rel_in / _stabilize(x32)
+    (grad_x,) = maybe_redistribute((grad_x,), (g,))
+    return (grad_x.astype(x.dtype), jnp.zeros_like(w),
+            None if b is None else jnp.zeros_like(b))
+
+
+modz_conv2d.defvjp(_modz_conv2d_fwd, _modz_conv2d_bwd)

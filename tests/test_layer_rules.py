@@ -232,6 +232,103 @@ def test_alphabeta_conv2d_runs_and_conserves():
     np.testing.assert_allclose(rel.sum(), float(out.sum()), rtol=1e-3)
 
 
+def test_flat_linear_closed_form():
+    """Flat rule: every input gets an equal share of each output's relevance
+    regardless of x and w — R_j = sum_k R_k / N (zennit Flat)."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, 16).astype(np.float32)
+    w = rng.randn(16, 5).astype(np.float32)
+    c = Composite(name="f").with_rules(linear="flat")
+    grad = jax.grad(lambda xx: c.linear(xx, jnp.asarray(w)).sum())(
+        jnp.asarray(x))
+    got = np.asarray(grad) * x
+    out = x @ w
+    want = np.broadcast_to(out.sum(-1, keepdims=True) / 16, x.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # exact conservation
+    np.testing.assert_allclose(got.sum(), out.sum(), rtol=1e-4)
+    # forward unchanged by the rule (vs XLA's own matmul — reassociation
+    # keeps numpy's @ a few ulps away)
+    np.testing.assert_array_equal(
+        np.asarray(c.linear(jnp.asarray(x), jnp.asarray(w))),
+        np.asarray(jnp.matmul(jnp.asarray(x), jnp.asarray(w))))
+
+
+def test_wsquare_linear_closed_form():
+    """WSquare rule: R_j = sum_k w_jk^2 / (sum_j' w_j'k^2) R_k — input-
+    agnostic, redistributes by weight magnitude (zennit WSquare)."""
+    rng = np.random.RandomState(4)
+    x = rng.randn(3, 12).astype(np.float32)
+    w = rng.randn(12, 6).astype(np.float32)
+    c = Composite(name="w2").with_rules(linear="wsquare")
+    grad = jax.grad(lambda xx: c.linear(xx, jnp.asarray(w)).sum())(
+        jnp.asarray(x))
+    got = np.asarray(grad) * x
+    out = x @ w
+    w2 = w * w
+    want = (out / (w2.sum(0) + 1e-6)) @ w2.T
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got.sum(), out.sum(), rtol=1e-4)
+
+
+def test_zbox_linear_closed_form_and_conservation():
+    """ZBox with input bounds [l, h]: R_j = sum_k (x w - l w+ - h w-)_jk /
+    z_k R_k; conserves exactly for bias-free layers (zennit ZBox)."""
+    rng = np.random.RandomState(5)
+    x = rng.rand(4, 10).astype(np.float32)  # bounded input in [0, 1]
+    w = rng.randn(10, 7).astype(np.float32)
+    low, high = 0.0, 1.0
+    c = Composite(name="zb").with_rules(linear=("zbox", low, high))
+    grad = jax.grad(lambda xx: c.linear(xx, jnp.asarray(w)).sum())(
+        jnp.asarray(x))
+    got = np.asarray(grad) * x
+    out = x @ w
+    wp, wn = np.clip(w, 0, None), np.clip(w, None, 0)
+    z = x @ w - low * np.ones_like(x) @ wp - high * np.ones_like(x) @ wn
+    stab = lambda zz: zz + np.where(zz >= 0, 1e-6, -1e-6)
+    s = out / stab(z)
+    want = x * (s @ w.T) - low * (s @ wp.T) - high * (s @ wn.T)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got.sum(), out.sum(), rtol=1e-3)
+
+
+def test_zbox_conv2d_first_layer_conserves():
+    """ZBox on the ViT-style patch conv: relevance into the pixels sums to
+    the explained output (bias-free), the canonical bounded-pixel input rule."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(2, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(4, 4, 3, 5).astype(np.float32))
+    c = Composite(name="zbc").with_rules(conv=("zbox", 0.0, 1.0))
+    out = c.conv2d(x, w, strides=(4, 4))
+    grad = jax.grad(lambda xx: c.conv2d(xx, w, strides=(4, 4)).sum())(x)
+    rel = np.asarray(grad * x)
+    np.testing.assert_allclose(rel.sum(), float(out.sum()), rtol=1e-3)
+
+
+def test_flat_wsquare_ignore_input_value():
+    """Flat/WSquare redistribute independently of the input point: scaling x
+    scales relevance only through R_out, not through the redistribution
+    weights — relevance RATIOS between inputs stay fixed."""
+    rng = np.random.RandomState(7)
+    # inputs bounded away from 0: the G*I sandwich divides and re-multiplies
+    # by stabilize(x), whose eps contributes ~1e-6/|x| relative noise
+    x = jnp.asarray((rng.rand(1, 8) + 0.5).astype(np.float32))
+    w = jnp.asarray(rng.randn(8, 4).astype(np.float32))
+    for spec in ("flat", "wsquare"):
+        c = Composite(name="t").with_rules(linear=spec)
+        g1 = jax.grad(lambda xx: c.linear(xx, w).sum())(x) * x
+        g2 = jax.grad(lambda xx: c.linear(xx, w).sum())(2.0 * x) * (2.0 * x)
+        r1, r2 = np.asarray(g1)[0], np.asarray(g2)[0]
+        np.testing.assert_allclose(r2, 2.0 * r1, rtol=1e-4, atol=1e-6)
+
+
+def test_bad_rule_specs_rejected():
+    with pytest.raises(ValueError, match="low < high"):
+        Composite(name="x").with_rules(linear=("zbox", 1.0, 0.0))
+    with pytest.raises(ValueError, match="unknown rule spec"):
+        Composite(name="x").with_rules(linear=("nonsense",))
+
+
 def test_summary_shows_rules_and_overrides():
     c = (attnlrp.with_rules(linear=("gamma", 0.25), conv="zplus")
          .override_layers((0, 4), attention="cp"))
