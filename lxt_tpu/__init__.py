@@ -65,6 +65,9 @@ def __getattr__(name):
     if name in ("AttributionServer", "http_server"):
         import lxt_tpu.serve as _s
         return getattr(_s, name)
+    if name in ("perturbation_curve", "faithfulness_report", "aopc_scores"):
+        from lxt_tpu.utils import faithfulness as _e
+        return getattr(_e, name)
     raise AttributeError(name)
 
 
@@ -76,5 +79,6 @@ __all__ = [
     "load_checkpoint_params", "AttributionServer", "http_server",
     "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
     "audit", "AuditEntry", "UnruledOpError",
+    "perturbation_curve", "faithfulness_report", "aopc_scores",
     "__version__",
 ]

@@ -56,20 +56,29 @@ def perturbation_curve(
     order: str = "morf",
     baseline=None,
     valid_mask=None,
+    key=None,
 ):
     """Batched perturbation curve in one jitted program.
 
     ``logit_fn(embeds [B,T,D]) -> [B]`` explained logits;
     ``relevance``: [B, T] token scores; ``baseline``: replacement embedding
-    (scalar/[D]/[B,T,D]; default 0 — embedding-space token deletion);
+    (scalar/[D]/[B,T,D], or ``'mean'`` for the per-example mean embedding;
+    default 0 — embedding-space token deletion);
     ``valid_mask``: optional [B, T] bool marking real (non-padding) tokens —
-    padded positions are never counted nor ablated.
+    padded positions are never counted nor ablated. ``key``: PRNG key for
+    ``order='random'`` (a fixed default key keeps the control reproducible).
     """
     if order not in ("morf", "lerf", "random"):
         raise ValueError(order)
     B, T, D = inputs_embeds.shape
     if baseline is None:
         baseline = jnp.zeros((), inputs_embeds.dtype)
+    elif isinstance(baseline, str):
+        if baseline != "mean":
+            raise ValueError(f"baseline must be 'mean' or an array, "
+                             f"got {baseline!r}")
+        baseline = inputs_embeds.mean(-2, keepdims=True).astype(
+            inputs_embeds.dtype)
     baseline = jnp.broadcast_to(jnp.asarray(baseline, inputs_embeds.dtype),
                                 inputs_embeds.shape)
     if valid_mask is None:
@@ -78,7 +87,8 @@ def perturbation_curve(
 
     rel = jnp.asarray(relevance, jnp.float32)
     if order == "random":
-        rel = jax.random.uniform(jax.random.PRNGKey(0), rel.shape)
+        rel = jax.random.uniform(key if key is not None
+                                 else jax.random.PRNGKey(0), rel.shape)
     # padded tokens sort to the very end in every order
     rel = jnp.where(valid_mask, rel, -jnp.inf if order != "lerf" else jnp.inf)
     ranks = _rank_order(rel, descending=(order != "lerf"))
@@ -107,3 +117,40 @@ def aopc_scores(logit_fn, inputs_embeds, relevance, *, steps: int = 10,
             logit_fn, inputs_embeds, relevance, steps=steps, order=order,
             baseline=baseline, valid_mask=valid_mask).aopc)
     return tuple(out)
+
+
+def auc(values):
+    """Trapezoidal area under a ``[S+1, B]`` (or ``[S+1]``) curve over the
+    ablated fraction in [0, 1]. Lower is better for MoRF, higher for LeRF."""
+    values = jnp.asarray(values, jnp.float32)
+    steps = values.shape[0] - 1
+    return (0.5 * (values[0] + values[-1]) + values[1:-1].sum(0)) / steps
+
+
+def faithfulness_report(logit_fn, inputs_embeds, relevance, *,
+                        steps: int = 10, baseline=None, valid_mask=None,
+                        key=None) -> dict:
+    """MoRF + LeRF + random curves and the summary scores, one dict.
+
+    Keys: ``morf``/``lerf``/``random`` (:class:`PerturbationCurve`),
+    ``auc_morf``/``auc_lerf``/``auc_random`` and ``aopc_*`` (``[B]``), and
+    ``abpc [B]`` — the area between the LeRF and MoRF curves, the single
+    faithfulness score of the AttnLRP paper's evaluation (higher = the
+    attribution separates important from unimportant tokens better; 0 = no
+    better than its own reverse ordering).
+
+    The sweeps share one program shape — call under ``jax.jit`` for
+    repeated evaluation, e.g. a rule grid search paired with
+    ``Composite.with_rules``/``override_layers`` to *measure* which rule
+    variant is most faithful instead of eyeballing heatmaps.
+    """
+    kw = dict(steps=steps, baseline=baseline, valid_mask=valid_mask)
+    out = {}
+    for order in ("morf", "lerf", "random"):
+        curve = perturbation_curve(logit_fn, inputs_embeds, relevance,
+                                   order=order, key=key, **kw)
+        out[order] = curve
+        out[f"auc_{order}"] = auc(curve.values)
+        out[f"aopc_{order}"] = curve.aopc
+    out["abpc"] = out["auc_lerf"] - out["auc_morf"]
+    return out

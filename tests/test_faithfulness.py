@@ -76,3 +76,81 @@ def test_padding_not_ablated():
     # touching the 2 padded ones
     np.testing.assert_allclose(float(curve.values[0, 0]), 8 * D)
     np.testing.assert_allclose(float(curve.values[-1, 0]), 2 * D)
+
+
+# ---------------------------------------------------------------------------
+# auc / abpc / faithfulness_report
+# ---------------------------------------------------------------------------
+
+def test_auc_trapezoid():
+    from lxt_tpu.utils.faithfulness import auc
+    vals = jnp.asarray([[4.0], [2.0], [0.0]])        # line 4 -> 0 over [0, 1]
+    np.testing.assert_allclose(float(auc(vals)[0]), 2.0, rtol=1e-6)
+
+
+def test_report_abpc_positive_for_exact_attribution():
+    """Linear model with positive contributions: the exact attribution's
+    ABPC must be positive and the auc ordering morf <= random <= lerf
+    deterministic."""
+    from lxt_tpu.utils.faithfulness import faithfulness_report
+
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(np.abs(rng.randn(4)).astype(np.float32))
+    x = jnp.asarray(np.abs(rng.randn(2, 10, 4)).astype(np.float32))
+
+    def logit_fn(e):
+        return (e @ w).sum(-1)
+
+    _, rel = input_relevance(lambda e: logit_fn(e).sum(), x)
+    rep = faithfulness_report(logit_fn, x, rel, steps=10,
+                              key=jax.random.PRNGKey(0))
+    assert np.all(np.asarray(rep["auc_morf"]) <= np.asarray(rep["auc_random"]))
+    assert np.all(np.asarray(rep["auc_random"]) <= np.asarray(rep["auc_lerf"]))
+    assert np.all(np.asarray(rep["abpc"]) > 0)
+    # aopc and auc agree on direction: aopc_morf = f(x) - mean(curve tail)
+    assert np.all(np.asarray(rep["aopc_morf"]) > np.asarray(rep["aopc_lerf"]))
+
+
+def test_report_jittable_and_mean_baseline():
+    from lxt_tpu.utils.faithfulness import faithfulness_report, perturbation_curve
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (4,))
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 4))
+
+    def logit_fn(e):
+        return (e @ w).sum(-1)
+
+    _, rel = input_relevance(lambda e: logit_fn(e).sum(), x)
+
+    @jax.jit
+    def run(xx, rr):
+        return faithfulness_report(logit_fn, xx, rr, steps=4)["abpc"]
+
+    assert np.isfinite(np.asarray(run(x, rel))).all()
+
+    # 'mean' baseline == passing the mean embedding explicitly
+    mean_vec = x.mean(-2, keepdims=True)
+    c1 = perturbation_curve(logit_fn, x, rel, steps=3, baseline="mean")
+    c2 = perturbation_curve(logit_fn, x, rel, steps=3, baseline=mean_vec)
+    np.testing.assert_allclose(np.asarray(c1.values), np.asarray(c2.values),
+                               rtol=1e-6)
+    import pytest
+    with pytest.raises(ValueError, match="mean"):
+        perturbation_curve(logit_fn, x, rel, baseline="nope")
+
+
+def test_random_key_changes_control():
+    from lxt_tpu.utils.faithfulness import perturbation_curve
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (4,))
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 4))
+
+    def logit_fn(e):
+        return (e @ w).sum(-1)
+
+    rel = jnp.ones((1, 16))
+    c1 = perturbation_curve(logit_fn, x, rel, order="random",
+                            key=jax.random.PRNGKey(0))
+    c2 = perturbation_curve(logit_fn, x, rel, order="random",
+                            key=jax.random.PRNGKey(7))
+    assert float(jnp.abs(c1.values - c2.values).max()) > 1e-6
