@@ -79,6 +79,32 @@ def main():
               f"{float(rep['auc_random'].mean()):9.4f} "
               f"{float(rep['abpc'].mean()):7.4f}")
 
+    # gradient-method baselines (the methods the AttnLRP paper beats):
+    # IG needs `steps` backwards per map, SmoothGrad `samples` — vs ONE for
+    # the LRP composites above
+    from lxt_tpu.baselines import integrated_gradients, smoothgrad
+
+    baselines = {
+        "integrated_grads": lambda x: integrated_gradients(target, x,
+                                                           steps=16),
+        "smoothgrad": lambda x: smoothgrad(target, x,
+                                           jax.random.PRNGKey(3),
+                                           samples=16, sigma=0.1),
+    }
+    for name, attr_fn in baselines.items():
+        @jax.jit
+        def run(x, attr_fn=attr_fn):
+            rep = faithfulness_report(target, x, attr_fn(x), steps=16,
+                                      key=jax.random.PRNGKey(2))
+            return {k: rep[k] for k in ("auc_morf", "auc_lerf",
+                                        "auc_random", "abpc")}
+
+        rep = run(embeds)
+        print(f"{name:>18} {float(rep['auc_morf'].mean()):9.4f} "
+              f"{float(rep['auc_lerf'].mean()):9.4f} "
+              f"{float(rep['auc_random'].mean()):9.4f} "
+              f"{float(rep['abpc'].mean()):7.4f}")
+
 
 if __name__ == "__main__":
     main()

@@ -68,6 +68,9 @@ def __getattr__(name):
     if name in ("perturbation_curve", "faithfulness_report", "aopc_scores"):
         from lxt_tpu.utils import faithfulness as _e
         return getattr(_e, name)
+    if name in ("integrated_gradients", "smoothgrad", "gradient_x_input"):
+        from lxt_tpu import baselines as _b
+        return getattr(_b, name)
     raise AttributeError(name)
 
 
@@ -80,5 +83,6 @@ __all__ = [
     "from_pretrained", "from_torchvision", "from_openclip", "from_siglip",
     "audit", "AuditEntry", "UnruledOpError",
     "perturbation_curve", "faithfulness_report", "aopc_scores",
+    "integrated_gradients", "smoothgrad", "gradient_x_input",
     "__version__",
 ]

@@ -14,6 +14,14 @@ unrolled 1.781 s (compile 111 s). A statistical tie — at b1/s4096 under full
 remat the step is recompute-bound, so the unrolled driver's kernel options
 (split-fwd/in-kernel-delta/bthd) don't move it. bench_8b keeps the scan
 driver: same speed, ~9x faster compile.
+
+Remat-policy sweep (same day): scan_dots OOMs — saving the dot outputs
+needs 20.87 G vs 15.75 G HBM (the 3x4096x14336 MLP dots alone are
+~7.5 G across 32 layers); scan_offload runs but at 5.316 s (3x slower:
+per-layer pinned-host DMA doesn't overlap enough at b1). Full remat is the
+memory-feasible optimum on one 16 G chip at this geometry; note the
+"useful-FLOPs" MFU of 0.373 already divides by int4's two nibble-plane
+matmuls and the remat recompute, i.e. real MXU occupancy is ~0.7.
 """
 
 import json
@@ -48,6 +56,11 @@ VARIANTS = {
     "scan": dict(attn_impl="auto", layer_driver=None),
     "unrolled": dict(attn_impl="auto+split+delta+bthd",
                      layer_driver=jcommon.unrolled),
+    # remat-policy variants: full remat recomputes the whole layer (the
+    # MFU-0.37 config); "dots" saves matmul outputs if they fit HBM
+    "scan_dots": dict(attn_impl="auto", layer_driver=None, remat="dots"),
+    "scan_offload": dict(attn_impl="auto", layer_driver=None,
+                         remat="offload"),
 }
 only = os.environ.get("VARIANT")
 
@@ -57,9 +70,11 @@ for name, opts in VARIANTS.items():
 
     def step(params, embeds, opts=opts):
         def target(e):
+            kw = dict(opts)
+            remat = kw.pop("remat", True)
             return select_logit(jllama.forward(
-                params, cfg, e, lxt_tpu.attnlrp, remat=True,
-                logits_at=-1, **opts).logits)
+                params, cfg, e, lxt_tpu.attnlrp, remat=remat,
+                logits_at=-1, **kw).logits)
         return input_relevance(target, embeds)
 
     jstep = jax.jit(step)
