@@ -78,6 +78,8 @@ RULE_BWD = {
     "_gamma_conv2d_bwd": ("rule", "gamma rule (conv2d)"),
     "_alphabeta_linear_bwd": ("rule", "alpha-beta rule (linear)"),
     "_alphabeta_conv2d_bwd": ("rule", "alpha-beta rule (conv2d)"),
+    "_modz_linear_bwd": ("rule", "flat/w^2/z-box rule (linear)"),
+    "_modz_conv2d_bwd": ("rule", "flat/w^2/z-box rule (conv2d)"),
     # explicit generic rules (lxt_tpu/explicit.py)
     "_identity_fn_bwd": ("rule", "identity rule (explicit)"),
     "_epsilon_bwd": ("rule", "epsilon rule (explicit)"),

@@ -207,3 +207,17 @@ def test_machine_readable_and_top_level_export():
     assert {"site", "op", "shape", "kind", "rule", "ok"} <= set(
         f.name for f in e.__dataclass_fields__.values())
     assert isinstance(e.row(), str)
+
+
+def test_modz_rules_recognized():
+    """flat / w^2 / z-box rules (modz_linear/modz_conv2d) are tagged as
+    rules, not flagged as opaque bilinears."""
+    from lxt_tpu.composites import Composite
+
+    w = jnp.ones((8, 4))
+    for spec in ("flat", "wsquare", ("zbox", 0.0, 1.0)):
+        c = Composite(name="t").with_rules(linear=spec)
+        entries = _run(lambda x, c=c: c.linear(x, w).sum(), jnp.ones((2, 8)))
+        assert any(e.kind == "rule" and "flat/w^2/z-box" in e.rule
+                   for e in entries), (spec, entries)
+        assert all(e.ok for e in entries), spec
