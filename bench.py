@@ -92,6 +92,16 @@ def _probe_devices(timeout_s=900):
     return out["d"]
 
 
+def llama3_8b_config(jllama):
+    """The Llama-3-8B geometry used by bench_8b and the companion scripts
+    (scripts/bench_8b_sweep.py, scripts/tune_8b.py) — one definition so the
+    committed artifacts all measure the same model."""
+    return jllama.LlamaConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, rms_eps=1e-5,
+        rope_theta=500000.0, dtype="bfloat16")
+
+
 def bench_8b(jllama, input_relevance, select_logit, attnlrp):
     """North-star config (BASELINE.md): Llama-3-8B geometry, int4 weights,
     batch 1 @ 4096 context, full remat, one chip. Returns the metrics dict
@@ -100,10 +110,7 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp):
 
     seq = int(os.environ.get("LXT_BENCH_8B_SEQ", 4096))
     iters = int(os.environ.get("LXT_BENCH_8B_ITERS", 3))
-    cfg = jllama.LlamaConfig(
-        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-        num_layers=32, num_heads=32, num_kv_heads=8, rms_eps=1e-5,
-        rope_theta=500000.0, dtype="bfloat16")
+    cfg = llama3_8b_config(jllama)
     try:
         params = jllama.init_params(cfg, jax.random.PRNGKey(0),
                                     quantize_bits=4)
@@ -146,7 +153,8 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp):
         del params, embeds
         return out
     except Exception as e:  # OOM / no device memory stats on CPU hosts
-        return {"metric": "attnlrp_llama3-8B-geom(int4,b1,s4096,remat=full)",
+        return {"metric": f"attnlrp_llama3-8B-geom(int4,b1,s{seq},"
+                          "remat=full)",
                 "value": None, "unit": "heatmaps/s",
                 "error": f"{type(e).__name__}: {e}"[:300]}
 
@@ -217,7 +225,10 @@ def main():
     # recorded so the self-scored MFU is auditable.
     xla_ratio = None
     try:
-        cost = jax.jit(step).lower(params, embeds).compile().cost_analysis()
+        # reuse jstep: lowering+compiling a FRESH jit wrapper would trace
+        # and (cache-cold) compile the identical program a second time —
+        # minutes over the remote-TPU compile service
+        cost = jstep.lower(params, embeds).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         xla_flops = float(cost.get("flops", 0.0)) if cost else 0.0
@@ -276,7 +287,8 @@ def main():
     if xla_ratio is not None:
         line["xla_flops_ratio"] = xla_ratio
     if eight_b is not None:
-        line["llama8b_int4_s4096"] = {
+        seq8b = os.environ.get("LXT_BENCH_8B_SEQ", "4096")
+        line[f"llama8b_int4_s{seq8b}"] = {
             k: eight_b[k] for k in ("value", "s_per_attribution", "tflops",
                                     "mfu", "peak_hbm_gib", "error")
             if k in eight_b}

@@ -313,9 +313,14 @@ class Composite:
             if k not in valid:
                 raise ValueError(f"unknown Composite field {k!r}; "
                                  f"overridable: {sorted(valid)}")
-        sel = ((int(layers), int(layers) + 1) if isinstance(layers, int)
-               else (int(layers[0]),
-                     None if layers[1] is None else int(layers[1])))
+        if isinstance(layers, int):
+            i = int(layers)
+            # int -1 means "the last layer": (-1, 0) would resolve stop=0
+            # as an absolute index and match nothing, so use open-ended
+            sel = (i, None) if i == -1 else (i, i + 1)
+        else:
+            sel = (int(layers[0]),
+                   None if layers[1] is None else int(layers[1]))
         norm = {}
         for k, v in changes.items():
             if k in ("linear_rule", "conv_rule"):

@@ -308,6 +308,16 @@ alphabeta_conv2d.defvjp(_alphabeta_conv2d_fwd, _alphabeta_conv2d_bwd)
 # flat and wsquare ignore the input sign entirely (useful on the very first
 # layer to spread relevance by connectivity / weight magnitude); zbox is the
 # canonical first-conv rule for image models with bounded pixel intensities.
+#
+# Zero-input caveat (inherent to the G*I framing, shared with the
+# reference's zennit interop which divides by stabilize(input) the same
+# way, zennit_patches.py:56-62): these rules' true R_in is nonzero even
+# where x == 0, but relevance is read as x * grad, so positions with
+# exactly-zero input read zero relevance and conservation holds only over
+# the |x| >> eps positions. Gamma/alpha-beta are unaffected (their R_in is
+# proportional to x). For bounded-pixel zbox use, normalize inputs so that
+# informative pixels are bounded away from 0 (standard image preprocessing
+# already does this).
 
 
 def _modz_rel_in(kind, extra, x32, w32, b32, rel_out, mm, mm_t):

@@ -366,8 +366,17 @@ class _Auditor:
           ``x*x`` variance product of a norm with a stop-gradient'd rsqrt.
         """
         out_ids = {id(v) for v in jaxpr.outvars}
+        # ops a 'corrected' verdict may pass through: pure shape/dtype
+        # plumbing. Passing through anything else (another mul, an add, a
+        # reduction...) means a downstream rule corrects THAT op's output,
+        # not this product — e.g. a chained a*b*c with one /2 must keep the
+        # inner product flagged ('dead' may still traverse anything: if
+        # every path ends in stop_gradient, no relevance flows, period).
+        PASS = {"reshape", "transpose", "broadcast_in_dim", "squeeze",
+                "expand_dims", "convert_element_type", "copy", "slice",
+                "rev", "bitcast_convert_type"}
 
-        def classify(var_ids, depth=0):
+        def classify(var_ids, pure=True, depth=0):
             # returns 'corrected' | 'dead' | 'live'
             states = []
             for vid in var_ids:
@@ -376,19 +385,20 @@ class _Auditor:
                 for ci in consumers.get(vid, []):
                     k = eqn_kind.get(ci)
                     if k == "rule":
-                        states.append("corrected")
+                        states.append("corrected" if pure else "live")
                     elif k == "stop":
                         states.append("dead")
                     elif depth >= 12:
                         return "live"
                     else:
+                        p = pure and eqns[ci].primitive.name in PASS
                         sub = classify([id(v) for v in eqns[ci].outvars],
-                                       depth + 1)
-                        if sub == "live":
-                            return "live"
+                                       p, depth + 1)
                         states.append(sub)
                 if not consumers.get(vid) and vid not in out_ids:
                     states.append("dead")
+            if "live" in states:
+                return "live"
             if not states:
                 return "dead"
             return "corrected" if "corrected" in states else "dead"

@@ -71,19 +71,24 @@ def perturbation_curve(
     if order not in ("morf", "lerf", "random"):
         raise ValueError(order)
     B, T, D = inputs_embeds.shape
+    if valid_mask is None:
+        valid_mask = jnp.ones((B, T), bool)
+    n_valid = valid_mask.sum(-1)
     if baseline is None:
         baseline = jnp.zeros((), inputs_embeds.dtype)
     elif isinstance(baseline, str):
         if baseline != "mean":
             raise ValueError(f"baseline must be 'mean' or an array, "
                              f"got {baseline!r}")
-        baseline = inputs_embeds.mean(-2, keepdims=True).astype(
-            inputs_embeds.dtype)
+        # mean over VALID positions only — padding must not drag the
+        # replacement embedding (the same never-counted contract the
+        # fractions follow)
+        m = valid_mask[..., None]
+        baseline = ((inputs_embeds * m).sum(-2, keepdims=True)
+                    / jnp.maximum(n_valid, 1)[:, None, None]).astype(
+                        inputs_embeds.dtype)
     baseline = jnp.broadcast_to(jnp.asarray(baseline, inputs_embeds.dtype),
                                 inputs_embeds.shape)
-    if valid_mask is None:
-        valid_mask = jnp.ones((B, T), bool)
-    n_valid = valid_mask.sum(-1)
 
     rel = jnp.asarray(relevance, jnp.float32)
     if order == "random":

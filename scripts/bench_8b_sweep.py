@@ -24,7 +24,7 @@ jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import lxt_tpu
-from bench import attribution_flops
+from bench import attribution_flops, llama3_8b_config
 from lxt_tpu.attribution import input_relevance, select_logit
 from lxt_tpu.models import llama as jllama
 from lxt_tpu.utils.profiling import PEAK_BF16
@@ -34,10 +34,7 @@ DEFAULT = "int4:4096,int8:4096,nf4:4096,int4:2048,int8:2048"
 CONFIGS = [c.split(":") for c in
            os.environ.get("CONFIGS", DEFAULT).split(",")]
 
-cfg = jllama.LlamaConfig(
-    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-    num_layers=32, num_heads=32, num_kv_heads=8, rms_eps=1e-5,
-    rope_theta=500000.0, dtype="bfloat16")
+cfg = llama3_8b_config(jllama)
 
 results = {"config": {"geometry": "llama-3-8B", "batch": 1,
                       "remat": "full", "device": str(jax.devices()[0]),
@@ -91,6 +88,14 @@ for quant, seq_s in CONFIGS:
     print(json.dumps({name: entry}), flush=True)
 
 out = os.path.join(ROOT, "BENCH_8B_SWEEP.json")
+# merge with prior runs (a TPU device error poisons the whole process, so
+# partial sweeps re-run per-config in fresh processes and accumulate here)
+if os.path.exists(out):
+    with open(out) as f:
+        prior = json.load(f)
+    prior_runs = prior.get("runs", {})
+    prior_runs.update(results["runs"])
+    results["runs"] = prior_runs
 with open(out, "w") as f:
     json.dump(results, f, indent=1)
 print("wrote", out)

@@ -51,10 +51,11 @@ import json, sys, warnings
 import numpy as np
 import torch
 
-composite, seq, out_path, geom = (
-    sys.argv[1], int(sys.argv[2]), sys.argv[3], json.loads(sys.argv[4]))
+composite, seq, out_path, geom, root = (
+    sys.argv[1], int(sys.argv[2]), sys.argv[3], json.loads(sys.argv[4]),
+    sys.argv[5])
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, root)
 from tests.conftest import _install_reference
 assert _install_reference()
 
@@ -121,7 +122,7 @@ def main():
         if not os.path.exists(out_npz):
             subprocess.run(
                 [sys.executable, "-c", _TORCH_SIDE, composite, str(args.seq),
-                 out_npz, json.dumps(geom)],
+                 out_npz, json.dumps(geom), ROOT],
                 check=True, cwd=ROOT)
         ref[composite] = np.load(out_npz)
 

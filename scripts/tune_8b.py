@@ -44,10 +44,9 @@ from lxt_tpu.models import llama as jllama
 SEQ = int(os.environ.get("SEQ", 4096))
 ITERS = int(os.environ.get("ITERS", 3))
 
-cfg = jllama.LlamaConfig(
-    vocab_size=128256, hidden_size=4096, intermediate_size=14336,
-    num_layers=32, num_heads=32, num_kv_heads=8, rms_eps=1e-5,
-    rope_theta=500000.0, dtype="bfloat16")
+from bench import llama3_8b_config
+
+cfg = llama3_8b_config(jllama)
 params = jllama.init_params(cfg, jax.random.PRNGKey(0), quantize_bits=4)
 ids = jax.random.randint(jax.random.PRNGKey(1), (1, SEQ), 0, cfg.vocab_size)
 embeds = jllama.embed(params, ids)

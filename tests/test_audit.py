@@ -221,3 +221,28 @@ def test_modz_rules_recognized():
         assert any(e.kind == "rule" and "flat/w^2/z-box" in e.rule
                    for e in entries), (spec, entries)
         assert all(e.ok for e in entries), spec
+
+
+def test_chained_bilinear_not_upgraded_by_single_correction():
+    """Regression: a*b*c with ONE /2 correction must keep the inner
+    product flagged — the downstream upgrade may only traverse pure
+    shape/dtype ops, not other bilinears."""
+    from lxt_tpu.ops.rules import divide_gradient
+    from lxt_tpu.rule_audit import UnruledOpError
+
+    def f(x):
+        return divide_gradient(jnp.tanh(x) * jnp.sin(x) * jnp.cos(x), 2).sum()
+
+    entries = lxt_tpu.audit(f, jnp.ones((4,)), verbose=False)
+    flagged = [e for e in entries if not e.ok]
+    assert flagged, entries
+    with pytest.raises(UnruledOpError):
+        lxt_tpu.audit(f, jnp.ones((4,)), on_unruled="raise", verbose=False)
+
+    # the direct pattern stays clean: (a*b) -> /2
+    def g(x):
+        return divide_gradient(jnp.tanh(x) * jnp.sin(x), 2).sum()
+
+    entries = lxt_tpu.audit(g, jnp.ones((4,)), on_unruled="raise",
+                            verbose=False)
+    assert all(e.ok for e in entries)

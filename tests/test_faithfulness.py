@@ -154,3 +154,24 @@ def test_random_key_changes_control():
     c2 = perturbation_curve(logit_fn, x, rel, order="random",
                             key=jax.random.PRNGKey(7))
     assert float(jnp.abs(c1.values - c2.values).max()) > 1e-6
+
+
+def test_mean_baseline_ignores_padding():
+    """Regression: baseline='mean' must average VALID positions only —
+    padding must not drag the replacement embedding."""
+    from lxt_tpu.utils.faithfulness import perturbation_curve
+
+    x = jnp.concatenate([jnp.full((1, 2, 4), 100.0),     # pad rows
+                         jnp.ones((1, 6, 4))], axis=1)
+    valid = jnp.asarray([[0, 0, 1, 1, 1, 1, 1, 1]], bool)
+    rel = jnp.arange(8, dtype=jnp.float32)[None]
+
+    def logit_fn(e):
+        return e.sum((-1, -2))
+
+    curve = perturbation_curve(logit_fn, x, rel, steps=6, order="morf",
+                               baseline="mean", valid_mask=valid)
+    # valid-only mean == 1.0, so a full flip leaves the total unchanged:
+    # 2 pad rows (100 each) + 6 flipped-to-mean rows (1 each)
+    want = 2 * 4 * 100.0 + 6 * 4 * 1.0
+    np.testing.assert_allclose(float(curve.values[-1, 0]), want, rtol=1e-5)

@@ -366,3 +366,30 @@ def test_vit_per_depth_gamma():
     r_first, r_none, r_every = rel(first), rel(cp_lrp), rel(every)
     assert float(jnp.abs(r_first - r_none).max()) > 1e-9
     assert float(jnp.abs(r_first - r_every).max()) > 1e-9
+
+
+def test_override_layers_minus_one_selects_last_layer():
+    """Regression: an int -1 selector must hit the LAST layer (it used to
+    resolve to the empty range (-1, 0) and silently match nothing)."""
+    c = attnlrp.override_layers(-1, gate="cp")
+    L = 4
+    assert c.for_layer(L - 1, L).gate == "cp"
+    for i in range(L - 1):
+        assert c.for_layer(i, L).gate == "uniform"
+    # and a model-level check: equals overriding the explicit last index
+    c2 = attnlrp.override_layers(3, gate="cp")
+    for i in range(L):
+        assert c.for_layer(i, L).gate == c2.for_layer(i, L).gate
+
+
+def test_modz_zero_input_artifact_documented():
+    """Pin the documented G*I caveat: input-agnostic rules read zero
+    relevance at exactly-zero inputs (x * grad with finite grad); nonzero
+    inputs carry the full uniform share."""
+    from lxt_tpu.ops.rules import modz_linear
+    x = jnp.asarray([[0.0, 0.5, 1.0, 0.25]], jnp.float32)
+    w = jnp.ones((4, 3), jnp.float32)
+    g = jax.grad(lambda xx: modz_linear(xx, w, None, ("flat",)).sum())(x)
+    rel = np.asarray(g * x)[0]
+    assert rel[0] == 0.0                       # the artifact
+    np.testing.assert_allclose(rel[1:], rel[1], rtol=1e-5)  # equal shares
