@@ -308,6 +308,61 @@ class AttributionModel:
             fn = self._jit[key] = _finalize(run, check, jit)
         return fn(self.params, embeds, tok, mvals)
 
+    def faithfulness(self, input_ids, *, steps: int = 10, position: int = -1,
+                     token=None, composite=None, kv_begin=None,
+                     attention_mask=None, kv_end=None,
+                     baseline="zero", key=None, jit=True):
+        """One-call faithfulness report for this model's own attribution.
+
+        Computes the relevance map (as :meth:`attribute` would, pinning the
+        explained token to the UNPERTURBED argmax so every perturbation
+        step scores the same target) and evaluates it with
+        MoRF/LeRF/random perturbation curves — returns the
+        :func:`lxt_tpu.utils.faithfulness.faithfulness_report` dict
+        (curves, AUCs, AOPCs, ABPC per example). ``attention_mask`` doubles
+        as the curve's ``valid_mask`` so padding is never ablated. The
+        whole protocol — attribution + 3*(steps+1) forwards — is one jitted
+        program.
+        """
+        from lxt_tpu.utils.faithfulness import faithfulness_report
+
+        composite = composites.resolve(composite or self.composite)
+        fwd, cfg = self._fns["forward"], self.cfg
+        embeds = self.embed(input_ids)
+        if token is None:
+            logits = self.logits(input_ids, composite)
+            row = logits if logits.ndim == 2 else logits[:, position, :]
+            token = jnp.argmax(row, axis=-1)
+        tok = jnp.asarray(token).reshape(-1)
+        mnames, mvals = _padding_args(self.family, kv_begin, attention_mask,
+                                      kv_end)
+        valid = (None if attention_mask is None
+                 else jnp.asarray(attention_mask, bool))
+        fkey = ("faithfulness", embeds.shape, embeds.dtype.name, composite,
+                position, steps, mnames,
+                baseline if isinstance(baseline, str) else "array",
+                key is not None, jit)
+        fn = self._jit.get(fkey)
+        if fn is None:
+            def run(params, e, tok, mvals, valid, rkey):
+                kw = dict(zip(mnames, mvals))
+
+                def per_example(ee):          # [B] same-token targets
+                    logits = fwd(params, cfg, ee, composite, **kw).logits
+                    row = (logits if logits.ndim == 2
+                           else logits[:, position, :])
+                    return jnp.take_along_axis(row, tok[:, None], -1)[:, 0]
+
+                _, rel = input_relevance(lambda ee: per_example(ee).sum(), e)
+                # baseline closed over: a static string, or a small array
+                # (an embedding row / [B,T,D] map — fine to bake)
+                return faithfulness_report(per_example, e, rel, steps=steps,
+                                           baseline=baseline,
+                                           valid_mask=valid, key=rkey)
+            fn = self._jit[fkey] = jax.jit(run) if jit else run
+        rkey = key if key is not None else jax.random.PRNGKey(0)
+        return fn(self.params, embeds, tok, mvals, valid, rkey)
+
     def attribute_multi(self, input_ids, tokens, *, position: int = -1,
                         composite=None, kv_begin=None, attention_mask=None,
                         kv_end=None, check=None, via: str = "scan",

@@ -39,6 +39,12 @@ class PerturbationCurve:
     aopc: jnp.ndarray        # [B] area over the perturbation curve
 
 
+# pytree: curves (and report dicts of them) can cross jit boundaries
+jax.tree_util.register_dataclass(
+    PerturbationCurve, data_fields=["fractions", "values", "aopc"],
+    meta_fields=[])
+
+
 def _rank_order(relevance, descending):
     r = relevance if descending else -relevance
     # rank[i] = position of token i in the ablation order (0 = first out)
@@ -77,9 +83,11 @@ def perturbation_curve(
     if baseline is None:
         baseline = jnp.zeros((), inputs_embeds.dtype)
     elif isinstance(baseline, str):
-        if baseline != "mean":
-            raise ValueError(f"baseline must be 'mean' or an array, "
-                             f"got {baseline!r}")
+        if baseline == "zero":
+            baseline = jnp.zeros((), inputs_embeds.dtype)
+        elif baseline != "mean":
+            raise ValueError(f"baseline must be 'zero', 'mean' or an "
+                             f"array, got {baseline!r}")
         # mean over VALID positions only — padding must not drag the
         # replacement embedding (the same never-counted contract the
         # fractions follow)

@@ -175,3 +175,32 @@ def test_mean_baseline_ignores_padding():
     # 2 pad rows (100 each) + 6 flipped-to-mean rows (1 each)
     want = 2 * 4 * 100.0 + 6 * 4 * 1.0
     np.testing.assert_allclose(float(curve.values[-1, 0]), want, rtol=1e-5)
+
+
+def test_attribution_model_faithfulness_method():
+    """AttributionModel.faithfulness: one-call report; attention_mask
+    doubles as valid_mask and an unpadded example's scores are unchanged
+    by the presence of padding elsewhere in the batch."""
+    import lxt_tpu
+    from lxt_tpu.models import llama as jllama, registry
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=32,
+                             intermediate_size=64, num_layers=2,
+                             num_heads=2, num_kv_heads=2)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    model = registry.AttributionModel(
+        family="llama", cfg=cfg, params=params, composite=lxt_tpu.attnlrp,
+        _fns={"embed": lambda p, ids, c: jllama.embed(p, ids),
+              "forward": jllama.forward})
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 64)
+    rep = model.faithfulness(ids, steps=4, key=jax.random.PRNGKey(2))
+    assert rep["morf"].values.shape == (5, 2)
+    assert np.isfinite(np.asarray(rep["abpc"])).all()
+
+    mask = jnp.asarray([[0, 0] + [1] * 8, [1] * 10])
+    rep_pad = model.faithfulness(ids, steps=4, attention_mask=mask,
+                                 key=jax.random.PRNGKey(2))
+    # row 1 is unpadded: its scores must not move when row 0 is padded
+    np.testing.assert_allclose(float(rep_pad["abpc"][1]),
+                               float(rep["abpc"][1]), rtol=1e-4)
