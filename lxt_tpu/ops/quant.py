@@ -26,12 +26,14 @@ checkpoint saved from the reference's quantized flow loads directly.
 """
 
 import dataclasses
+import functools
 import json
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 #: The NF4 codebook (QLoRA, Dettmers et al. 2023): the 16 quantiles of a
 #: standard normal, normalized to [-1, 1] — identical to bitsandbytes'
@@ -84,7 +86,11 @@ class QuantizedTensor:
 
 def _nf4_block(K, block):
     """Largest power-of-two block <= ``block`` dividing K (real-model input
-    dims are multiples of 64; tiny test geometries shrink gracefully)."""
+    dims are multiples of 64; tiny test geometries shrink gracefully).
+    NOTE: the block size must match bitsandbytes' (64) for re-quantization
+    of ingested bnb checkpoints to stay representationally exact — the
+    Pallas dequant kernel additionally wants block | K/2 and falls back to
+    the XLA path when that doesn't hold (tiny geometries only)."""
     while block > 2 and K % block:
         block //= 2
     if K % block:
@@ -100,8 +106,13 @@ def _quantize_one(w32, bits, block=64):
         norm = blocks / jnp.maximum(absmax[..., None, :], 1e-12)
         idx = jnp.searchsorted(jnp.asarray(_NF4_MID), norm, side="left")
         idx = idx.reshape(w32.shape).astype(jnp.uint8)
-        lo = idx[..., 0::2, :]
-        hi = idx[..., 1::2, :]
+        # HALF-SPLIT packing (not even/odd interleave): packed row j holds
+        # original row j (low nibble) and row j + K/2 (high nibble), so
+        # dequantization is two contiguous halves — layout-friendly for
+        # both the XLA concat path and the Pallas dequant kernel (an
+        # interleaved layout forces a strided scatter no backend fuses)
+        lo = idx[..., : K // 2, :]
+        hi = idx[..., K // 2:, :]
         return (lo | (hi << 4)).astype(jnp.uint8), absmax
     absmax = jnp.abs(w32).max(axis=-2, keepdims=True)
     if bits == 8:
@@ -147,17 +158,19 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32):
         w = qt.q.astype(jnp.float32) * qt.scale
         return w.astype(dtype)
     if qt.bits == "nf4":
+        # XLA fallback path (CPU tests / non-2D / explicit-rule callers).
+        # Half-split packing makes this a contiguous concat of two halves;
+        # the hot TPU matmul path uses the Pallas kernel in quant_matmul.
         lo = (qt.q & 0xF).astype(jnp.int32)
         hi = (qt.q >> 4).astype(jnp.int32)
-        stacked = jnp.stack([lo, hi], axis=-2)        # [..., in/2, 2, out]
-        shape = list(qt.q.shape)
-        shape[-2] *= 2
-        idx = stacked.reshape(shape)
-        vals = jnp.asarray(NF4_CODE)[idx]             # [..., in, out]
+        idx = jnp.concatenate([lo, hi], axis=-2)      # [..., in, out]
+        vals = jnp.asarray(NF4_CODE)[idx]
+        shape = list(idx.shape)
         K, N = shape[-2], shape[-1]
-        blocks = vals.reshape(tuple(shape[:-2]) + (K // qt.block, qt.block, N))
-        w = (blocks * qt.scale[..., None, :]).reshape(shape)
-        return w.astype(dtype)
+        lead = tuple(shape[:-2])
+        blocks = vals.reshape(lead + (K // qt.block, qt.block, N))
+        w = blocks * qt.scale[..., None, :]
+        return w.reshape(lead + (K, N)).astype(dtype)
     lo = (qt.q & 0xF).astype(jnp.int32) - 8
     hi = (qt.q >> 4).astype(jnp.int32) - 8
     # un-interleave back to the original input axis
@@ -166,6 +179,102 @@ def dequantize(qt: QuantizedTensor, dtype=jnp.float32):
     shape[-2] *= 2
     w = stacked.reshape(shape).astype(jnp.float32) * qt.scale
     return w.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas NF4 dequantization (the hot path for nf4 matmuls on TPU)
+# ---------------------------------------------------------------------------
+#
+# Why a kernel: the nonlinear 16-entry codebook cannot ride the int4
+# nibble-plane matmul trick, and every XLA-level formulation of
+# "unpack + LUT + per-block scale" (gather or select-chain) failed to fuse
+# into the dot operand — a single [4096,14336] nf4 matmul measured
+# 31 ms fwd / 110-1112 ms grad on v5e (~50-500x the bare matmul), enough
+# that the 8B 32-layer attribution step exceeded the remote TPU execution
+# deadline. The kernel writes the bf16 weight at HBM speed (one pass:
+# read packed codes + scales, write dequantized tile); the matmul then
+# reads a plain dense operand.
+
+
+def _nf4_lut(idx):
+    vals = jnp.zeros(idx.shape, jnp.float32)
+    for i, c in enumerate(NF4_CODE):
+        vals = jnp.where(idx == i, jnp.float32(c), vals)
+    return vals
+
+
+def _nf4_dequant_kernel(q_ref, s_ref, o_ref, *, block):
+    h = jax.lax.eq(pl.program_id(0), 0)
+    q = q_ref[:].astype(jnp.int32)
+    idx = jnp.where(h, q & 0xF, q >> 4)
+    vals = _nf4_lut(idx)                                  # [bk, bn] f32
+    bk, bn = vals.shape
+    s = s_ref[:]                                          # [bk/block, bn]
+    w = vals.reshape(bk // block, block, bn) * s[:, None, :]
+    o_ref[:] = w.reshape(bk, bn).astype(o_ref.dtype)
+
+
+def nf4_dequant(q, scale, block, dtype):
+    """Dequantize half-split-packed nf4 codes ``q [K/2, N]`` with per-block
+    ``scale [K/block, N]`` to a dense ``[K, N]`` weight via a Pallas kernel
+    (grid: nibble-half x K-tiles x N-tiles; each out tile is one contiguous
+    read-LUT-scale-write pass). Falls back to the XLA path off-TPU or for
+    unaligned shapes."""
+    Kh, N = q.shape
+    bk = 512
+    while bk > block and (Kh % bk or bk % block):
+        bk //= 2
+    bn = 512
+    while bn > 128 and N % bn:
+        bn //= 2
+    # Kh % block: the high half must start block-aligned or the kernel's
+    # scale-tile indexing is wrong (tiny test geometries; fall back)
+    if q.ndim != 2 or Kh % bk or N % bn or bk % block or Kh % block:
+        return None                                       # caller falls back
+    sb = bk // block                                      # scale rows / tile
+    grid = (2, Kh // bk, N // bn)
+    return pl.pallas_call(
+        functools.partial(_nf4_dequant_kernel, block=block),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bk, bn), lambda h, i, j: (i, j)),
+            pl.BlockSpec((sb, bn), lambda h, i, j: (h * (Kh // bk) + i, j)),
+        ],
+        out_specs=pl.BlockSpec((bk, bn),
+                               lambda h, i, j: (h * (Kh // bk) + i, j)),
+        out_shape=jax.ShapeDtypeStruct((2 * Kh, N), dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(q, scale.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _nf4_matmul(x, q, scale, block):
+    """x @ dequant(q, scale) with an explicit transpose-free backward
+    (dx = dot_general(g, w) contracting the shared N axis — autodiff's
+    transposed reconstruction of the dequant graph was the 1.1 s/grad
+    pathology)."""
+    return jnp.matmul(x, _nf4_w(q, scale, block, x.dtype))
+
+
+def _nf4_w(q, scale, block, dtype):
+    w = nf4_dequant(q, scale, block, dtype)
+    if w is None:                                         # fallback
+        w = dequantize(QuantizedTensor(q, scale, "nf4", block), dtype)
+    return w
+
+
+def _nf4_matmul_fwd(x, q, scale, block):
+    return _nf4_matmul(x, q, scale, block), (x, q, scale)
+
+
+def _nf4_matmul_bwd(block, res, g):
+    x, q, scale = res
+    w = _nf4_w(q, scale, block, g.dtype)
+    dx = jax.lax.dot_general(g, w, (((g.ndim - 1,), (1,)), ((), ())))
+    return dx.astype(x.dtype), jnp.zeros_like(q), jnp.zeros_like(scale)
+
+
+_nf4_matmul.defvjp(_nf4_matmul_fwd, _nf4_matmul_bwd)
 
 
 def quant_matmul(x, qt: QuantizedTensor, bias=None):
@@ -178,11 +287,11 @@ def quant_matmul(x, qt: QuantizedTensor, bias=None):
     half-contraction matmuls, so the unpack reshape never materializes;
     the per-output-channel scale applies once on the output (measured ~13%
     faster than materializing, and more precise — int-valued bf16 operands
-    are exact, the scale is applied in f32)."""
-    if qt.bits in (8, "nf4"):
-        # nf4 dequant is a 16-entry gather + per-block scale; the codebook
-        # lookup is nonlinear so the nibble-plane split below doesn't apply —
-        # XLA fuses the gather/scale into the dot operand instead
+    are exact, the scale is applied in f32). nf4: Pallas dequant kernel +
+    transpose-free custom backward (see :func:`nf4_dequant`)."""
+    if qt.bits == "nf4":
+        y = _nf4_matmul(x, qt.q, qt.scale, qt.block)
+    elif qt.bits == 8:
         y = jnp.matmul(x, dequantize(qt, x.dtype))
     else:
         lo = ((qt.q & 0xF).astype(jnp.int8) - 8).astype(x.dtype)

@@ -312,3 +312,40 @@ def test_quant_matmul_matches_dequantized():
         g_out = jax.grad(lambda x: quant_matmul(x, qt).sum())(x)
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(g_ref),
                                    rtol=0, atol=3e-5 * scale)
+
+
+def test_nf4_pallas_dequant_matches_xla_path():
+    """The Pallas dequant kernel (interpret mode on CPU) must produce
+    exactly the XLA fallback's weights on an aligned shape, and the
+    custom-vjp matmul's forward/backward must match dense ops."""
+    from lxt_tpu.ops.quant import nf4_dequant, quant_matmul, quantize
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (128, 256), jnp.float32)
+    qt = quantize(w, "nf4")
+    assert qt.block == 64 and qt.q.shape == (64, 256)
+    got = nf4_dequant(qt.q, qt.scale, qt.block, jnp.float32)
+    assert got is not None, "aligned shape must take the kernel path"
+    want = dequantize(qt, jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 128), jnp.float32)
+    y = quant_matmul(x, qt)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ want),
+                               rtol=1e-5, atol=1e-5)
+    # backward: dx == g @ w.T with zero relevance into codes/scales
+    g = jax.grad(lambda xx: quant_matmul(xx, qt).sum())(x)
+    np.testing.assert_allclose(np.asarray(g),
+                               np.asarray(jnp.ones((4, 256)) @ want.T),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_nf4_unaligned_falls_back():
+    from lxt_tpu.ops.quant import nf4_dequant, quantize
+
+    w = jax.random.normal(jax.random.PRNGKey(2), (64, 48), jnp.float32)
+    qt = quantize(w, "nf4")
+    # K/2=32 < block=64: kernel refuses, dequantize still exact
+    assert nf4_dequant(qt.q, qt.scale, qt.block, jnp.float32) is None
+    round_trip = dequantize(quantize(dequantize(qt), "nf4"))
+    np.testing.assert_array_equal(np.asarray(round_trip),
+                                  np.asarray(dequantize(qt)))
