@@ -271,7 +271,10 @@ def _nf4_matmul_bwd(block, res, g):
     x, q, scale = res
     w = _nf4_w(q, scale, block, g.dtype)
     dx = jax.lax.dot_general(g, w, (((g.ndim - 1,), (1,)), ((), ())))
-    return dx.astype(x.dtype), jnp.zeros_like(q), jnp.zeros_like(scale)
+    # integer primals take float0 cotangents (symbolic zero, no buffer) —
+    # materialized uint8 zeros would be stacked across the scan backward
+    dq = np.zeros(q.shape, jax.dtypes.float0)
+    return dx.astype(x.dtype), dq, jnp.zeros_like(scale)
 
 
 _nf4_matmul.defvjp(_nf4_matmul_fwd, _nf4_matmul_bwd)
