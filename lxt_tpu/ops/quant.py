@@ -280,6 +280,48 @@ def _nf4_matmul_bwd(block, res, g):
 _nf4_matmul.defvjp(_nf4_matmul_fwd, _nf4_matmul_bwd)
 
 
+@jax.custom_vjp
+def _int4_matmul(x, q, scale):
+    """Nibble-plane int4 matmul with a transpose-free custom backward.
+
+    Forward: the interleaved nibble planes multiply the even/odd input
+    columns as two half-contraction matmuls (unpack never materializes;
+    int-valued bf16 operands are exact, the per-output-channel scale is
+    applied once on the output in f32).
+
+    Backward: autodiff's transpose of the forward re-derives dx through the
+    transpose of ``x[..., 0::2]`` — a strided pad/scatter per matmul that no
+    backend fuses (the same pathology class as nf4's, measured +47% over
+    int8 at 8B/4k, BENCH_8B_SWEEP.json). Here dx rides two plain
+    ``dot_general`` calls contracting the shared output axis, and the
+    even/odd planes re-interleave with one stack+reshape (a concat, not a
+    scatter)."""
+    lo = ((q & 0xF).astype(jnp.int8) - 8).astype(x.dtype)
+    hi = ((q >> 4).astype(jnp.int8) - 8).astype(x.dtype)
+    y = jnp.matmul(x[..., 0::2], lo) + jnp.matmul(x[..., 1::2], hi)
+    return (y * scale).astype(x.dtype)
+
+
+def _int4_matmul_fwd(x, q, scale):
+    return _int4_matmul(x, q, scale), (x, q, scale)
+
+
+def _int4_matmul_bwd(res, g):
+    x, q, scale = res
+    gs = (g * scale).astype(g.dtype)                  # scale folds into g
+    lo = ((q & 0xF).astype(jnp.int8) - 8).astype(gs.dtype)
+    hi = ((q >> 4).astype(jnp.int8) - 8).astype(gs.dtype)
+    nd = (((gs.ndim - 1,), (1,)), ((), ()))           # contract the out axis
+    dxe = jax.lax.dot_general(gs, lo, nd)             # [..., in/2] (even cols)
+    dxo = jax.lax.dot_general(gs, hi, nd)             # [..., in/2] (odd cols)
+    dx = jnp.stack([dxe, dxo], axis=-1).reshape(x.shape)
+    dq = np.zeros(q.shape, jax.dtypes.float0)
+    return dx.astype(x.dtype), dq, jnp.zeros_like(scale)
+
+
+_int4_matmul.defvjp(_int4_matmul_fwd, _int4_matmul_bwd)
+
+
 def quant_matmul(x, qt: QuantizedTensor, bias=None):
     """``x @ dequant(qt) (+ bias)`` with the dequantization FUSED into the
     matmul instead of materializing the full-precision weight.
@@ -290,13 +332,18 @@ def quant_matmul(x, qt: QuantizedTensor, bias=None):
     half-contraction matmuls, so the unpack reshape never materializes;
     the per-output-channel scale applies once on the output (measured ~13%
     faster than materializing, and more precise — int-valued bf16 operands
-    are exact, the scale is applied in f32). nf4: Pallas dequant kernel +
+    are exact, the scale is applied in f32), with a transpose-free custom
+    backward (see :func:`_int4_matmul`). nf4: Pallas dequant kernel +
     transpose-free custom backward (see :func:`nf4_dequant`)."""
     if qt.bits == "nf4":
         y = _nf4_matmul(x, qt.q, qt.scale, qt.block)
     elif qt.bits == 8:
         y = jnp.matmul(x, dequantize(qt, x.dtype))
+    elif qt.q.ndim == 2:
+        y = _int4_matmul(x, qt.q, qt.scale)
     else:
+        # layer-stacked (batched) int4: rare outside the per-layer scan —
+        # keep the plain autodiff path rather than generalizing the vjp
         lo = ((qt.q & 0xF).astype(jnp.int8) - 8).astype(x.dtype)
         hi = ((qt.q >> 4).astype(jnp.int8) - 8).astype(x.dtype)
         y = jnp.matmul(x[..., 0::2], lo) + jnp.matmul(x[..., 1::2], hi)

@@ -314,6 +314,26 @@ def test_quant_matmul_matches_dequantized():
                                    rtol=0, atol=3e-5 * scale)
 
 
+def test_int4_custom_backward_matches_dense():
+    """The int4 transpose-free custom vjp (dot_general contracting the out
+    axis + stack/reshape re-interleave) must equal g @ dequant(qt).T for
+    batched 3D activations, the hot shape in the per-layer scan."""
+    from lxt_tpu.ops.quant import _int4_matmul, dequantize, quantize
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 48), jnp.float32)
+    qt = quantize(w, 4)
+    wd = dequantize(qt, jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 64), jnp.float32)
+    g_seed = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 48), jnp.float32)
+
+    y, vjp = jax.vjp(lambda xx: _int4_matmul(xx, qt.q, qt.scale), x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x @ wd),
+                               rtol=1e-5, atol=1e-5)
+    (dx,) = vjp(g_seed)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(g_seed @ wd.T),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_nf4_pallas_dequant_matches_xla_path():
     """The Pallas dequant kernel (interpret mode on CPU) must produce
     exactly the XLA fallback's weights on an aligned shape, and the
