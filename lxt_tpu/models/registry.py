@@ -329,39 +329,49 @@ class AttributionModel:
         composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
         embeds = self.embed(input_ids)
-        if token is None:
-            logits = self.logits(input_ids, composite)
-            row = logits if logits.ndim == 2 else logits[:, position, :]
-            token = jnp.argmax(row, axis=-1)
-        tok = jnp.asarray(token).reshape(-1)
+        tok = None if token is None else jnp.asarray(token).reshape(-1)
         mnames, mvals = _padding_args(self.family, kv_begin, attention_mask,
                                       kv_end)
         valid = (None if attention_mask is None
                  else jnp.asarray(attention_mask, bool))
+        # string baselines are static config; array baselines are TRACED
+        # arguments (keying on shape alone would silently reuse a program
+        # compiled around a different baked-in baseline array)
+        if baseline is None or isinstance(baseline, str):
+            bl_static, bl_arr = baseline, None
+        else:
+            bl_static, bl_arr = None, jnp.asarray(baseline)
         fkey = ("faithfulness", embeds.shape, embeds.dtype.name, composite,
-                position, steps, mnames,
-                baseline if isinstance(baseline, str) else "array",
+                position, steps, mnames, tok is None,
+                bl_static if bl_arr is None
+                else ("array", bl_arr.shape, bl_arr.dtype.name),
                 key is not None, jit)
         fn = self._jit.get(fkey)
         if fn is None:
-            def run(params, e, tok, mvals, valid, rkey):
+            def run(params, e, tok, mvals, valid, rkey, bl_arr):
                 kw = dict(zip(mnames, mvals))
 
-                def per_example(ee):          # [B] same-token targets
+                def rows(ee):                 # [B, vocab] at the position
                     logits = fwd(params, cfg, ee, composite, **kw).logits
-                    row = (logits if logits.ndim == 2
-                           else logits[:, position, :])
-                    return jnp.take_along_axis(row, tok[:, None], -1)[:, 0]
+                    return (logits if logits.ndim == 2
+                            else logits[:, position, :])
+
+                # pin the explained token to the UNPERTURBED argmax under
+                # the SAME padding kwargs the evaluated forwards use (a
+                # pad-attending argmax can name the wrong token)
+                tk = jnp.argmax(rows(e), axis=-1) if tok is None else tok
+
+                def per_example(ee):          # [B] same-token targets
+                    return jnp.take_along_axis(rows(ee), tk[:, None], -1)[:, 0]
 
                 _, rel = input_relevance(lambda ee: per_example(ee).sum(), e)
-                # baseline closed over: a static string, or a small array
-                # (an embedding row / [B,T,D] map — fine to bake)
-                return faithfulness_report(per_example, e, rel, steps=steps,
-                                           baseline=baseline,
-                                           valid_mask=valid, key=rkey)
+                return faithfulness_report(
+                    per_example, e, rel, steps=steps,
+                    baseline=bl_static if bl_arr is None else bl_arr,
+                    valid_mask=valid, key=rkey)
             fn = self._jit[fkey] = jax.jit(run) if jit else run
         rkey = key if key is not None else jax.random.PRNGKey(0)
-        return fn(self.params, embeds, tok, mvals, valid, rkey)
+        return fn(self.params, embeds, tok, mvals, valid, rkey, bl_arr)
 
     def attribute_multi(self, input_ids, tokens, *, position: int = -1,
                         composite=None, kv_begin=None, attention_mask=None,
@@ -671,7 +681,21 @@ def _llama_structural_match(hf_config, state_dict) -> bool:
                    "model.layers.0.input_layernorm.weight",
                    "model.layers.0.post_attention_layernorm.weight",
                    "model.embed_tokens.weight", "model.norm.weight")
-    return all(k in state_dict for k in needed_keys)
+    if not all(k in state_dict for k in needed_keys):
+        return False
+    # reject clones carrying EXTRA layer-0 computation weights the Llama
+    # converter would silently DROP (q/k norms, qkv biases, gate norms) —
+    # those need the explicit family= override, not a lossy auto-convert
+    allowed = {"self_attn.q_proj.weight", "self_attn.k_proj.weight",
+               "self_attn.v_proj.weight", "self_attn.o_proj.weight",
+               "mlp.gate_proj.weight", "mlp.up_proj.weight",
+               "mlp.down_proj.weight",
+               # non-computation buffer older HF versions serialize
+               "self_attn.rotary_emb.inv_freq"}
+    prefix = "model.layers.0."
+    return all(k[len(prefix):] in allowed for k in state_dict
+               if k.startswith(prefix + "self_attn.")
+               or k.startswith(prefix + "mlp."))
 
 
 def detect_family(hf_config, state_dict=None) -> str:

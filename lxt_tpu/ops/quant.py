@@ -220,6 +220,8 @@ def nf4_dequant(q, scale, block, dtype):
     (grid: nibble-half x K-tiles x N-tiles; each out tile is one contiguous
     read-LUT-scale-write pass). Falls back to the XLA path off-TPU or for
     unaligned shapes."""
+    if q.ndim != 2:                                       # layer-stacked q:
+        return None                                       # caller falls back
     Kh, N = q.shape
     bk = 512
     while bk > block and (Kh % bk or bk % block):
@@ -229,7 +231,7 @@ def nf4_dequant(q, scale, block, dtype):
         bn //= 2
     # Kh % block: the high half must start block-aligned or the kernel's
     # scale-tile indexing is wrong (tiny test geometries; fall back)
-    if q.ndim != 2 or Kh % bk or N % bn or bk % block or Kh % block:
+    if Kh % bk or N % bn or bk % block or Kh % block:
         return None                                       # caller falls back
     sb = bk // block                                      # scale rows / tile
     grid = (2, Kh // bk, N // bn)

@@ -85,16 +85,17 @@ def perturbation_curve(
     elif isinstance(baseline, str):
         if baseline == "zero":
             baseline = jnp.zeros((), inputs_embeds.dtype)
-        elif baseline != "mean":
+        elif baseline == "mean":
+            # mean over VALID positions only — padding must not drag the
+            # replacement embedding (the same never-counted contract the
+            # fractions follow)
+            m = valid_mask[..., None]
+            baseline = ((inputs_embeds * m).sum(-2, keepdims=True)
+                        / jnp.maximum(n_valid, 1)[:, None, None]).astype(
+                            inputs_embeds.dtype)
+        else:
             raise ValueError(f"baseline must be 'zero', 'mean' or an "
                              f"array, got {baseline!r}")
-        # mean over VALID positions only — padding must not drag the
-        # replacement embedding (the same never-counted contract the
-        # fractions follow)
-        m = valid_mask[..., None]
-        baseline = ((inputs_embeds * m).sum(-2, keepdims=True)
-                    / jnp.maximum(n_valid, 1)[:, None, None]).astype(
-                        inputs_embeds.dtype)
     baseline = jnp.broadcast_to(jnp.asarray(baseline, inputs_embeds.dtype),
                                 inputs_embeds.shape)
 

@@ -1,0 +1,96 @@
+"""Isolate the nf4 TPU fault stage-by-stage (fresh process per stage —
+a TPU device error poisons the process).
+
+Usage: python scripts/probe_nf4_tpu.py <stage>
+  quantize   - nf4-quantize one 8B-shaped matrix on device
+  dequant    - Pallas dequant kernel on one 8B-shaped matrix
+  matmul     - _nf4_matmul forward on [B*T, K] x [K, N]
+  grad       - _nf4_matmul forward+backward
+  model512   - full 8B-geometry attribution step, seq 512
+  model2048  - full 8B-geometry attribution step, seq 2048
+"""
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+jax.config.update("jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+stage = sys.argv[1]
+K, N = 4096, 14336
+print("device:", jax.devices()[0], "stage:", stage, flush=True)
+
+from lxt_tpu.ops.quant import (QuantizedTensor, _nf4_matmul, dequantize,
+                               nf4_dequant, quantize)
+
+t0 = time.time()
+if stage == "quantize":
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
+    qt = quantize(w, "nf4")
+    print("q", qt.q.shape, qt.q.dtype, "scale", qt.scale.shape,
+          float(jnp.sum(qt.scale)), flush=True)
+elif stage == "dequant":
+    q = jax.random.randint(jax.random.PRNGKey(0), (K // 2, N), 0, 255,
+                           jnp.int32).astype(jnp.uint8)
+    s = jax.random.uniform(jax.random.PRNGKey(1), (K // 64, N), jnp.float32)
+    w = nf4_dequant(q, s, 64, jnp.bfloat16)
+    assert w is not None, "kernel path refused the aligned shape"
+    print("dequant ok, checksum", float(jnp.sum(w.astype(jnp.float32))),
+          flush=True)
+    # exactness vs the XLA fallback on a slice (full f32 compare is 235M elts)
+    ref = dequantize(QuantizedTensor(q, s, "nf4", 64), jnp.bfloat16)
+    diff = jnp.abs(w[:256].astype(jnp.float32) - ref[:256].astype(jnp.float32))
+    print("max diff vs XLA path (first 256 rows):", float(diff.max()),
+          flush=True)
+elif stage in ("matmul", "grad"):
+    w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
+    qt = quantize(w, "nf4")
+    x = jax.random.normal(jax.random.PRNGKey(1), (4096, K), jnp.bfloat16)
+    if stage == "matmul":
+        f = jax.jit(lambda x: _nf4_matmul(x, qt.q, qt.scale, qt.block).sum())
+    else:
+        f = jax.jit(jax.grad(
+            lambda x: _nf4_matmul(x, qt.q, qt.scale, qt.block)
+            .astype(jnp.float32).sum()))
+    y = f(x)
+    y = f(x)  # compiled-path run
+    t1 = time.time()
+    for _ in range(5):
+        y = f(x * 1.000001)
+    print(stage, "ok, 5 iters in", round(time.time() - t1, 3), "s; out",
+          float(jnp.sum(y.astype(jnp.float32))), flush=True)
+else:
+    seq = int(stage.replace("model", ""))
+    import lxt_tpu
+    from bench import llama3_8b_config
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    cfg = llama3_8b_config(jllama)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0),
+                                quantize_bits="nf4")
+    print("params ready", round(time.time() - t0, 1), "s", flush=True)
+
+    def step(params, embeds):
+        def target(e):
+            return select_logit(jllama.forward(
+                params, cfg, e, lxt_tpu.attnlrp, remat=True,
+                logits_at=-1).logits)
+        return input_relevance(target, embeds)
+
+    jstep = jax.jit(step)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
+                             cfg.vocab_size)
+    embeds = jllama.embed(params, ids)
+    val, rel = jstep(params, embeds)
+    print("step ok, val", float(val), flush=True)
+    t1 = time.time()
+    val, rel = jstep(params, embeds + 1e-6)
+    print("compiled step:", round(time.time() - t1, 3), "s", flush=True)
+print("TOTAL", round(time.time() - t0, 1), "s")

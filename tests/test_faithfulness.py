@@ -204,3 +204,70 @@ def test_attribution_model_faithfulness_method():
     # row 1 is unpadded: its scores must not move when row 0 is padded
     np.testing.assert_allclose(float(rep_pad["abpc"][1]),
                                float(rep["abpc"][1]), rtol=1e-4)
+
+
+def test_faithfulness_pins_masked_argmax():
+    """With a padded batch and token=None, the pinned 'unperturbed argmax'
+    must come from a forward that applies the SAME padding kwargs as the
+    evaluated forwards — not from a pad-attending logits() call."""
+    import lxt_tpu
+    from lxt_tpu.models import llama as jllama, registry
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=32,
+                             intermediate_size=64, num_layers=2,
+                             num_heads=2, num_kv_heads=2)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    model = registry.AttributionModel(
+        family="llama", cfg=cfg, params=params, composite=lxt_tpu.attnlrp,
+        _fns={"embed": lambda p, ids, c: jllama.embed(p, ids),
+              "forward": jllama.forward})
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 0, 64)
+    mask = jnp.asarray([[0, 0, 0, 0] + [1] * 6, [1] * 10])
+
+    # ground truth: argmax of the MASK-APPLIED forward
+    logits = jllama.forward(params, cfg, jllama.embed(params, ids),
+                            lxt_tpu.attnlrp, attention_mask=mask).logits
+    tok = jnp.argmax(logits[:, -1, :], axis=-1)
+
+    rep_auto = model.faithfulness(ids, steps=3, attention_mask=mask,
+                                  key=jax.random.PRNGKey(2))
+    rep_pinned = model.faithfulness(ids, steps=3, attention_mask=mask,
+                                    token=tok, key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(rep_auto["morf"].values),
+                               np.asarray(rep_pinned["morf"].values),
+                               rtol=1e-5)
+
+
+def test_faithfulness_array_baseline_not_cached_by_shape():
+    """Two different baseline ARRAYS of identical shape/dtype must not
+    silently share one compiled program (the baseline rides as a traced
+    argument, not baked into the closure)."""
+    import lxt_tpu
+    from lxt_tpu.models import llama as jllama, registry
+
+    cfg = jllama.LlamaConfig(vocab_size=64, hidden_size=32,
+                             intermediate_size=64, num_layers=1,
+                             num_heads=2, num_kv_heads=2)
+    params = jllama.init_params(cfg, jax.random.PRNGKey(0))
+    model = registry.AttributionModel(
+        family="llama", cfg=cfg, params=params, composite=lxt_tpu.attnlrp,
+        _fns={"embed": lambda p, ids, c: jllama.embed(p, ids),
+              "forward": jllama.forward})
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 8), 0, 64)
+    b0 = jnp.zeros((1, 1, 32), jnp.float32)
+    b1 = jnp.full((1, 1, 32), 3.0, jnp.float32)
+    rep0 = model.faithfulness(ids, steps=3, baseline=b0,
+                              key=jax.random.PRNGKey(2))
+    rep1 = model.faithfulness(ids, steps=3, baseline=b1,
+                              key=jax.random.PRNGKey(2))
+    # zero-array baseline agrees with the static "zero" baseline
+    rep_zero = model.faithfulness(ids, steps=3, baseline="zero",
+                                  key=jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(rep0["morf"].values),
+                               np.asarray(rep_zero["morf"].values),
+                               rtol=1e-5)
+    # a different baseline array must change the perturbed curves
+    assert not np.allclose(np.asarray(rep0["morf"].values),
+                           np.asarray(rep1["morf"].values))

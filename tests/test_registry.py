@@ -264,3 +264,40 @@ def test_structural_fallback_rejects_non_llama_layout():
     sd = {"transformer.h.0.attn.weight": np.zeros((16, 16), np.float32)}
     with pytest.raises(ValueError, match="not yet supported"):
         _convert(sd, FakeConfig(), None, None)
+
+
+def test_structural_fallback_rejects_extra_computation_weights():
+    """A clone with the full Llama key set PLUS extra layer-0 computation
+    weights (q/k norms, qkv biases) must NOT auto-convert — the converter
+    would silently drop those weights and attribute the wrong model."""
+    from lxt_tpu.models.registry import _llama_structural_match
+
+    class FakeConfig:
+        model_type = "llama-plus-qknorm"
+        vocab_size = 64
+        hidden_size = 16
+        intermediate_size = 32
+        num_hidden_layers = 1
+        num_attention_heads = 2
+        rms_norm_eps = 1e-5
+        hidden_act = "silu"
+
+    z = np.zeros((16, 16), np.float32)
+    sd = {"model.layers.0.self_attn.q_proj.weight": z,
+          "model.layers.0.self_attn.k_proj.weight": z,
+          "model.layers.0.self_attn.v_proj.weight": z,
+          "model.layers.0.self_attn.o_proj.weight": z,
+          "model.layers.0.mlp.gate_proj.weight": z,
+          "model.layers.0.mlp.up_proj.weight": z,
+          "model.layers.0.mlp.down_proj.weight": z,
+          "model.layers.0.input_layernorm.weight": z[0],
+          "model.layers.0.post_attention_layernorm.weight": z[0],
+          "model.embed_tokens.weight": np.zeros((64, 16), np.float32),
+          "model.norm.weight": z[0], "lm_head.weight": z}
+    assert _llama_structural_match(FakeConfig(), sd)
+    sd_extra = dict(sd)
+    sd_extra["model.layers.0.self_attn.q_norm.weight"] = z[0]
+    assert not _llama_structural_match(FakeConfig(), sd_extra)
+    sd_bias = dict(sd)
+    sd_bias["model.layers.0.mlp.gate_proj.bias"] = z[0]
+    assert not _llama_structural_match(FakeConfig(), sd_bias)
