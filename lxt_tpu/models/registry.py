@@ -821,14 +821,14 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     "nf4" is the blockwise normal-float codebook matching bitsandbytes'
     ``load_in_4bit`` numerics class.
 
-    bitsandbytes-SERIALIZED 4-bit checkpoints (saved from the reference's
+    bitsandbytes-SERIALIZED checkpoints (saved from the reference's
     quantized flow) are detected by their ``*.quant_state.bitsandbytes__*``
-    keys, dequantized on the host
+    (4-bit) or ``*.SCB`` (8-bit Linear8bitLt) keys, dequantized on the host
     (:func:`lxt_tpu.ops.quant.ingest_bnb_state_dict`), and — unless
-    ``quantize_bits`` says otherwise — re-quantized as "nf4", which is
-    representationally EXACT for bnb-dequantized values (every value is a
-    codebook point of its block, so absmax and indices reconstruct
-    bit-identically).
+    ``quantize_bits`` says otherwise — re-quantized in kind ("nf4" / 8),
+    which is representationally EXACT for bnb-dequantized values (every
+    4-bit value is a codebook point of its block; every 8-bit row maps its
+    absmax to +-127 — absmax and codes reconstruct bit-identically).
     """
     from transformers import AutoConfig
 
@@ -841,8 +841,9 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
     # f32 dict only to cast back down would double peak host memory
     state = load_checkpoint_state_dict(model_dir, dtype=dtype or np.float32)
     from lxt_tpu.ops.quant import ingest_bnb_state_dict
+    had_8bit = any(k.endswith(".SCB") for k in state)
     if ingest_bnb_state_dict(state) and quantize_bits is None:
-        quantize_bits = "nf4"
+        quantize_bits = 8 if had_8bit else "nf4"
     model = _convert(state, hf_config, composite, dtype, text_only=text_only,
                      family=family)
     if quantize_bits:

@@ -391,17 +391,35 @@ def dequantize_bnb_4bit(packed, absmax, shape, blocksize=64, code=None,
     return flat.reshape(shape)
 
 
-def ingest_bnb_state_dict(state):
-    """Rewrite bitsandbytes-serialized 4-bit entries of an HF state dict to
-    plain full-precision arrays, IN PLACE; returns the list of rewritten
-    weight names (empty for a non-bnb checkpoint).
+def dequantize_bnb_8bit(cb, scb):
+    """Dequantize one bitsandbytes ``Linear8bitLt`` tensor to f32 (numpy,
+    host-side): ``cb`` int8 ``[out, in]`` codes with per-ROW absmax ``scb``
+    — bnb's vector-wise scheme, ``w = CB * SCB / 127`` row-wise. bnb maps
+    each row's absmax to ±127, so re-quantizing the result with our
+    symmetric per-output-channel int8 (after the [out,in]->[in,out]
+    transpose makes rows output channels) is representationally exact."""
+    cb = np.asarray(cb, np.int8).astype(np.float32)
+    scb = np.asarray(scb, np.float32).reshape(-1, 1)
+    return cb * scb / np.float32(127.0)
 
-    Covers the key scheme ``QuantState.as_dict(packed=True)`` saves:
+
+def ingest_bnb_state_dict(state):
+    """Rewrite bitsandbytes-serialized 4-bit AND 8-bit entries of an HF
+    state dict to plain full-precision arrays, IN PLACE; returns the list
+    of rewritten weight names (empty for a non-bnb checkpoint).
+
+    4-bit: the key scheme ``QuantState.as_dict(packed=True)`` saves —
     ``<w>`` (packed uint8), ``<w>.absmax``, ``<w>.quant_map``,
     ``<w>.quant_state.bitsandbytes__{nf4,fp4}`` (JSON metadata as uint8),
     and ``<w>.nested_absmax``/``<w>.nested_quant_map`` when the checkpoint
     used double quantization. This is the checkpoint the reference's
     quantized flow produces when saved (examples/quantized_llama.py:13-19).
+
+    8-bit: the ``Linear8bitLt`` scheme — ``<w>`` int8 codes plus ``<w>.SCB``
+    per-row absmax scales (and an optional ``<w>.weight_format`` /
+    ``<w>_format`` marker, always "row" in serialized checkpoints). The
+    reference attributes 8-bit bnb models through the same EpsilonRule
+    mapping (lxt/explicit/models/llama.py:91-105).
     """
     suffixes = (".quant_state.bitsandbytes__nf4",
                 ".quant_state.bitsandbytes__fp4")
@@ -421,6 +439,15 @@ def ingest_bnb_state_dict(state):
             blocksize=int(meta["blocksize"]),
             code=state.pop(f"{base}.quant_map", None), **aux)
         del state[qs_key]
+        ingested.append(base)
+    for scb_key in [k for k in list(state) if k.endswith(".SCB")]:
+        base = scb_key[: -len(".SCB")]
+        if base not in state:
+            continue
+        state[base] = dequantize_bnb_8bit(state.pop(base),
+                                          state.pop(scb_key))
+        state.pop(f"{base}.weight_format", None)
+        state.pop(f"{base}_format", None)
         ingested.append(base)
     return ingested
 

@@ -159,6 +159,79 @@ def test_bnb_ingest_state_dict():
     assert ingest_bnb_state_dict(plain) == []
 
 
+def _bnb8_quantize_ref(w):
+    """bitsandbytes Linear8bitLt vector-wise reference: per-row absmax maps
+    to +-127; serialization stores int8 codes + SCB per-row scales."""
+    scb = np.abs(w).max(axis=1)
+    cb = np.round(w / np.maximum(scb[:, None], 1e-12) * 127.0)
+    cb = np.clip(cb, -127, 127).astype(np.int8)
+    deq = cb.astype(np.float32) * scb[:, None] / np.float32(127.0)
+    return cb, scb.astype(np.float32), deq
+
+
+def test_bnb_ingest_8bit_scb():
+    """Linear8bitLt serialization (int8 codes + weight.SCB per-row scales)
+    ingests to CB*SCB/127 and the auxiliary keys vanish."""
+    from lxt_tpu.ops.quant import ingest_bnb_state_dict
+
+    rng = np.random.RandomState(3)
+    w = rng.randn(16, 32).astype(np.float32)
+    cb, scb, deq = _bnb8_quantize_ref(w)
+    state = {"a.weight": cb, "a.weight.SCB": scb,
+             "a.weight.weight_format": np.zeros((), np.int64),
+             "other": np.ones(2, np.float32)}
+    assert ingest_bnb_state_dict(state) == ["a.weight"]
+    assert set(state) == {"a.weight", "other"}
+    np.testing.assert_array_equal(state["a.weight"], deq)
+
+
+def test_from_pretrained_bnb_8bit_checkpoint(tmp_path):
+    """An 8-bit bitsandbytes llama checkpoint (weight int8 + weight.SCB)
+    loads through from_pretrained, re-quantizes as int8 representationally
+    exactly, and attributes — the reference's Linear8bitLt scenario
+    (lxt/explicit/models/llama.py:91-105)."""
+    import torch
+    from safetensors.numpy import save_file
+    from transformers.models.llama.modeling_llama import (
+        LlamaConfig, LlamaForCausalLM)
+
+    from lxt_tpu.models.registry import from_pretrained
+    from lxt_tpu.ops.quant import QuantizedTensor
+
+    torch.manual_seed(6)
+    hf = LlamaForCausalLM(LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=256,
+        max_position_embeddings=128)).eval()
+    hf.config.save_pretrained(tmp_path)
+
+    state, dequantized = {}, {}
+    for name, p in hf.state_dict().items():
+        arr = p.detach().numpy().astype(np.float32)
+        if not (name.endswith(".weight") and arr.ndim == 2
+                and "_proj" in name):
+            state[name] = arr
+            continue
+        cb, scb, deq = _bnb8_quantize_ref(arr)
+        dequantized[name] = deq
+        state[name] = cb
+        state[f"{name}.SCB"] = scb
+    assert dequantized, "no projection matched the bnb rewrite"
+    save_file(state, str(tmp_path / "model.safetensors"))
+
+    model = from_pretrained(tmp_path)
+    assert isinstance(model.params["layers"]["wq"], QuantizedTensor)
+    assert model.params["layers"]["wq"].bits == 8
+    got = np.asarray(dequantize(model.params["layers"]["wq"]))[0]
+    want = dequantized["model.layers.0.self_attn.q_proj.weight"].T
+    np.testing.assert_allclose(got, want.astype(np.float32),
+                               rtol=0, atol=1e-7 * np.abs(want).max())
+
+    ids = np.random.RandomState(1).randint(0, 256, (1, 8))
+    value, rel = model.attribute(ids)
+    assert bool(jnp.isfinite(rel).all())
+
+
 def test_from_pretrained_bnb_checkpoint(tmp_path):
     """A bitsandbytes-serialized llama checkpoint loads through
     from_pretrained: bnb entries are ingested, the model defaults to NF4
