@@ -130,6 +130,17 @@ class Composite:
     linear_rule: Optional[tuple] = None
     #: explicit LRP rule for conv layers (same forms as ``linear_rule``).
     conv_rule: Optional[tuple] = None
+    #: per-SITE rule overrides: sorted tuple of ``(site_name, rule_spec)``
+    #: pairs (see :meth:`override_sites`). Sites are the model's parameter
+    #: leaf names (the same names :data:`lxt_tpu.ops.quant.
+    #: FAMILY_QUANTIZABLE` uses): llama ``wq wk wv wo wg wu wd``, ViT
+    #: ``conv_w w_qkv w_proj w_fc w_out head_w`` ... A site entry wins
+    #: over ``linear_rule``/``conv_rule``; an entry whose spec is None pins
+    #: that site back to implicit epsilon. Restores the reference's
+    #: type/name-keyed rule maps (explicit/core.py:10-41, zennit
+    #: LayerMapComposite in examples/vit_torch.py:59-65) — the JAX model
+    #: names each call site instead of keying on module types.
+    site_rules: tuple = ()
     #: per-layer-depth overrides: tuple of ``(selector, changes)`` where
     #: ``selector`` is an int layer index or a half-open ``(start, stop)``
     #: range (``stop=None`` = to the end) and ``changes`` is a tuple of
@@ -221,7 +232,16 @@ class Composite:
             return ("gamma", self.conv_gamma)
         return None
 
-    def linear(self, x, w, b=None):
+    def _site_rule(self, site, default):
+        """Site-keyed rule lookup: an override_sites entry wins over the
+        layer-wide default; a site explicitly set to None pins epsilon."""
+        if site is not None:
+            for s, spec in self.site_rules:
+                if s == site:
+                    return spec
+        return default
+
+    def linear(self, x, w, b=None, site=None):
         """Dense layer, ``w: [in, out]``. Under Gradient*Input, a plain linear
         already implements the epsilon rule; gamma/alpha-beta/z+ composites
         redistribute explicitly (``linear_rule``).
@@ -229,9 +249,11 @@ class Composite:
         weights — the dequantization fuses into the matmul (int4 runs as two
         half-contraction matmuls over the nibble planes, see
         :func:`~lxt_tpu.ops.quant.quant_matmul`); weights carry no relevance
-        under LRP, so rules are untouched."""
+        under LRP, so rules are untouched. ``site``: the model's name for
+        this call site (its parameter leaf name) — consulted against
+        :attr:`site_rules` before the layer-wide default."""
         from lxt_tpu.ops.quant import QuantizedTensor, dequantize, quant_matmul
-        rule = self._linear_rule()
+        rule = self._site_rule(site, self._linear_rule())
         if isinstance(w, QuantizedTensor):
             if rule is None:
                 return quant_matmul(x, w, b)
@@ -245,10 +267,11 @@ class Composite:
             return modz_linear(x, w, b, rule)
         return alphabeta_linear(x, w, b, rule[1], rule[2])
 
-    def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID"):
+    def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID",
+               site=None):
         """NHWC conv; gamma/alpha-beta rule if configured (ViT patch
-        embedding)."""
-        rule = self._conv_rule()
+        embedding). ``site`` as in :meth:`linear`."""
+        rule = self._site_rule(site, self._conv_rule())
         if rule is not None:
             if rule[0] == "gamma":
                 return gamma_conv2d(x, w, b, strides, padding, rule[1])
@@ -288,6 +311,32 @@ class Composite:
             self, linear_rule=lr, conv_rule=cr,
             name=f"{self.name}+rules" if not self.name.endswith("+rules")
             else self.name)
+
+    def override_sites(self, **site_specs):
+        """Derive a variant with per-SITE linear/conv rules — "z-box on the
+        patch-embed conv, gamma on the MLP linears only". Keys are the
+        model's parameter leaf names (ViT: ``conv_w``, ``w_qkv``,
+        ``w_proj``, ``w_fc``, ``w_out``, ``head_w``; llama: ``wq wk wv wo
+        wg wu wd``; see :data:`lxt_tpu.ops.quant.FAMILY_QUANTIZABLE`),
+        values any :meth:`with_rules` spec (None pins implicit epsilon for
+        that site even when a layer-wide rule is set). Later calls win per
+        site; composes with :meth:`override_layers` (a depth override of
+        ``linear_rule`` still loses to a site entry at that site).
+
+        Example — the reference's zennit LayerMapComposite shape
+        (examples/vit_torch.py:59-65), natively::
+
+            comp = cp_lrp.override_sites(
+                conv_w=("zbox", 0.0, 1.0),
+                w_fc=("gamma", 0.25), w_out=("gamma", 0.25))
+        """
+        merged = dict(self.site_rules)
+        for k, v in site_specs.items():
+            merged[k] = _norm_rule_spec(v)
+        return dataclasses.replace(
+            self, site_rules=tuple(sorted(merged.items())),
+            name=self.name if self.name.endswith("+sites")
+            else f"{self.name}+sites")
 
     # -- per-layer-depth rule maps -------------------------------------------
 
@@ -380,6 +429,8 @@ class Composite:
             ("conv layers", _rule_text(self._conv_rule())),
             ("biases", "relevance sink (absorbed, as in the reference)"),
         ]
+        for site, spec in self.site_rules:
+            rows.append((f"site '{site}'", _rule_text(spec)))
         for (start, stop), changes in self.layer_overrides:
             span = f"layers [{start}, {'end' if stop is None else stop})"
             rows.append((span, ", ".join(f"{k}={v!r}" for k, v in changes)))

@@ -139,15 +139,15 @@ def forward(
     def make_layer(comp):
         def layer_fn(h, xs):
             lp, probe = xs
-            q = common.split_heads(comp.linear(h, lp["wq"], lp["bq"]), H, hd)
-            k = common.split_heads(comp.linear(h, lp["wk"], lp["bk"]), H, hd)
-            v = common.split_heads(comp.linear(h, lp["wv"], lp["bv"]), H, hd)
+            q = common.split_heads(comp.linear(h, lp["wq"], lp["bq"], site="wq"), H, hd)
+            k = common.split_heads(comp.linear(h, lp["wk"], lp["bk"], site="wk"), H, hd)
+            v = common.split_heads(comp.linear(h, lp["wv"], lp["bv"], site="wv"), H, hd)
             attn = attention(q, k, v, bias=bias, composite=comp,
                              impl=attn_impl, kv_end=kv_end)
-            a = comp.linear(common.merge_heads(attn), lp["wo"], lp["bo"])
+            a = comp.linear(common.merge_heads(attn), lp["wo"], lp["bo"], site="wo")
             h = comp.layer_norm(h + a, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-            x = comp.act(act_fn, comp.linear(h, lp["wi"], lp["bi"]))
-            x = comp.linear(x, lp["wout"], lp["bout"])
+            x = comp.act(act_fn, comp.linear(h, lp["wi"], lp["bi"], site="wi"))
+            x = comp.linear(x, lp["wout"], lp["bout"], site="wout")
             h = comp.layer_norm(h + x, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
             if probe is not None:
                 h = h + probe
@@ -159,8 +159,8 @@ def forward(
         (params["layers"], probes))
 
     pooled = composite.act(
-        jnp.tanh, composite.linear(h[:, 0], params["pooler_w"], params["pooler_b"]))
-    logits = composite.linear(pooled, params["cls_w"], params["cls_b"])
+        jnp.tanh, composite.linear(h[:, 0], params["pooler_w"], params["pooler_b"], site="pooler_w"))
+    logits = composite.linear(pooled, params["cls_w"], params["cls_b"], site="cls_w")
 
     if output_hidden_states:
         hiddens = jnp.concatenate([inputs_post[None], hiddens], axis=0)

@@ -134,9 +134,9 @@ def prefill(params, cfg, inputs_embeds, t_max: int, *,
 
     def layer_fn(h, lp):
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = composite.linear(x, lp["wq"], lp.get("bq"))
-        k = composite.linear(x, lp["wk"], lp.get("bk"))
-        v = composite.linear(x, lp["wv"], lp.get("bv"))
+        q = composite.linear(x, lp["wq"], lp.get("bq"), site="wq")
+        k = composite.linear(x, lp["wk"], lp.get("bk"), site="wk")
+        v = composite.linear(x, lp["wv"], lp.get("bv"), site="wv")
         q = common.split_heads(q, H, hd)
         k = common.split_heads(k, Hkv, hd)
         v = common.split_heads(v, Hkv, hd)
@@ -147,11 +147,11 @@ def prefill(params, cfg, inputs_embeds, t_max: int, *,
         attn = attention(q, k, v, causal=True, window=cfg.sliding_window,
                          composite=composite, scale=scale,
                          kv_begin=kv_begin)
-        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"], site="wo")
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        h = h + composite.linear(g, lp["wd"])
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"], site="wg"),
+                                composite.linear(x, lp["wu"], site="wu"))
+        h = h + composite.linear(g, lp["wd"], site="wd")
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(layer_fn, inputs_embeds, params["layers"])
@@ -182,9 +182,9 @@ def decode_step(params, cfg, tok_embeds, caches, t, *,
         h, caches = state
         lp = _layer_at(params["layers"], l)
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = composite.linear(x, lp["wq"], lp.get("bq"))
-        k = composite.linear(x, lp["wk"], lp.get("bk"))
-        v = composite.linear(x, lp["wv"], lp.get("bv"))
+        q = composite.linear(x, lp["wq"], lp.get("bq"), site="wq")
+        k = composite.linear(x, lp["wk"], lp.get("bk"), site="wk")
+        v = composite.linear(x, lp["wv"], lp.get("bv"), site="wv")
         q = common.split_heads(q, H, hd)                 # [B, H, 1, hd]
         k = common.split_heads(k, Hkv, hd)               # [B, Hkv, 1, hd]
         v = common.split_heads(v, Hkv, hd)
@@ -194,11 +194,11 @@ def decode_step(params, cfg, tok_embeds, caches, t, *,
         q, k = common.apply_rope(q, k, cos, sin)
         caches, ck, cv = _append_and_read(caches, l, t, k, v)
         merged = _attend_1tok(q, ck, cv, valid, scale)
-        h = h + composite.linear(merged, lp["wo"])
+        h = h + composite.linear(merged, lp["wo"], site="wo")
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        h = h + composite.linear(g, lp["wd"])
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"], site="wg"),
+                                composite.linear(x, lp["wu"], site="wu"))
+        h = h + composite.linear(g, lp["wd"], site="wd")
         return h, caches
 
     h, caches = jax.lax.fori_loop(0, cfg.num_layers, body,
@@ -237,9 +237,9 @@ def gemma3_prefill(params, cfg, inputs_embeds, t_max: int, *,
         lp, sliding = xs
         res = h
         x = norm(h, lp["ln_in"], cfg.rms_eps, composite)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = common.split_heads(composite.linear(x, lp["wq"], site="wq"), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"], site="wk"), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"], site="wv"), Hkv, hd)
         q = norm(q, lp["q_norm"], cfg.rms_eps, composite)
         k = norm(k, lp["k_norm"], cfg.rms_eps, composite)
         cos = jnp.where(sliding > 0, cos_l, cos_g)
@@ -250,13 +250,13 @@ def gemma3_prefill(params, cfg, inputs_embeds, t_max: int, *,
         attn = attention(q, k, v, causal=True, window=window,
                          composite=composite, scale=scale,
                          kv_begin=kv_begin)
-        out = composite.linear(common.merge_heads(attn), lp["wo"])
+        out = composite.linear(common.merge_heads(attn), lp["wo"], site="wo")
         h = res + norm(out, lp["ln_post_attn"], cfg.rms_eps, composite)
         res = h
         x = norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        mlp = composite.linear(g, lp["wd"])
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"], site="wg"),
+                                composite.linear(x, lp["wu"], site="wu"))
+        mlp = composite.linear(g, lp["wd"], site="wd")
         h = res + norm(mlp, lp["ln_post_ff"], cfg.rms_eps, composite)
         return h, (k, v)
 
@@ -291,9 +291,9 @@ def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
         sliding = is_sliding[l]
         res = h
         x = norm(h, lp["ln_in"], cfg.rms_eps, composite)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = common.split_heads(composite.linear(x, lp["wq"], site="wq"), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"], site="wk"), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"], site="wv"), Hkv, hd)
         q = norm(q, lp["q_norm"], cfg.rms_eps, composite)
         k = norm(k, lp["k_norm"], cfg.rms_eps, composite)
         cos = jnp.where(sliding > 0, cos_l, cos_g)
@@ -302,13 +302,13 @@ def gemma3_decode_step(params, cfg, tok_embeds, caches, t, *,
         caches, ck, cv = _append_and_read(caches, l, t, k, v)
         valid = jnp.where(sliding > 0, valid_l, valid_g)
         merged = _attend_1tok(q, ck, cv, valid, scale)
-        out = composite.linear(merged, lp["wo"])
+        out = composite.linear(merged, lp["wo"], site="wo")
         h = res + norm(out, lp["ln_post_attn"], cfg.rms_eps, composite)
         res = h
         x = norm(h, lp["ln_pre_ff"], cfg.rms_eps, composite)
-        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"]),
-                                composite.linear(x, lp["wu"]))
-        mlp = composite.linear(g, lp["wd"])
+        g = composite.gated_mul(act_fn, composite.linear(x, lp["wg"], site="wg"),
+                                composite.linear(x, lp["wu"], site="wu"))
+        mlp = composite.linear(g, lp["wd"], site="wd")
         h = res + norm(mlp, lp["ln_post_ff"], cfg.rms_eps, composite)
         return h, caches
 
@@ -346,7 +346,7 @@ def gpt2_prefill(params, cfg, inputs_embeds, t_max: int, *,
     def layer_fn(h, xs):
         lp, idx = xs
         x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
+        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"], site="w_attn")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = common.split_heads(q, H, hd)
         k = common.split_heads(k, H, hd)
@@ -357,11 +357,11 @@ def gpt2_prefill(params, cfg, inputs_embeds, t_max: int, *,
         attn = attention(q, k, v, causal=True, composite=composite,
                          scale=scale, kv_begin=kv_begin)
         h = h + composite.linear(common.merge_heads(attn), lp["w_proj"],
-                                 lp["b_proj"])
+                                 lp["b_proj"], site="w_proj")
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         x = composite.act(act_fn, composite.linear(x, lp["w_fc"],
-                                                   lp["b_fc"]))
-        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
+                                                   lp["b_fc"], site="w_fc"))
+        h = h + composite.linear(x, lp["w_out"], lp["b_out"], site="w_out")
         return h, (k, v)
 
     h, (ks, vs) = jax.lax.scan(layer_fn, h, (params["layers"], layer_idx))
@@ -385,7 +385,7 @@ def gpt2_decode_step(params, cfg, tok_embeds, caches, t, *,
         h, caches = state
         lp = _layer_at(params["layers"], l)
         x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"])
+        qkv = composite.linear(x, lp["w_attn"], lp["b_attn"], site="w_attn")
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = common.split_heads(q, H, hd)
         k = common.split_heads(k, H, hd)
@@ -395,11 +395,11 @@ def gpt2_decode_step(params, cfg, tok_embeds, caches, t, *,
             scale = scale / (l.astype(jnp.float32) + 1.0)
         caches, ck, cv = _append_and_read(caches, l, t, k, v)
         merged = _attend_1tok(q, ck, cv, valid, scale)
-        h = h + composite.linear(merged, lp["w_proj"], lp["b_proj"])
+        h = h + composite.linear(merged, lp["w_proj"], lp["b_proj"], site="w_proj")
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
         x = composite.act(act_fn, composite.linear(x, lp["w_fc"],
-                                                   lp["b_fc"]))
-        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
+                                                   lp["b_fc"], site="w_fc"))
+        h = h + composite.linear(x, lp["w_out"], lp["b_out"], site="w_out")
         return h, caches
 
     h, caches = jax.lax.fori_loop(0, cfg.num_layers, body, (h0, caches))
@@ -408,7 +408,7 @@ def gpt2_decode_step(params, cfg, tok_embeds, caches, t, *,
 
 def _gpt2_head(params, cfg, h, composite):
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
-    return composite.linear(h, params["wte"].T)
+    return composite.linear(h, params["wte"].T, site="wte")
 
 
 # ---------------------------------------------------------------------------
@@ -430,13 +430,13 @@ def mixtral_prefill(params, cfg, inputs_embeds, t_max: int, *,
 
     def layer_fn(h, lp):
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = common.split_heads(composite.linear(x, lp["wq"], site="wq"), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"], site="wk"), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"], site="wv"), Hkv, hd)
         q, k = common.apply_rope(q, k, cos, sin)
         attn = attention(q, k, v, causal=True, composite=composite,
                          scale=scale, kv_begin=kv_begin)
-        h = h + composite.linear(common.merge_heads(attn), lp["wo"])
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"], site="wo")
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         h = h + moe_block(x, lp, cfg, composite, act_fn)
         return h, (k, v)
@@ -468,13 +468,13 @@ def mixtral_decode_step(params, cfg, tok_embeds, caches, t, *,
         h, caches = state
         lp = _layer_at(params["layers"], l)
         x = composite.rms_norm(h, lp["ln1"], cfg.rms_eps)
-        q = common.split_heads(composite.linear(x, lp["wq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"]), Hkv, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"]), Hkv, hd)
+        q = common.split_heads(composite.linear(x, lp["wq"], site="wq"), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"], site="wk"), Hkv, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"], site="wv"), Hkv, hd)
         q, k = common.apply_rope(q, k, cos, sin)
         caches, ck, cv = _append_and_read(caches, l, t, k, v)
         merged = _attend_1tok(q, ck, cv, valid, scale)
-        h = h + composite.linear(merged, lp["wo"])
+        h = h + composite.linear(merged, lp["wo"], site="wo")
         x = composite.rms_norm(h, lp["ln2"], cfg.rms_eps)
         h = h + moe_block(x, lp, cfg, composite, act_fn)
         return h, caches

@@ -160,9 +160,9 @@ def forward(
             lp, probe, sliding = xs
             res = h
             x = gemma_rms_norm(h, lp["ln_in"], cfg.rms_eps, comp)
-            q = common.split_heads(comp.linear(x, lp["wq"]), H, hd)
-            k = common.split_heads(comp.linear(x, lp["wk"]), Hkv, hd)
-            v = common.split_heads(comp.linear(x, lp["wv"]), Hkv, hd)
+            q = common.split_heads(comp.linear(x, lp["wq"], site="wq"), H, hd)
+            k = common.split_heads(comp.linear(x, lp["wk"], site="wk"), Hkv, hd)
+            v = common.split_heads(comp.linear(x, lp["wv"], site="wv"), Hkv, hd)
             q = gemma_rms_norm(q, lp["q_norm"], cfg.rms_eps, comp)
             k = gemma_rms_norm(k, lp["k_norm"], cfg.rms_eps, comp)
             # select local vs global rope/mask for this layer (scanned
@@ -179,16 +179,16 @@ def forward(
             attn = attention(q, k, v, causal=True, window=window, bias=bias,
                              composite=comp, scale=scale, impl=attn_impl,
                              kv_begin=kv_begin)
-            attn_out = comp.linear(common.merge_heads(attn), lp["wo"])
+            attn_out = comp.linear(common.merge_heads(attn), lp["wo"], site="wo")
             attn_out = gemma_rms_norm(attn_out, lp["ln_post_attn"],
                                       cfg.rms_eps, comp)
             h = res + attn_out
 
             res = h
             x = gemma_rms_norm(h, lp["ln_pre_ff"], cfg.rms_eps, comp)
-            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"]),
-                               comp.linear(x, lp["wu"]))
-            mlp_out = comp.linear(g, lp["wd"])
+            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"], site="wg"),
+                               comp.linear(x, lp["wu"], site="wu"))
+            mlp_out = comp.linear(g, lp["wd"], site="wd")
             mlp_out = gemma_rms_norm(mlp_out, lp["ln_post_ff"],
                                      cfg.rms_eps, comp)
             h = res + mlp_out
@@ -295,7 +295,7 @@ def project_image_features(params, mmcfg: Gemma3MultimodalConfig,
     x = x.reshape(B, side, k, side, k, Dv).mean(axis=(2, 4))
     x = x.reshape(B, side * side, Dv)
     x = gemma_rms_norm(x, params["mm_norm"], mmcfg.vision.ln_eps, composite)
-    return composite.linear(x, params["mm_proj"])
+    return composite.linear(x, params["mm_proj"], site="mm_proj")
 
 
 def merge_image_embeds(params, mmcfg: Gemma3MultimodalConfig,

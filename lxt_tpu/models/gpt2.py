@@ -127,7 +127,7 @@ def forward(
         def layer_fn(h, xs):
             lp, probe, idx = xs
             x = comp.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-            qkv = comp.linear(x, lp["w_attn"], lp["b_attn"])
+            qkv = comp.linear(x, lp["w_attn"], lp["b_attn"], site="w_attn")
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = common.split_heads(q, H, hd)
             k = common.split_heads(k, H, hd)
@@ -138,10 +138,10 @@ def forward(
             attn = attention(q, k, v, causal=True, bias=bias, composite=comp,
                              scale=scale, impl=attn_impl, kv_begin=kv_begin)
             h = h + comp.linear(common.merge_heads(attn), lp["w_proj"],
-                                lp["b_proj"])
+                                lp["b_proj"], site="w_proj")
             x = comp.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"]))
-            h = h + comp.linear(x, lp["w_out"], lp["b_out"])
+            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"], site="w_fc"))
+            h = h + comp.linear(x, lp["w_out"], lp["b_out"], site="w_out")
             if probe is not None:
                 h = h + probe
             return h, (h if output_hidden_states else None)
@@ -154,7 +154,7 @@ def forward(
     h = composite.layer_norm(h, params["lnf_w"], params["lnf_b"], cfg.ln_eps)
     if logits_at is not None:
         h = common.take_frontier(h, logits_at)
-    logits = composite.linear(h, params["wte"].T)
+    logits = composite.linear(h, params["wte"].T, site="wte")
 
     if output_hidden_states:
         hiddens = jnp.concatenate([inputs_sum[None], hiddens], axis=0)

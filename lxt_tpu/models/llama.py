@@ -254,9 +254,9 @@ def forward(
         def layer_fn(h, xs):
             lp, probe = xs
             x = comp.rms_norm(h, lp["ln1"], cfg.rms_eps)
-            q = comp.linear(x, lp["wq"], lp.get("bq"))
-            k = comp.linear(x, lp["wk"], lp.get("bk"))
-            v = comp.linear(x, lp["wv"], lp.get("bv"))
+            q = comp.linear(x, lp["wq"], lp.get("bq"), site="wq")
+            k = comp.linear(x, lp["wk"], lp.get("bk"), site="wk")
+            v = comp.linear(x, lp["wv"], lp.get("bv"), site="wv")
             if bthd:
                 q = q.reshape(B, T, H, hd)
                 k = k.reshape(B, T, Hkv, hd)
@@ -283,11 +283,11 @@ def forward(
             else:
                 merged = jax.lax.optimization_barrier(
                     common.merge_heads(attn))
-            h = h + comp.linear(merged, lp["wo"])
+            h = h + comp.linear(merged, lp["wo"], site="wo")
             x = comp.rms_norm(h, lp["ln2"], cfg.rms_eps)
-            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"]),
-                               comp.linear(x, lp["wu"]))
-            h = h + comp.linear(g, lp["wd"])
+            g = comp.gated_mul(act_fn, comp.linear(x, lp["wg"], site="wg"),
+                               comp.linear(x, lp["wu"], site="wu"))
+            h = h + comp.linear(g, lp["wd"], site="wd")
             if probe is not None:
                 h = h + probe
             return h, (h if output_hidden_states else None)

@@ -105,7 +105,7 @@ def _route(x, lp, cfg, composite):
     """Router: f32 softmax over ALL experts -> top-k -> renormalize
     (HF semantics; relevance flows through the softmax via G*I = Deep
     Taylor, through top-k as a gather)."""
-    router_logits = composite.linear(x, lp["w_router"])
+    router_logits = composite.linear(x, lp["w_router"], site="w_router")
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     top_w, top_idx = jax.lax.top_k(probs, cfg.experts_per_token)
     # renormalization denominator under the norm rule: stop-grad makes the
@@ -220,13 +220,13 @@ def forward(
         def layer_fn(h, xs):
             lp, probe = xs
             x = comp.rms_norm(h, lp["ln1"], cfg.rms_eps)
-            q = common.split_heads(comp.linear(x, lp["wq"]), H, hd)
-            k = common.split_heads(comp.linear(x, lp["wk"]), Hkv, hd)
-            v = common.split_heads(comp.linear(x, lp["wv"]), Hkv, hd)
+            q = common.split_heads(comp.linear(x, lp["wq"], site="wq"), H, hd)
+            k = common.split_heads(comp.linear(x, lp["wk"], site="wk"), Hkv, hd)
+            v = common.split_heads(comp.linear(x, lp["wv"], site="wv"), Hkv, hd)
             q, k = apply_rope(q, k, cos, sin)
             attn = attention(q, k, v, causal=True, bias=bias, composite=comp,
                              scale=scale, impl=attn_impl, kv_begin=kv_begin)
-            h = h + comp.linear(common.merge_heads(attn), lp["wo"])
+            h = h + comp.linear(common.merge_heads(attn), lp["wo"], site="wo")
             x = comp.rms_norm(h, lp["ln2"], cfg.rms_eps)
             h = h + moe_block(x, lp, cfg, comp, act_fn)
             if probe is not None:

@@ -85,20 +85,20 @@ def forward(params, cfg: SiglipConfig, pixels,
 
     x = composite.conv2d(pixels, params["conv_w"], params["conv_b"],
                          strides=(cfg.patch_size, cfg.patch_size),
-                         padding="VALID")
+                         padding="VALID", site="conv_w")
     h = x.reshape(B, -1, D) + params["pos_emb"]
     H, hd = cfg.num_heads, cfg.hd
 
     def layer_fn(h, lp):
         x = composite.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-        q = common.split_heads(composite.linear(x, lp["wq"], lp["bq"]), H, hd)
-        k = common.split_heads(composite.linear(x, lp["wk"], lp["bk"]), H, hd)
-        v = common.split_heads(composite.linear(x, lp["wv"], lp["bv"]), H, hd)
+        q = common.split_heads(composite.linear(x, lp["wq"], lp["bq"], site="wq"), H, hd)
+        k = common.split_heads(composite.linear(x, lp["wk"], lp["bk"], site="wk"), H, hd)
+        v = common.split_heads(composite.linear(x, lp["wv"], lp["bv"], site="wv"), H, hd)
         attn = attention(q, k, v, composite=composite, impl="einsum")
-        h = h + composite.linear(common.merge_heads(attn), lp["wo"], lp["bo"])
+        h = h + composite.linear(common.merge_heads(attn), lp["wo"], lp["bo"], site="wo")
         x = composite.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-        x = composite.act(act_fn, composite.linear(x, lp["w_fc"], lp["b_fc"]))
-        h = h + composite.linear(x, lp["w_out"], lp["b_out"])
+        x = composite.act(act_fn, composite.linear(x, lp["w_fc"], lp["b_fc"], site="w_fc"))
+        h = h + composite.linear(x, lp["w_out"], lp["b_out"], site="w_out")
         return h, None
 
     body = common.remat_wrap(layer_fn, remat)

@@ -97,7 +97,7 @@ def forward(
 
     x = composite.conv2d(images, params["conv_w"], params.get("conv_b"),
                          strides=(cfg.patch_size, cfg.patch_size),
-                         padding="VALID")
+                         padding="VALID", site="conv_w")
     x = x.reshape(B, -1, D)
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, D))
     h = jnp.concatenate([cls, x], axis=1) + params["pos_emb"]
@@ -111,17 +111,17 @@ def forward(
         def layer_fn(h, xs):
             lp, probe = xs
             x = comp.layer_norm(h, lp["ln1_w"], lp["ln1_b"], cfg.ln_eps)
-            qkv = comp.linear(x, lp["w_qkv"], lp["b_qkv"])
+            qkv = comp.linear(x, lp["w_qkv"], lp["b_qkv"], site="w_qkv")
             q, k, v = jnp.split(qkv, 3, axis=-1)
             q = common.split_heads(q, H, hd)
             k = common.split_heads(k, H, hd)
             v = common.split_heads(v, H, hd)
             attn = attention(q, k, v, composite=comp, impl="einsum")
             h = h + comp.linear(common.merge_heads(attn), lp["w_proj"],
-                                lp["b_proj"])
+                                lp["b_proj"], site="w_proj")
             x = comp.layer_norm(h, lp["ln2_w"], lp["ln2_b"], cfg.ln_eps)
-            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"]))
-            h = h + comp.linear(x, lp["w_out"], lp["b_out"])
+            x = comp.act(act_fn, comp.linear(x, lp["w_fc"], lp["b_fc"], site="w_fc"))
+            h = h + comp.linear(x, lp["w_out"], lp["b_out"], site="w_out")
             if probe is not None:
                 h = h + probe
             return h, (h if output_hidden_states else None)
@@ -137,10 +137,10 @@ def forward(
         # the identity rule (reference rewrites F.normalize the same way,
         # lxt/explicit/models/openclip.py:20-31)
         from lxt_tpu.ops import functional as lf
-        emb = composite.linear(h[:, 0], params["proj"])
+        emb = composite.linear(h[:, 0], params["proj"], site="proj")
         logits = lf.normalize(emb, 2.0, -1)
     else:
-        logits = composite.linear(h[:, 0], params["head_w"], params["head_b"])
+        logits = composite.linear(h[:, 0], params["head_w"], params["head_b"], site="head_w")
 
     if output_hidden_states:
         hiddens = jnp.concatenate([inputs_post[None], hiddens], axis=0)

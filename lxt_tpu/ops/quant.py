@@ -220,6 +220,9 @@ def nf4_dequant(q, scale, block, dtype):
     (grid: nibble-half x K-tiles x N-tiles; each out tile is one contiguous
     read-LUT-scale-write pass). Falls back to the XLA path off-TPU or for
     unaligned shapes."""
+    import os
+    if os.environ.get("LXT_NF4_NO_PALLAS"):               # debug/safety knob
+        return None
     if q.ndim != 2:                                       # layer-stacked q:
         return None                                       # caller falls back
     Kh, N = q.shape

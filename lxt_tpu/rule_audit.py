@@ -104,11 +104,69 @@ RULE_BWD = {
 #: pjit region names classified as elementwise nonlinearities: under the
 #: identity rule they live INSIDE an identity_rule custom_vjp; seen naked
 #: they get an entry (ok — G*I through a nonlinearity is defined, it's just
-#: not the identity rule; the reference rates these "unknown").
+#: not the identity rule; the reference rates these "unknown"). Names are a
+#: fast path only — regions under ANY other name are recognized by CONTENT
+#: (:func:`_elementwise_nonlin_content`), the way the reference's WHITELIST
+#: rates unknown fns explicitly (lxt/explicit/check.py:23-66) rather than
+#: silently descending a user's custom activation as opaque plumbing.
 _NONLIN_NAMES = {"silu", "gelu", "relu", "tanh", "sigmoid", "logistic",
                  "quick_gelu", "softmax", "log_softmax", "squareplus"}
 
 _BILINEAR = {"mul", "dot_general", "conv_general_dilated"}
+
+#: primitives an elementwise-nonlinearity region may contain. Deliberately
+#: absent: reductions, dot/conv, gather/scatter, control flow, and
+#: stop_gradient (a region containing one must be DESCENDED so its
+#: 'blocked' entry is recorded and flags propagate correctly).
+_ELEMENTWISE_OK = {
+    "add", "sub", "mul", "div", "rem", "max", "min", "neg", "abs", "sign",
+    "floor", "ceil", "round", "clamp", "select_n", "pow", "integer_pow",
+    "exp", "exp2", "expm1", "log", "log1p", "tanh", "logistic", "erf",
+    "erfc", "erf_inv", "rsqrt", "sqrt", "cbrt", "square", "sin", "cos",
+    "tan", "asin", "acos", "atan", "atan2", "sinh", "cosh", "asinh",
+    "acosh", "atanh", "ge", "gt", "le", "lt", "eq", "ne", "and", "or",
+    "not", "xor", "is_finite", "nextafter", "convert_element_type", "copy",
+    "broadcast_in_dim", "reshape",
+}
+
+#: the subset that makes a region NONLINEAR (pure add/mul-by-constant
+#: regions are affine plumbing — descending them is fine and cheaper)
+_NONLIN_MARKERS = {
+    "max", "min", "clamp", "select_n", "pow", "integer_pow", "exp", "exp2",
+    "expm1", "log", "log1p", "tanh", "logistic", "erf", "erfc", "erf_inv",
+    "rsqrt", "sqrt", "cbrt", "sin", "cos", "tan", "asin", "acos", "atan",
+    "atan2", "sinh", "cosh", "asinh", "acosh", "atanh",
+}
+
+#: "jit" is the pjit primitive's name in current JAX; keep "pjit" for older
+_REGION_PRIMS = ("jit", "pjit", "closed_call", "custom_jvp_call", "remat2",
+                 "checkpoint")
+
+
+def _elementwise_nonlin_content(jaxpr, depth=0):
+    """``(is_elementwise, has_nonlinear_marker)`` for a region body: True
+    when every primitive (recursing through nested call regions) is
+    elementwise — so a SINGLE-activation-input region is a pointwise
+    nonlinearity of that input, whatever its name. Early-exits at the first
+    structural primitive, so scanning big opaque regions is cheap."""
+    if depth > 6:
+        return False, False
+    has_marker = False
+    for eqn in jaxpr.eqns:
+        p = eqn.primitive.name
+        subs = _sub_jaxprs(eqn)
+        if subs:
+            if p not in _REGION_PRIMS:
+                return False, False       # scan/while/cond: structural
+            ok, m = _elementwise_nonlin_content(subs[0][1], depth + 1)
+            if not ok:
+                return False, False
+            has_marker = has_marker or m
+            continue
+        if p not in _ELEMENTWISE_OK:
+            return False, False
+        has_marker = has_marker or p in _NONLIN_MARKERS
+    return True, has_marker
 
 
 def _bwd_name(eqn):
@@ -224,10 +282,18 @@ class _Auditor:
                 else:
                     out_act, out_touch = self._descend(
                         eqn, in_act, in_touch, path, prim, silent=True)
-            elif prim in ("pjit", "closed_call", "custom_jvp_call",
-                          "remat2", "checkpoint"):
+            elif prim in _REGION_PRIMS:
                 name = eqn.params.get("name", prim)
-                if name in _NONLIN_NAMES and any_act:
+                is_nonlin = name in _NONLIN_NAMES
+                if not is_nonlin and any_act and sum(in_act) == 1:
+                    # content-based recognition: a single-activation-input
+                    # region of purely elementwise primitives IS a pointwise
+                    # nonlinearity, whatever the user named it
+                    subs = _sub_jaxprs(eqn)
+                    if subs:
+                        ew, marker = _elementwise_nonlin_content(subs[0][1])
+                        is_nonlin = ew and marker
+                if is_nonlin and any_act:
                     # classify the region as one site; treat as elementwise
                     if not silent:
                         ok = True

@@ -4,10 +4,13 @@ a TPU device error poisons the process).
 Usage: python scripts/probe_nf4_tpu.py <stage>
   quantize   - nf4-quantize one 8B-shaped matrix on device
   dequant    - Pallas dequant kernel on one 8B-shaped matrix
+  shapes     - dequant kernel on EVERY 8B weight shape
   matmul     - _nf4_matmul forward on [B*T, K] x [K, N]
   grad       - _nf4_matmul forward+backward
+  scanremat  - 4-layer scan of nf4 matmuls under jax.checkpoint, fwd+bwd
   model512   - full 8B-geometry attribution step, seq 512
   model2048  - full 8B-geometry attribution step, seq 2048
+(set LXT_NF4_NO_PALLAS=1 to force the XLA dequant fallback)
 """
 
 import os
@@ -48,6 +51,40 @@ elif stage == "dequant":
     diff = jnp.abs(w[:256].astype(jnp.float32) - ref[:256].astype(jnp.float32))
     print("max diff vs XLA path (first 256 rows):", float(diff.max()),
           flush=True)
+elif stage == "shapes":
+    # every distinct [in, out] weight shape in the 8B geometry
+    for (Ki, Ni) in [(4096, 4096), (4096, 1024), (4096, 14336),
+                     (14336, 4096)]:
+        w = jax.random.normal(jax.random.PRNGKey(0), (Ki, Ni), jnp.float32)
+        qt = quantize(w, "nf4")
+        got = nf4_dequant(qt.q, qt.scale, qt.block, jnp.bfloat16)
+        assert got is not None, (Ki, Ni)
+        ref = dequantize(qt, jnp.bfloat16)
+        diff = jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))
+        print((Ki, Ni), "max diff", float(diff.max()), flush=True)
+elif stage == "scanremat":
+    L, D, F = 4, 4096, 14336
+    wu = quantize(jax.random.normal(jax.random.PRNGKey(0), (L, D, F),
+                                    jnp.float32) * 0.02, "nf4")
+    wd = quantize(jax.random.normal(jax.random.PRNGKey(1), (L, F, D),
+                                    jnp.float32) * 0.02, "nf4")
+    x = jax.random.normal(jax.random.PRNGKey(2), (512, D), jnp.bfloat16)
+
+    def layer(x, qs):
+        qu, su, qd, sd = qs
+        h = _nf4_matmul(x, qu, su, wu.block)
+        h = jax.nn.silu(h)
+        return x + _nf4_matmul(h, qd, sd, wd.block).astype(x.dtype)
+
+    def step(x):
+        def body(c, qs):
+            return jax.checkpoint(layer)(c, qs), None
+        out, _ = jax.lax.scan(body, x, (wu.q, wu.scale, wd.q, wd.scale))
+        return out.astype(jnp.float32).sum()
+
+    f = jax.jit(jax.grad(step))
+    g = f(x)
+    print("scanremat ok,", float(jnp.sum(g.astype(jnp.float32))), flush=True)
 elif stage in ("matmul", "grad"):
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
     qt = quantize(w, "nf4")

@@ -246,3 +246,35 @@ def test_chained_bilinear_not_upgraded_by_single_correction():
     entries = lxt_tpu.audit(g, jnp.ones((4,)), on_unruled="raise",
                             verbose=False)
     assert all(e.ok for e in entries)
+
+
+def test_custom_activation_recognized_by_content():
+    """A custom activation under a NAME the allowlist has never seen must
+    still produce a nonlinearity entry (content-based recognition) — not be
+    silently descended as opaque plumbing."""
+    w = jnp.ones((8, 8)) * 0.1
+
+    @jax.jit
+    def totally_custom_act_v2(x):   # mish-like, not in _NONLIN_NAMES
+        return x * jnp.tanh(jax.nn.softplus(x) + 0.3)
+
+    def fwd(x):
+        return totally_custom_act_v2(x @ w).sum()
+
+    entries = _run(fwd, jnp.ones((2, 8)))
+    nonlin = [e for e in entries if e.kind == "nonlinearity"]
+    assert any("totally_custom_act_v2" in e.op for e in nonlin), entries
+    assert not _unruled(entries)
+
+
+def test_structural_region_not_misclassified_as_nonlinearity():
+    """A single-input region containing a reduction/matmul must NOT be
+    classified as an elementwise nonlinearity — it is descended, and its
+    internal unruled bilinear is still caught."""
+    @jax.jit
+    def sneaky_region(x):
+        return x * x.sum()          # bilinear in x, not elementwise
+
+    entries = _run(lambda x: sneaky_region(x).sum(), jnp.ones((4, 4)))
+    assert not any(e.kind == "nonlinearity" for e in entries)
+    assert _unruled(entries), "internal bilinear must stay flagged"

@@ -393,3 +393,89 @@ def test_modz_zero_input_artifact_documented():
     rel = np.asarray(g * x)[0]
     assert rel[0] == 0.0                       # the artifact
     np.testing.assert_allclose(rel[1:], rel[1], rtol=1e-5)  # equal shares
+
+
+# ---------------------------------------------------------------------------
+# site-keyed rule selectors (Composite.override_sites)
+# ---------------------------------------------------------------------------
+
+def test_override_sites_vit_zbox_patch_gamma_mlp():
+    """The reference's LayerMapComposite shape (vit_torch.py:59-65): z-box
+    on the patch-embed conv + gamma on MLP linears ONLY. Verified against a
+    hand-built equivalent forward (explicit rule primitives at exactly
+    those sites); attention projections must stay implicit-epsilon."""
+    from lxt_tpu.models import vit as jvit
+    from lxt_tpu.ops.rules import modz_conv2d
+
+    cfg = jvit.ViTConfig(image_size=16, patch_size=8, hidden_size=32,
+                         intermediate_size=64, num_layers=2, num_heads=2,
+                         num_classes=4)
+    params = jvit.init_params(cfg, jax.random.PRNGKey(0))
+    img = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3))
+
+    comp = cp_lrp.override_sites(conv_w=("zbox", 0.0, 1.0),
+                                 w_fc=("gamma", 0.25),
+                                 w_out=("gamma", 0.25))
+
+    def rel(c):
+        def target(x):
+            return jvit.forward(params, cfg, x, c).logits[0].max()
+        return input_relevance(target, img)[1]
+
+    # forward unchanged (rules touch only the backward)
+    np.testing.assert_allclose(
+        np.asarray(jvit.forward(params, cfg, img, comp).logits),
+        np.asarray(jvit.forward(params, cfg, img, cp_lrp).logits),
+        rtol=0, atol=1e-6)
+
+    # hand-built: a composite subclass-free equivalent using a modified
+    # forward — run the SAME sites through the explicit rule primitives by
+    # overriding the composite fields they'd consult
+    class HandComposite(Composite):
+        def linear(self, x, w, b=None, site=None):
+            if site in ("w_fc", "w_out"):
+                return gamma_linear(x, w, b, 0.25)
+            return Composite.linear(self, x, w, b)  # no site rules
+
+        def conv2d(self, x, w, b=None, strides=(1, 1), padding="VALID",
+                   site=None):
+            return modz_conv2d(x, w, b, strides, padding,
+                               ("zbox", 0.0, 1.0))
+
+    hand = HandComposite(name="hand", attention="cp", gate="cp")
+    np.testing.assert_allclose(np.asarray(rel(comp)), np.asarray(rel(hand)),
+                               rtol=1e-5, atol=1e-7)
+
+    # differs from both plain cp_lrp and layer-wide gamma (so the selector
+    # is doing real site-scoped work)
+    every = cp_lrp.with_rules(linear=("gamma", 0.25))
+    assert float(jnp.abs(rel(comp) - rel(cp_lrp)).max()) > 1e-9
+    assert float(jnp.abs(rel(comp) - rel(every)).max()) > 1e-9
+
+
+def test_override_sites_epsilon_pin_and_merge():
+    """A site set to None pins implicit epsilon even when a layer-wide rule
+    is set; later override_sites calls win per site; hashable."""
+    c = (attnlrp.with_rules(linear=("gamma", 0.5))
+         .override_sites(wq=None)
+         .override_sites(wk=("alphabeta", 1.0, 0.0)))
+    assert c._site_rule("wq", c._linear_rule()) is None
+    assert c._site_rule("wk", c._linear_rule()) == ("alphabeta", 1.0, 0.0)
+    assert c._site_rule("wv", c._linear_rule()) == ("gamma", 0.5)
+    c2 = c.override_sites(wk=None)
+    assert c2._site_rule("wk", c2._linear_rule()) is None
+    hash(c2)
+
+    # llama end-to-end: gamma on MLP only differs from gamma everywhere,
+    # forward identical
+    cfg, params, e = _llama(L=2)
+    mlp_only = attnlrp.override_sites(wg=("gamma", 0.25),
+                                      wu=("gamma", 0.25),
+                                      wd=("gamma", 0.25))
+    every = attnlrp.with_rules(linear=("gamma", 0.25))
+    v0, r0 = _rel(cfg, params, e, attnlrp)
+    v1, r1 = _rel(cfg, params, e, mlp_only)
+    v2, r2 = _rel(cfg, params, e, every)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    assert float(jnp.abs(r1 - r0).max()) > 1e-12
+    assert float(jnp.abs(r1 - r2).max()) > 1e-12
