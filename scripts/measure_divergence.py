@@ -51,9 +51,9 @@ import json, sys, warnings
 import numpy as np
 import torch
 
-composite, seq, out_path, geom, root = (
+composite, seq, out_path, geom, root, dtype_name = (
     sys.argv[1], int(sys.argv[2]), sys.argv[3], json.loads(sys.argv[4]),
-    sys.argv[5])
+    sys.argv[5], sys.argv[6])
 
 sys.path.insert(0, root)
 from tests.conftest import _install_reference
@@ -72,6 +72,9 @@ with warnings.catch_warnings():
 
 torch.manual_seed(0)
 model = LlamaForCausalLM(LlamaConfig(**geom, attn_implementation="eager"))
+if dtype_name == "bf16":           # control: the reference ITSELF at bf16,
+    model = model.to(torch.bfloat16)  # the dtype its examples run in
+    # (examples/quantized_llama.py:19 torch_dtype=bfloat16)
 model.train()                      # reference flow: train() + checkpointing
 model.gradient_checkpointing_enable()
 for p in model.parameters():
@@ -84,6 +87,7 @@ logits = model(inputs_embeds=emb, use_cache=False).logits
 val = logits[0, -1, :].max()
 val.backward()
 rel = (emb * emb.grad).float().sum(-1).detach()
+val = val.float()
 np.savez(out_path, rel=rel.numpy(), value=float(val),
          ids=ids.numpy())
 print(f"torch {composite}: done, value={float(val):.6f}")
@@ -111,20 +115,50 @@ def main():
                     help="directory holding the torch-side .npz outputs; "
                          "populated on first run, reused after (the torch "
                          "CPU pass is minutes per composite)")
+    ap.add_argument("--control-only", action="store_true",
+                    help="compute only the torch-bf16-vs-torch-f32 control "
+                         "rows and merge them into an existing --out (no "
+                         "JAX side, no device needed)")
     args = ap.parse_args()
     geom = dict(GEOM, num_hidden_layers=args.layers)
 
     os.makedirs(args.ref_cache, exist_ok=True)
-    ref = {}
+    ref, ref_bf16 = {}, {}
     for composite in ("attnlrp", "cp_lrp"):
-        out_npz = os.path.join(
-            args.ref_cache, f"{composite}_L{args.layers}_s{args.seq}.npz")
-        if not os.path.exists(out_npz):
-            subprocess.run(
-                [sys.executable, "-c", _TORCH_SIDE, composite, str(args.seq),
-                 out_npz, json.dumps(geom), ROOT],
-                check=True, cwd=ROOT)
-        ref[composite] = np.load(out_npz)
+        for dtype_name, store in (("f32", ref), ("bf16", ref_bf16)):
+            out_npz = os.path.join(
+                args.ref_cache,
+                f"{composite}_L{args.layers}_s{args.seq}_{dtype_name}.npz")
+            if not os.path.exists(out_npz):
+                subprocess.run(
+                    [sys.executable, "-c", _TORCH_SIDE, composite,
+                     str(args.seq), out_npz, json.dumps(geom), ROOT,
+                     dtype_name],
+                    check=True, cwd=ROOT)
+            store[composite] = np.load(out_npz)
+
+    if args.control_only:
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                results = json.load(f)
+        else:
+            results = {"config": {"geometry": geom, "seq": args.seq},
+                       "runs": {}}
+        for comp_name in ("attnlrp", "cp_lrp"):
+            m = _metrics(ref_bf16[comp_name]["rel"], ref[comp_name]["rel"])
+            cval = float(ref_bf16[comp_name]["value"])
+            rval = float(ref[comp_name]["value"])
+            m["value_ours"] = cval
+            m["value_reference"] = rval
+            m["value_rel_err"] = abs(cval - rval) / (abs(rval) + 1e-30)
+            key = f"{comp_name}/torch-bf16-control"
+            results["runs"][key] = m
+            print(f"{key}: cos={m['cosine']:.8f} l2={m['normalized_l2']:.3e} "
+                  f"maxabs_norm={m['max_abs_normalized']:.3e}")
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print("written:", args.out)
+        return
 
     # --- our side: same weights via the shared torch seed ------------------
     import torch
@@ -198,6 +232,20 @@ def main():
         comp = {"attnlrp": lxt_tpu.attnlrp, "cp_lrp": lxt_tpu.cp_lrp}[comp_name]
         ref_rel = ref[comp_name]["rel"]
         ref_val = float(ref[comp_name]["value"])
+
+        # CONTROL: the torch reference at bf16 vs its own f32 — what
+        # production precision itself costs, measured on the reference, so
+        # the ours-bf16 rows below have a like-for-like yardstick
+        m = _metrics(ref_bf16[comp_name]["rel"], ref_rel)
+        cval = float(ref_bf16[comp_name]["value"])
+        m["value_ours"] = cval
+        m["value_reference"] = ref_val
+        m["value_rel_err"] = abs(cval - ref_val) / (abs(ref_val) + 1e-30)
+        key = f"{comp_name}/torch-bf16-control"
+        results["runs"][key] = m
+        print(f"{key}: cos={m['cosine']:.8f} l2={m['normalized_l2']:.3e} "
+              f"maxabs_norm={m['max_abs_normalized']:.3e}")
+
         for dtype_name, impl, dtype in cases:
             val, rel = our_rel(params_by_dtype[dtype], comp, impl, dtype)
             m = _metrics(rel, ref_rel)
