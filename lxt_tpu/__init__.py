@@ -24,22 +24,23 @@ from lxt_tpu.composites import (
 
 
 def from_hf(hf_model, composite=None, dtype=None, text_only=False,
-            family=None):
+            family=None, canonizers=None):
     """Convert a loaded HF torch model into an :class:`AttributionModel`
     (the one-call equivalent of the reference's ``monkey_patch``)."""
     from lxt_tpu.models.registry import from_hf as _from_hf
     return _from_hf(hf_model, composite=composite, dtype=dtype,
-                    text_only=text_only, family=family)
+                    text_only=text_only, family=family,
+                    canonizers=canonizers)
 
 
 def from_pretrained(model_dir, composite=None, dtype=None, quantize_bits=None,
-                    text_only=False, family=None):
+                    text_only=False, family=None, canonizers=None):
     """Load an :class:`AttributionModel` straight from an HF checkpoint
     directory via the native safetensors reader (no torch model built)."""
     from lxt_tpu.models.registry import from_pretrained as _fp
     return _fp(model_dir, composite=composite, dtype=dtype,
                quantize_bits=quantize_bits, text_only=text_only,
-               family=family)
+               family=family, canonizers=canonizers)
 
 
 def __getattr__(name):
@@ -71,6 +72,9 @@ def __getattr__(name):
     if name in ("integrated_gradients", "smoothgrad", "gradient_x_input"):
         from lxt_tpu import baselines as _b
         return getattr(_b, name)
+    if name in ("apply_canonizers", "fold_norm_scales"):
+        from lxt_tpu import canonizers as _c
+        return getattr(_c, name)
     raise AttributeError(name)
 
 
@@ -84,5 +88,6 @@ __all__ = [
     "audit", "AuditEntry", "UnruledOpError",
     "perturbation_curve", "faithfulness_report", "aopc_scores",
     "integrated_gradients", "smoothgrad", "gradient_x_input",
+    "apply_canonizers", "fold_norm_scales",
     "__version__",
 ]

@@ -255,6 +255,19 @@ class AttributionModel:
     def embed(self, input_ids):
         return self._fns["embed"](self.params, jnp.asarray(input_ids), self.cfg)
 
+    def canonize(self, *canonizers):
+        """Return a copy with ``canonizers`` applied to (params, cfg) —
+        the reference's ``Composite(canonizers=...)`` hook
+        (lxt/explicit/core.py:25-37,63-72) as a pure pre-transform; see
+        :mod:`lxt_tpu.canonizers`. Compiled-program cache starts fresh
+        (the transformed tree may change shapes/dtypes)."""
+        from lxt_tpu.canonizers import apply_canonizers
+
+        params, cfg = apply_canonizers(self.params, self.cfg, self.family,
+                                       canonizers)
+        return dataclasses.replace(self, params=params, cfg=cfg,
+                                   _jit=JitCache())
+
     def logits(self, input_ids, composite=None):
         composite = composites.resolve(composite or self.composite)
         fwd, cfg = self._fns["forward"], self.cfg
@@ -767,7 +780,8 @@ def _convert(state_dict, hf_config, composite, dtype, text_only=False,
 
 
 def from_hf(hf_model, composite: composites.Composite = None,
-            dtype=None, text_only: bool = False, family: str = None):
+            dtype=None, text_only: bool = False, family: str = None,
+            canonizers=None):
     """Convert a loaded HF torch model into an AttributionModel.
 
     ``composite`` defaults to AttnLRP except GPT-2, where the reference
@@ -778,6 +792,10 @@ def from_hf(hf_model, composite: composites.Composite = None,
     that are computationally identical to a supported one (Llama-clone
     re-registrations are common on the Hub); exact Llama clones — matching
     config attributes AND parameter naming — are detected automatically.
+
+    ``canonizers``: optional list of (params, cfg, family) pre-transforms
+    applied to the converted model before use — the reference's
+    ``Composite(canonizers=...)`` hook (see :mod:`lxt_tpu.canonizers`).
 
     Also accepts config-less vision modules the way the reference's
     DEFAULT_MAP covers torchvision (lxt/efficient/models/__init__.py:10-18):
@@ -802,13 +820,15 @@ def from_hf(hf_model, composite: composites.Composite = None,
     if getattr(hf_model.config, "model_type", None) in (
             "siglip", "siglip_vision_model"):
         return from_siglip(hf_model, composite=composite, dtype=dtype)
-    return _convert(hf_model.state_dict(), hf_model.config, composite, dtype,
-                    text_only=text_only, family=family)
+    model = _convert(hf_model.state_dict(), hf_model.config, composite,
+                     dtype, text_only=text_only, family=family)
+    return model.canonize(*canonizers) if canonizers else model
 
 
 def from_pretrained(model_dir, composite: composites.Composite = None,
                     dtype=None, quantize_bits=None,
-                    text_only: bool = False, family: str = None):
+                    text_only: bool = False, family: str = None,
+                    canonizers=None):
     """Load an AttributionModel straight from an HF checkpoint DIRECTORY —
     no torch model is ever instantiated: the config comes from
     ``transformers.AutoConfig`` and the weights stream through the native
@@ -846,6 +866,9 @@ def from_pretrained(model_dir, composite: composites.Composite = None,
         quantize_bits = 8 if had_8bit else "nf4"
     model = _convert(state, hf_config, composite, dtype, text_only=text_only,
                      family=family)
+    if canonizers:
+        # before quantization: canonizers transform full-precision weights
+        model = model.canonize(*canonizers)
     if quantize_bits:
         if not isinstance(model, AttributionModel):
             raise ValueError("quantize_bits applies to text models only")
