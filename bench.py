@@ -13,11 +13,21 @@ numbers (BASELINE.md). vs_baseline = ours / reference.
 
 Prints the headline JSON line LAST: {"metric", "value", "unit",
 "vs_baseline", ...}. A SECOND benchmark — the BASELINE.md north-star
-config, Llama-3-8B geometry int4 @ 4k context on the one chip (the role
-bitsandbytes plays in the reference, examples/quantized_llama.py) — runs
-first and prints its own JSON line, and its numbers are also embedded in
-the headline line under "llama8b_int4_s4096" so a single-line parse still
-records them. Disable with LXT_BENCH_8B=0.
+config, Llama-3-8B geometry @ 4k context on the one chip in int4 AND nf4
+(nf4 = the quantization class bitsandbytes gives the reference,
+examples/quantized_llama.py) — runs first and prints one JSON line per
+quant mode, and the numbers are also embedded in the headline line under
+"llama8b_int4_s4096" / "llama8b_nf4_s4096" so a single-line parse still
+records them. Disable with LXT_BENCH_8B=0; select modes with
+LXT_BENCH_8B_QUANT.
+
+Fault isolation: each benchmark (headline, 8B int4, 8B nf4) runs in its
+OWN subprocess — a TPU kernel fault or tunnel drop poisons every later
+execution in the faulting process (observed: an nf4 fault turned
+subsequent, previously-passing int8 configs into device errors), so one
+bad config must not take the headline number down with it. The parent
+never initializes the TPU; it orchestrates and prints the headline line
+last. LXT_BENCH_ISOLATE=0 restores single-process mode.
 
 The headline line also carries "xla_flops_ratio": our analytic FLOP model
 (attribution_flops) cross-checked against XLA's own cost analysis of the
@@ -102,18 +112,21 @@ def llama3_8b_config(jllama):
         rope_theta=500000.0, dtype="bfloat16")
 
 
-def bench_8b(jllama, input_relevance, select_logit, attnlrp):
-    """North-star config (BASELINE.md): Llama-3-8B geometry, int4 weights,
-    batch 1 @ 4096 context, full remat, one chip. Returns the metrics dict
-    (or an {"error": ...} dict if the config cannot run on this device)."""
+def bench_8b(jllama, input_relevance, select_logit, attnlrp, quant="int4"):
+    """North-star config (BASELINE.md): Llama-3-8B geometry, quantized
+    weights (int4 default; 'nf4' = the reference's own bitsandbytes class,
+    examples/quantized_llama.py:13-19), batch 1 @ 4096 context, full remat,
+    one chip. Returns the metrics dict (or an {"error": ...} dict if the
+    config cannot run on this device)."""
     import jax
 
     seq = int(os.environ.get("LXT_BENCH_8B_SEQ", 4096))
     iters = int(os.environ.get("LXT_BENCH_8B_ITERS", 3))
     cfg = llama3_8b_config(jllama)
+    bits = {"int4": 4, "int8": 8, "nf4": "nf4"}[quant]
     try:
         params = jllama.init_params(cfg, jax.random.PRNGKey(0),
-                                    quantize_bits=4)
+                                    quantize_bits=bits)
 
         def step(params, embeds):
             def target(e):
@@ -141,7 +154,7 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp):
         tflops = attribution_flops(cfg, 1, seq) / dt / 1e12
         stats = jax.devices()[0].memory_stats() or {}
         out = {
-            "metric": f"attnlrp_llama3-8B-geom(int4,b1,s{seq},remat=full)",
+            "metric": f"attnlrp_llama3-8B-geom({quant},b1,s{seq},remat=full)",
             "value": round(1.0 / dt, 3),
             "unit": "heatmaps/s",
             "s_per_attribution": round(dt, 3),
@@ -153,25 +166,81 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp):
         del params, embeds
         return out
     except Exception as e:  # OOM / no device memory stats on CPU hosts
-        return {"metric": f"attnlrp_llama3-8B-geom(int4,b1,s{seq},"
+        return {"metric": f"attnlrp_llama3-8B-geom({quant},b1,s{seq},"
                           "remat=full)",
                 "value": None, "unit": "heatmaps/s",
                 "error": f"{type(e).__name__}: {e}"[:300]}
 
 
+def run_8b(quant):
+    """Subprocess entry: one 8B config, own TPU client, one JSON line."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    _probe_devices()
+    print(json.dumps(bench_8b(jllama, input_relevance, select_logit,
+                              lxt_tpu.attnlrp, quant=quant)), flush=True)
+
+
+def _subprocess_bench(argv, metric, timeout_s):
+    """Run one benchmark in a child process; return its last JSON line.
+
+    The child holds the TPU alone for its lifetime. A fault, hang, or
+    hard crash is confined to it and reported as an {"error": ...} entry."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)] + argv,
+                           capture_output=True, text=True, timeout=timeout_s)
+        for ln in reversed(r.stdout.strip().splitlines()):
+            try:
+                d = json.loads(ln)
+                if isinstance(d, dict) and "metric" in d:
+                    return d
+            except ValueError:
+                continue
+        tail = (r.stderr.strip().splitlines() or ["no output"])[-1]
+        return {"metric": metric, "value": None, "unit": "heatmaps/s",
+                "error": f"exit {r.returncode}: {tail}"[:300]}
+    except subprocess.TimeoutExpired:
+        return {"metric": metric, "value": None, "unit": "heatmaps/s",
+                "error": f"timeout after {timeout_s}s"}
+
+
 def main():
+    """Orchestrator: one subprocess per benchmark, headline printed last."""
+    eight_b = {}
+    seq8b = os.environ.get("LXT_BENCH_8B_SEQ", "4096")
+    t8 = int(os.environ.get("LXT_BENCH_8B_TIMEOUT", 1500))
+    if os.environ.get("LXT_BENCH_8B", "1") == "1":
+        # int4 (north star) + nf4 (the reference's own bnb quantization
+        # class) so BENCH_r{N}.json records both on the real chip.
+        for q in os.environ.get("LXT_BENCH_8B_QUANT", "int4,nf4").split(","):
+            eight_b[q] = _subprocess_bench(
+                ["--8b", q],
+                f"attnlrp_llama3-8B-geom({q},b1,s{seq8b},remat=full)", t8)
+            print(json.dumps(eight_b[q]), flush=True)
+
+    line = _subprocess_bench(
+        ["--headline"], "attnlrp_heatmaps_per_sec",
+        int(os.environ.get("LXT_BENCH_TIMEOUT", 2400)))
+    for q, entry in eight_b.items():
+        line[f"llama8b_{q}_s{seq8b}"] = {
+            k: entry[k] for k in ("value", "s_per_attribution", "tflops",
+                                  "mfu", "peak_hbm_gib", "error")
+            if k in entry}
+    print(json.dumps(line))
+
+
+def main_headline():
     import lxt_tpu
     from lxt_tpu.attribution import input_relevance, select_logit
     from lxt_tpu.models import common as jcommon
     from lxt_tpu.models import llama as jllama
 
     _probe_devices()
-
-    eight_b = None
-    if os.environ.get("LXT_BENCH_8B", "1") == "1":
-        eight_b = bench_8b(jllama, input_relevance, select_logit,
-                           lxt_tpu.attnlrp)
-        print(json.dumps(eight_b), flush=True)
 
     # flash perf options (static, encoded in attn_impl — see ops/attention):
     # both are safe only with the unrolled layer driver (REMAT is False).
@@ -286,14 +355,42 @@ def main():
     }
     if xla_ratio is not None:
         line["xla_flops_ratio"] = xla_ratio
-    if eight_b is not None:
-        seq8b = os.environ.get("LXT_BENCH_8B_SEQ", "4096")
-        line[f"llama8b_int4_s{seq8b}"] = {
-            k: eight_b[k] for k in ("value", "s_per_attribution", "tflops",
-                                    "mfu", "peak_hbm_gib", "error")
-            if k in eight_b}
+    print(json.dumps(line))
+    return line
+
+
+def main_inprocess():
+    """Single-process mode (LXT_BENCH_ISOLATE=0): CPU hosts / debugging,
+    where subprocess-per-benchmark start-up cost outweighs fault isolation."""
+    import lxt_tpu
+    from lxt_tpu.attribution import input_relevance, select_logit
+    from lxt_tpu.models import llama as jllama
+
+    eight_b = {}
+    seq8b = os.environ.get("LXT_BENCH_8B_SEQ", "4096")
+    if os.environ.get("LXT_BENCH_8B", "1") == "1":
+        _probe_devices()
+        for q in os.environ.get("LXT_BENCH_8B_QUANT", "int4,nf4").split(","):
+            eight_b[q] = bench_8b(jllama, input_relevance, select_logit,
+                                  lxt_tpu.attnlrp, quant=q)
+            print(json.dumps(eight_b[q]), flush=True)
+    line = dict(main_headline())
+    for q, entry in eight_b.items():
+        line[f"llama8b_{q}_s{seq8b}"] = {
+            k: entry[k] for k in ("value", "s_per_attribution", "tflops",
+                                  "mfu", "peak_hbm_gib", "error")
+            if k in entry}
     print(json.dumps(line))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--8b" in sys.argv:
+        run_8b(sys.argv[sys.argv.index("--8b") + 1])
+    elif "--headline" in sys.argv:
+        main_headline()
+    elif os.environ.get("LXT_BENCH_ISOLATE", "1") == "0":
+        main_inprocess()
+    else:
+        main()
