@@ -82,8 +82,14 @@ elif stage == "scanremat":
         out, _ = jax.lax.scan(body, x, (wu.q, wu.scale, wd.q, wd.scale))
         return out.astype(jnp.float32).sum()
 
+    jnp.sum(wu.scale).block_until_ready()
+    print("quantized at", round(time.time() - t0, 1), "s", flush=True)
     f = jax.jit(jax.grad(step))
-    g = f(x)
+    lowered = f.lower(x)
+    print("lowered at", round(time.time() - t0, 1), "s", flush=True)
+    compiled = lowered.compile()
+    print("compiled at", round(time.time() - t0, 1), "s", flush=True)
+    g = compiled(x)
     print("scanremat ok,", float(jnp.sum(g.astype(jnp.float32))), flush=True)
 elif stage in ("matmul", "grad"):
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
