@@ -109,12 +109,19 @@ elif stage in ("matmul", "grad"):
     print(stage, "ok, 5 iters in", round(time.time() - t1, 3), "s; out",
           float(jnp.sum(y.astype(jnp.float32))), flush=True)
 else:
-    seq = int(stage.replace("model", ""))
+    # model512 / model2048: the exact bench step (attnlrp composite).
+    # modelplain512: same program with the vanilla_gradient composite — no
+    # LRP custom_vjp rules, isolating "LRP machinery x nf4" from "nf4 in the
+    # full model".  Combine with LXT_NF4_NO_PALLAS=1 to swap the Pallas
+    # dequant for the XLA fallback and isolate the kernel itself.
+    plain = stage.startswith("modelplain")
+    seq = int(stage.replace("modelplain" if plain else "model", ""))
     import lxt_tpu
     from bench import llama3_8b_config
     from lxt_tpu.attribution import input_relevance, select_logit
     from lxt_tpu.models import llama as jllama
 
+    comp = lxt_tpu.vanilla_gradient if plain else lxt_tpu.attnlrp
     cfg = llama3_8b_config(jllama)
     params = jllama.init_params(cfg, jax.random.PRNGKey(0),
                                 quantize_bits="nf4")
@@ -123,7 +130,7 @@ else:
     def step(params, embeds):
         def target(e):
             return select_logit(jllama.forward(
-                params, cfg, e, lxt_tpu.attnlrp, remat=True,
+                params, cfg, e, comp, remat=True,
                 logits_at=-1).logits)
         return input_relevance(target, embeds)
 
