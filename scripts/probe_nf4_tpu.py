@@ -9,6 +9,8 @@ Usage: python scripts/probe_nf4_tpu.py <stage>
   grad       - _nf4_matmul forward+backward
   scanremat  - 4-layer scan of nf4 matmuls under jax.checkpoint, fwd+bwd
   model512   - full 8B-geometry attribution step, seq 512
+  coexist    - flash + nf4 dequant kernels in one scanned program
+  modeleinsum512 - full model, einsum attention (no flash kernel)
   model2048  - full 8B-geometry attribution step, seq 2048
 (set LXT_NF4_NO_PALLAS=1 to force the XLA dequant fallback)
 """
@@ -91,6 +93,40 @@ elif stage == "scanremat":
     print("compiled at", round(time.time() - t0, 1), "s", flush=True)
     g = compiled(x)
     print("scanremat ok,", float(jnp.sum(g.astype(jnp.float32))), flush=True)
+elif stage == "coexist":
+    # flash attention kernel + nf4 Pallas dequant kernel in ONE scanned
+    # program — the pairing untested by scanremat (no flash) and by the
+    # int4 model runs (no dequant kernel).
+    from lxt_tpu.ops.attention import attention
+    L, D, F, H, hd, T = 4, 4096, 14336, 32, 128, 512
+    wq = quantize(jax.random.normal(jax.random.PRNGKey(0), (L, D, D),
+                                    jnp.float32) * 0.02, "nf4")
+    wu = quantize(jax.random.normal(jax.random.PRNGKey(1), (L, D, F),
+                                    jnp.float32) * 0.02, "nf4")
+    wd = quantize(jax.random.normal(jax.random.PRNGKey(2), (L, F, D),
+                                    jnp.float32) * 0.02, "nf4")
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, T, D), jnp.bfloat16)
+
+    def layer(x, qs):
+        qq, sq, qu, su, qd, sd = qs
+        h = _nf4_matmul(x, qq, sq, wq.block)
+        qh = h.reshape(1, T, H, hd).swapaxes(1, 2)
+        o = attention(qh, qh, qh, causal=True, impl="flash")
+        o = o.swapaxes(1, 2).reshape(1, T, D).astype(x.dtype)
+        m = jax.nn.silu(_nf4_matmul(o, qu, su, wu.block))
+        return x + _nf4_matmul(m, qd, sd, wd.block).astype(x.dtype)
+
+    def step(x):
+        def body(c, qs):
+            return jax.checkpoint(layer)(c, qs), None
+        out, _ = jax.lax.scan(body, x, (wq.q, wq.scale, wu.q, wu.scale,
+                                        wd.q, wd.scale))
+        return out.astype(jnp.float32).sum()
+
+    jnp.sum(wq.scale).block_until_ready()
+    print("quantized at", round(time.time() - t0, 1), "s", flush=True)
+    g = jax.jit(jax.grad(step))(x)
+    print("coexist ok,", float(jnp.sum(g.astype(jnp.float32))), flush=True)
 elif stage in ("matmul", "grad"):
     w = jax.random.normal(jax.random.PRNGKey(0), (K, N), jnp.float32)
     qt = quantize(w, "nf4")
@@ -115,7 +151,10 @@ else:
     # full model".  Combine with LXT_NF4_NO_PALLAS=1 to swap the Pallas
     # dequant for the XLA fallback and isolate the kernel itself.
     plain = stage.startswith("modelplain")
-    seq = int(stage.replace("modelplain" if plain else "model", ""))
+    einsum = stage.startswith("modeleinsum")
+    seq = int(stage.replace(
+        "modelplain" if plain else ("modeleinsum" if einsum else "model"),
+        ""))
     import lxt_tpu
     from bench import llama3_8b_config
     from lxt_tpu.attribution import input_relevance, select_logit
@@ -131,6 +170,7 @@ else:
         def target(e):
             return select_logit(jllama.forward(
                 params, cfg, e, comp, remat=True,
+                attn_impl="einsum" if einsum else "auto",
                 logits_at=-1).logits)
         return input_relevance(target, embeds)
 
