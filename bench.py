@@ -135,10 +135,19 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp, quant="int4"):
                     logits_at=-1).logits)
             return input_relevance(target, embeds)
 
-        jstep = jax.jit(step)
         ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
                                  cfg.vocab_size)
         embeds = jllama.embed(params, ids)
+
+        # EXPLICIT lower -> compile -> execute. Dispatch-path compilation
+        # (jit __call__ doing compile+execute in one remote round-trip) has
+        # been observed to fault the device on cache-cold nf4 programs
+        # ("UNAVAILABLE: TPU device error"), while the same program split
+        # into a compile RPC then an execute RPC passes — and once the
+        # persistent cache is warm the fused path passes too.
+        t0 = time.time()
+        jstep = jax.jit(step).lower(params, embeds).compile()
+        compile_s = round(time.time() - t0, 1)
 
         def chain(e, n):
             val = None
@@ -147,7 +156,7 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp, quant="int4"):
                 e = e + (rel[..., None] * 1e-6).astype(e.dtype)
             return float(val)
 
-        chain(embeds, 1)  # compile + warm
+        chain(embeds, 1)  # warm
         t0 = time.time(); chain(embeds, 1); t_one = time.time() - t0
         t0 = time.time(); chain(embeds, 1 + iters); t_many = time.time() - t0
         dt = max((t_many - t_one) / iters, 1e-9)
@@ -160,6 +169,7 @@ def bench_8b(jllama, input_relevance, select_logit, attnlrp, quant="int4"):
             "s_per_attribution": round(dt, 3),
             "tflops": round(tflops, 1),
             "mfu": round(tflops * 1e12 / PEAK_BF16, 3),
+            "compile_s": compile_s,
         }
         if "peak_bytes_in_use" in stats:
             out["peak_hbm_gib"] = round(stats["peak_bytes_in_use"] / 2**30, 2)
@@ -210,7 +220,16 @@ def _subprocess_bench(argv, metric, timeout_s):
 
 
 def main():
-    """Orchestrator: one subprocess per benchmark, headline printed last."""
+    """Orchestrator: one subprocess per benchmark, headline printed last.
+
+    EXECUTION order is headline -> int4 -> nf4 (a TPU fault has been
+    observed to poison the device for *later, separate* processes too, so
+    the headline runs on the cleanest device and the riskiest config runs
+    dead last); PRINT order keeps the headline line last for the driver."""
+    line = _subprocess_bench(
+        ["--headline"], "attnlrp_heatmaps_per_sec",
+        int(os.environ.get("LXT_BENCH_TIMEOUT", 2400)))
+
     eight_b = {}
     seq8b = os.environ.get("LXT_BENCH_8B_SEQ", "4096")
     t8 = int(os.environ.get("LXT_BENCH_8B_TIMEOUT", 1500))
@@ -223,9 +242,6 @@ def main():
                 f"attnlrp_llama3-8B-geom({q},b1,s{seq8b},remat=full)", t8)
             print(json.dumps(eight_b[q]), flush=True)
 
-    line = _subprocess_bench(
-        ["--headline"], "attnlrp_heatmaps_per_sec",
-        int(os.environ.get("LXT_BENCH_TIMEOUT", 2400)))
     for q, entry in eight_b.items():
         line[f"llama8b_{q}_s{seq8b}"] = {
             k: entry[k] for k in ("value", "s_per_attribution", "tflops",

@@ -15,6 +15,7 @@ Usage: python scripts/probe_nf4_tpu.py <stage>
 (set LXT_NF4_NO_PALLAS=1 to force the XLA dequant fallback)
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -162,6 +163,9 @@ else:
 
     comp = lxt_tpu.vanilla_gradient if plain else lxt_tpu.attnlrp
     cfg = llama3_8b_config(jllama)
+    nlayers = int(os.environ.get("LXT_PROBE_LAYERS", "0"))
+    if nlayers:                     # scale-bisect: 4/8/16-layer variants
+        cfg = dataclasses.replace(cfg, num_layers=nlayers)
     params = jllama.init_params(cfg, jax.random.PRNGKey(0),
                                 quantize_bits="nf4")
     print("params ready", round(time.time() - t0, 1), "s", flush=True)
@@ -174,11 +178,27 @@ else:
                 logits_at=-1).logits)
         return input_relevance(target, embeds)
 
-    jstep = jax.jit(step)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, seq), 0,
                              cfg.vocab_size)
     embeds = jllama.embed(params, ids)
-    val, rel = jstep(params, embeds)
+    if os.environ.get("LXT_PROBE_DISPATCH"):   # the faulting fused path
+        jstep = jax.jit(step)
+    else:
+        # explicit lower -> compile -> execute: the split that passes on
+        # cache-cold nf4 programs where dispatch-path compile faults
+        jstep = jax.jit(step).lower(params, embeds).compile()
+        print("compiled at", round(time.time() - t0, 1), "s", flush=True)
+    t_launch = time.time()
+    try:
+        val, rel = jstep(params, embeds)
+        val.block_until_ready()
+    except BaseException:
+        print("FAULT after", round(time.time() - t_launch, 1),
+              "s from launch (", round(time.time() - t0, 1),
+              "s total)", flush=True)
+        raise
+    print("first call done in", round(time.time() - t_launch, 1), "s",
+          flush=True)
     print("step ok, val", float(val), flush=True)
     t1 = time.time()
     val, rel = jstep(params, embeds + 1e-6)
