@@ -45,6 +45,71 @@ def input_relevance(target_fn: Callable, inputs_embeds, *, sum_features: bool = 
     return value, rel
 
 
+def segmented_input_relevance(segment_fn: Callable, head_fn: Callable,
+                              seg_params, inputs_embeds, *,
+                              sum_features: bool = True):
+    """:func:`input_relevance` as a CHAIN of bounded device programs.
+
+    The monolithic jitted step (one vjp over the full depth) is the fastest
+    path — but a single device execution whose wall time can exceed what the
+    runtime allows (remote-attached TPUs enforce per-execute deadlines; a
+    serving tier may cap per-call latency). This driver runs the layer stack
+    as ``S`` forward programs, one head program, and ``S`` backward (vjp)
+    programs, chaining the relevance cotangent between them; no host
+    round-trip happens between calls (dispatch stays async), so the overhead
+    is one extra boundary activation per segment.
+
+    - ``segment_fn(seg_params_i, h) -> h``: one stack slice (e.g.
+      :func:`lxt_tpu.models.llama.forward_layers`). All segments should have
+      EQUAL layer counts so one compiled program serves every segment.
+    - ``head_fn(h) -> scalar``: the explanation target (final norm + lm_head
+      + :func:`select_logit`).
+    - ``seg_params``: per-segment parameter pytrees, e.g.
+      ``[jax.tree.map(lambda a: a[i:i+k], params['layers']) for i in ...]``.
+
+    Values are identical to the monolithic path: the same ops run in the
+    same order, only program boundaries differ. Returns ``(value,
+    relevance)`` with the :func:`input_relevance` contract.
+
+    One-shot convenience over :func:`segmented_attribution` — build the
+    driver once with that factory when calling repeatedly (the jitted
+    segment programs are created per driver, not per call).
+    """
+    run = segmented_attribution(segment_fn, head_fn,
+                                sum_features=sum_features)
+    return run(seg_params, inputs_embeds)
+
+
+def segmented_attribution(segment_fn: Callable, head_fn: Callable, *,
+                          sum_features: bool = True):
+    """Factory for the segmented driver: returns ``run(seg_params,
+    inputs_embeds) -> (value, relevance)`` with the three jitted programs
+    (segment forward, head, segment vjp) built ONCE and reused across calls
+    and across segments (equal-shaped segments share one executable)."""
+    fwd = jax.jit(segment_fn)
+    head = jax.jit(jax.value_and_grad(head_fn))
+
+    def _bwd(p, h, ct):
+        _, vjp_fn = jax.vjp(lambda hh: segment_fn(p, hh), h)
+        return vjp_fn(ct)[0]
+
+    bwd = jax.jit(_bwd)
+
+    def run(seg_params, inputs_embeds):
+        hs = [inputs_embeds]
+        for p in seg_params:
+            hs.append(fwd(p, hs[-1]))
+        value, ct = head(hs[-1])
+        for p, h in zip(reversed(list(seg_params)), reversed(hs[:-1])):
+            ct = bwd(p, h, ct)
+        rel = inputs_embeds.astype(jnp.float32) * ct.astype(jnp.float32)
+        if sum_features:
+            rel = rel.sum(-1)
+        return value, rel
+
+    return run
+
+
 def latent_relevance(forward_fn: Callable, inputs_embeds, probe_shape,
                      *, sum_features: bool = False):
     """Per-neuron relevance at every layer plus input relevance, one backward.

@@ -229,10 +229,34 @@ def forward(
     — see :func:`lxt_tpu.models.common.padding_setup`). Positions are
     derived per example (HF convention).
     """
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, positions, inputs_embeds.shape[1])
+    h, hiddens = _run_layers(
+        params["layers"], cfg, inputs_embeds, composite, probes=probes,
+        output_hidden_states=output_hidden_states, remat=remat,
+        positions=positions, bias=bias, kv_begin=kv_begin,
+        attn_impl=attn_impl, layer_driver=layer_driver)
+
+    h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
+    if logits_at is not None:
+        h = common.take_frontier(h, logits_at)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    logits = composite.linear(h, head)
+
+    if output_hidden_states:
+        hiddens = jnp.concatenate([inputs_embeds[None], hiddens], axis=0)
+    return ModelOutputs(logits=logits, hidden_states=hiddens)
+
+
+def _run_layers(layer_params, cfg, inputs_embeds, composite, *, probes,
+                output_hidden_states, remat, positions, bias, kv_begin,
+                attn_impl, layer_driver):
+    """The decoder layer stack (no embedding, final norm, or lm_head):
+    shared by :func:`forward` and the segment body :func:`forward_layers`."""
     B, T, D = inputs_embeds.shape
     act_fn = ACTIVATIONS[cfg.act]
-    positions, bias, kv_begin = common.padding_setup(
-        attention_mask, kv_begin, positions, T)
     cos, sin = common.rope_tables(positions, cfg.hd, cfg.rope_theta,
                                   rope_scaling=cfg.rope_scaling, seq_len=T)
     scale = cfg.hd ** -0.5
@@ -296,21 +320,45 @@ def forward(
     # layer_driver (optional) replaces the plain layer scan — e.g. the
     # pipeline-parallel GPipe driver (parallel/pipeline_parallel.py);
     # composite.layer_overrides unroll the stack with per-depth composites
-    h, hiddens = common.run_stacked_layers(
+    return common.run_stacked_layers(
         make_layer, composite, remat, layer_driver,
-        inputs_embeds, (params["layers"], probes))
+        inputs_embeds, (layer_params, probes))
 
+
+def forward_layers(layer_params, cfg, h, composite=composites.attnlrp, *,
+                   remat=True, positions=None, attention_mask=None,
+                   kv_begin=None, attn_impl: str = "auto"):
+    """Run a SLICE of the decoder stack: ``h -> h`` over exactly the layers
+    in ``layer_params`` (a per-layer slice of ``params['layers']``, e.g.
+    ``jax.tree.map(lambda a: a[8:12], params['layers'])``).
+
+    The segment body for :func:`lxt_tpu.attribution.segmented_input_relevance`
+    — attribution as several bounded device programs instead of one
+    monolithic step (remote-attached TPUs enforce per-execute deadlines that
+    a slow full-depth step can exceed; segments also cap per-call latency for
+    serving). Values are identical to the monolithic forward: same layer
+    body, same scan, same remat policy.
+    """
+    positions, bias, kv_begin = common.padding_setup(
+        attention_mask, kv_begin, positions, h.shape[1])
+    out, _ = _run_layers(
+        layer_params, cfg, h, composite, probes=None,
+        output_hidden_states=False, remat=remat, positions=positions,
+        bias=bias, kv_begin=kv_begin, attn_impl=attn_impl, layer_driver=None)
+    return out
+
+
+def forward_head(params, cfg, h, composite=composites.attnlrp, *,
+                 logits_at=None):
+    """Final norm + lm_head on a hidden state ``h`` — the closing piece of a
+    segmented forward (see :func:`forward_layers`)."""
     h = composite.rms_norm(h, params["final_norm"], cfg.rms_eps)
     if logits_at is not None:
         h = common.take_frontier(h, logits_at)
     head = params.get("lm_head")
     if head is None:
         head = params["embed"].T
-    logits = composite.linear(h, head)
-
-    if output_hidden_states:
-        hiddens = jnp.concatenate([inputs_embeds[None], hiddens], axis=0)
-    return ModelOutputs(logits=logits, hidden_states=hiddens)
+    return composite.linear(h, head)
 
 
 # ---------------------------------------------------------------------------

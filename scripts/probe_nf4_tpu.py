@@ -166,8 +166,10 @@ else:
     nlayers = int(os.environ.get("LXT_PROBE_LAYERS", "0"))
     if nlayers:                     # scale-bisect: 4/8/16-layer variants
         cfg = dataclasses.replace(cfg, num_layers=nlayers)
+    qmode = os.environ.get("LXT_PROBE_QUANT", "nf4")  # int4 = speed control
+    qbits = {"nf4": "nf4", "int4": 4, "int8": 8}[qmode]
     params = jllama.init_params(cfg, jax.random.PRNGKey(0),
-                                quantize_bits="nf4")
+                                quantize_bits=qbits)
     print("params ready", round(time.time() - t0, 1), "s", flush=True)
 
     def step(params, embeds):
